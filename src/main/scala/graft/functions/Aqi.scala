@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** EPA AQI piecewise-linear interpolation (SURVEY §2.10; reference
+  * `doc/archive/AQI Calculation Implementation Plan.md:36-73`) as pure
+  * Column expressions — fully whole-stage-codegen'd `when` chains, no
+  * UDF. The reference planned this as a Python UDF; the declarative
+  * form is the 100TB-scale answer (stays inside Tungsten, null-safe).
+  *
+  * Formula: AQI = (Ahi-Alo)/(Chi-Clo)*(C-Clo)+Alo over the pollutant's
+  * breakpoint row; >highest range extrapolates uncapped (plan :73);
+  * negative/null → null (plan :69-72).
+  */
+object Aqi {
+
+  /** (concLo, concHi, aqiLo, aqiHi) — PM2.5 µg/m³ 24h breakpoints
+    * (plan :42-49).
+    */
+  val pm25Breakpoints: Seq[(Double, Double, Double, Double)] = Seq(
+    (0.0, 12.0, 0.0, 50.0),
+    (12.1, 35.4, 51.0, 100.0),
+    (35.5, 55.4, 101.0, 150.0),
+    (55.5, 150.4, 151.0, 200.0),
+    (150.5, 250.4, 201.0, 300.0),
+    (250.5, 500.4, 301.0, 500.0))
+
+  private def interp(c: Column, lo: Double, hi: Double, alo: Double, ahi: Double): Column =
+    lit((ahi - alo) / (hi - lo)) * (c - lit(lo)) + lit(alo)
+
+  /** Piecewise AQI for a pm2.5-like concentration column. */
+  def pm25Aqi(c: Column): Column = {
+    val last = pm25Breakpoints.last
+    val chain = pm25Breakpoints.init.foldRight(
+      // above the top range: extrapolate on the last segment, uncapped
+      interp(c, last._1, last._2, last._3, last._4)) {
+      case ((lo, hi, alo, ahi), tail) => when(c <= hi, interp(c, lo, hi, alo, ahi)).otherwise(tail)
+    }
+    when(c.isNull || c < 0, lit(null)).otherwise(chain)
+  }
+
+  /** AQI → category label (plan :42-49,64). */
+  def aqiLevel(aqi: Column): Column =
+    when(aqi.isNull, lit("Unknown"))
+      .when(aqi <= 50, "Good")
+      .when(aqi <= 100, "Moderate")
+      .when(aqi <= 150, "Unhealthy for Sensitive Groups")
+      .when(aqi <= 200, "Unhealthy")
+      .when(aqi <= 300, "Very Unhealthy")
+      .otherwise("Hazardous")
+
+  /** Row AQI = max over per-pollutant AQIs (plan :38); null-skipping
+    * via `greatest`.
+    */
+  def rowAqi(pollutants: Column*): Column = greatest(pollutants.map(pm25Aqi): _*)
+
+  /** Dominant pollutant = argmax by AQI (plan :63), as a when-chain. */
+  def dominantPollutant(named: (String, Column)*): Column = {
+    val aqis = named.map { case (n, c) => n -> pm25Aqi(c) }
+    val overall = greatest(aqis.map(_._2): _*)
+    aqis.foldRight(lit(null).cast("string")) { case ((n, a), tail) =>
+      when(a.isNotNull && a === overall, lit(n)).otherwise(tail)
+    }
+  }
+
+  /** The same pm2.5 chain + level as DuckDB SQL over `events.value`
+    * (identical arithmetic expression order ⇒ identical IEEE doubles).
+    */
+  val oracleSql: String = {
+    def seg(lo: Double, hi: Double, alo: Double, ahi: Double) =
+      s"(${(ahi - alo) / (hi - lo)}) * (value - $lo) + $alo"
+    val last = pm25Breakpoints.last
+    val chain = pm25Breakpoints.init.foldRight(seg(last._1, last._2, last._3, last._4)) {
+      case ((lo, hi, alo, ahi), tail) =>
+        s"CASE WHEN value <= $hi THEN ${seg(lo, hi, alo, ahi)} ELSE $tail END"
+    }
+    val aqi = s"CASE WHEN value IS NULL OR value < 0 THEN NULL ELSE $chain END"
+    s"""SELECT event_id, value, ${DetRound.sqlR4(aqi)} AS aqi,
+       |  CASE WHEN ($aqi) IS NULL THEN 'Unknown'
+       |       WHEN ($aqi) <= 50 THEN 'Good'
+       |       WHEN ($aqi) <= 100 THEN 'Moderate'
+       |       WHEN ($aqi) <= 150 THEN 'Unhealthy for Sensitive Groups'
+       |       WHEN ($aqi) <= 200 THEN 'Unhealthy'
+       |       WHEN ($aqi) <= 300 THEN 'Very Unhealthy'
+       |       ELSE 'Hazardous' END AS aqi_level
+       |FROM events ORDER BY event_id""".stripMargin
+  }
+}

@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic cross-engine rounding.
+  *
+  * `round(x, n)` is NOT portable at decimal boundaries: Spark rounds
+  * the shortest decimal representation (BigDecimal HALF_UP, so
+  * 70.47625 → 70.4763) while DuckDB rounds the binary value
+  * (70.47625 is stored as 70.47624999…, so → 70.4762). We instead use
+  * one explicit expression on BOTH engines:
+  *
+  *   floor(x * 1eN + 0.5 + 1e-6) / 1eN
+  *
+  * Identical inputs ⇒ identical IEEE ops ⇒ identical outputs. The 1e-6
+  * nudge makes exact-boundary rationals (an avg over n=2^k rows of
+  * 2-decimal data lands on x.xxxx5 constantly) round UP consistently
+  * even when the two engines' summation orders differ in the last few
+  * ulps; non-boundary values (>1e-10 away) are unaffected.
+  */
+object DetRound {
+  def r4(c: Column): Column =
+    floor(c * lit(1.0e4) + lit(0.5) + lit(1.0e-6)) / lit(1.0e4)
+
+  def r2(c: Column): Column =
+    floor(c * lit(1.0e2) + lit(0.5) + lit(1.0e-6)) / lit(1.0e2)
+
+  /** The same expression as DuckDB SQL text. */
+  def sqlR4(e: String): String = s"floor(($e) * 1e4 + 0.5 + 1e-6) / 1e4"
+  def sqlR2(e: String): String = s"floor(($e) * 1e2 + 0.5 + 1e-6) / 1e2"
+}

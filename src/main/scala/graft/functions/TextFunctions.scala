@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, quality scoring, language-ID
+  * heuristics, rolling-hash fingerprints. All pure Column expressions
+  * (higher-order array functions — distributed, no UDFs, no driver
+  * loops); every function is deterministic so results are
+  * oracle-checkable.
+  *
+  * Spark 4 runs with ANSI mode on: all arithmetic here is bounded to
+  * avoid Long overflow (masked 32-bit multiplicands, modular folds).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a single-space-normalized text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish word-piece count: maximal runs of letters or digits. */
+  def wordRegexCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+")).cast("long")
+
+  /** Token n-gram shingles ("w1 w2 w3"), empty array when the doc is
+    * shorter than n (guarded: Spark's `sequence(1, k)` with k<1 would
+    * generate a DESCENDING sequence, not an empty one).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val tok = tokens(text)
+    val idx = sequence(lit(1), size(tok) - lit(n - 1))
+    val make = transform(idx, i =>
+      concat_ws(" ", (0 until n).map(k => element_at(tok, i + lit(k))): _*))
+    when(size(tok) >= n, make).otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct shingle set (the MinHash/Jaccard input). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val tok = tokens(text)
+    size(filter(tok, t => t.isin(stopwords: _*))).cast("double") / size(tok)
+  }
+
+  /** Fraction of characters that are neither lowercase letters, digits
+    * nor spaces (punctuation/noise share).
+    */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") / length(text)
+
+  /** Composite quality score in [0,1]: favors docs long enough to train
+    * on, penalizes stopword-heavy and punctuation-heavy text. Pure
+    * arithmetic — mirrored verbatim in the DuckDB oracle.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), tokenCount(text).cast("double") / lit(100.0))
+    lenScore * (lit(1.0) - stopwordRatio(text)) * (lit(1.0) - punctRatio(text))
+  }
+
+  /** Stopword-marker language-ID heuristic: English function words are
+    * strong n-gram markers; text without them is "und" (undetermined).
+    * Deterministic and SQL-expressible; a real char-trigram profile
+    * model drops in behind the same Column signature.
+    */
+  def langIdHeuristic(text: Column): Column = {
+    val tok = tokens(text)
+    val hits = size(filter(tok, t => t.isin("the", "a", "of", "and", "is", "to")))
+    when(hits >= 2, lit("en")).otherwise(lit("und"))
+  }
+
+  /** Polynomial rolling-hash fingerprint over characters:
+    * acc = (acc*31 + codepoint) mod 1e9+7. Left fold in array order ⇒
+    * identical in any engine with a sequential reduce. Bounded:
+    * acc < 2^30, acc*31 + cp < 2^36 — no Long overflow under ANSI.
+    */
+  def rollingHash(text: Column): Column = {
+    val chars = filter(split(text, ""), c => c =!= "")
+    aggregate(chars, lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
+  }
+
+  /** Content-defined chunk fingerprints: rolling hash over each token
+    * n-gram — the document-fingerprinting primitive for fuzzy
+    * containment checks.
+    */
+  def ngramFingerprints(text: Column, n: Int): Column =
+    transform(shingleSet(text, n), g =>
+      aggregate(filter(split(g, ""), c => c =!= ""), lit(0L),
+        (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L))))
+}

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Document-deduplication operators for training-data pipelines, each
+  * designed around the shuffle/skew behavior it has at 100 TB:
+  *
+  *  - exact: one hash-aggregate shuffle on a 128-bit digest (never on
+  *    the raw text — the shuffle carries ~48B/row, not documents).
+  *  - MinHash+LSH: near-dup candidates via banded signatures; shuffle
+  *    keys are (band, bandHash) buckets, so cost is O(candidates), not
+  *    O(n²). Exact Jaccard verification only on candidates.
+  *  - SimHash: 64-bit signature; pigeonhole banding (4×16 bits finds
+  *    every pair with Hamming ≤ 3) then bit_count verification.
+  *  - n-gram Jaccard: exact — pairs sharing ≥1 shingle via an
+  *    inverted-index self-join; complete (a pair with no shared shingle
+  *    has Jaccard 0), used as the oracle-checkable ground truth.
+  *
+  * Everything is Column-expression based (codegen'd, distributed); the
+  * only UDF-free exception is nothing — there are no UDFs.
+  */
+object DedupOps {
+
+  /** Exact dedup: group by content digest, keep the smallest id.
+    * At scale: map-side partial agg on md5 makes the shuffle tiny; the
+    * digest is computed in the scan stage (whole-stage codegen).
+    */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard similarity pairs via inverted-index self-join.
+    * Output: (id_a, id_b, shared, n_a, n_b, jaccard) for jaccard ≥ minSim,
+    * id_a < id_b. Complete (no false negatives): pairs sharing zero
+    * shingles have similarity 0.
+    *
+    * Scale shape: `explode(shingles)` then self-join on the shingle —
+    * the classic inverted index. Hot shingles (stop-phrases) create
+    * join skew; cap posting-list length via a frequency filter
+    * (`maxPosting`) exactly like web-dedup systems drop stop-shingles.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minSim: Double,
+                        maxPosting: Option[Int] = None): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.shingleSet(col(textCol), n).as("ng"))
+    val sizes = sh.select(col("doc_id"), size(col("ng")).cast("long").as("n_ng"))
+    val posting0 = sh.select(col("doc_id"), explode(col("ng")).as("g"))
+    val posting = maxPosting match {
+      case Some(cap) =>
+        // drop shingles appearing in more than `cap` docs (skew guard)
+        val freq = posting0.groupBy("g").count().filter(col("count") <= cap).select("g")
+        posting0.join(freq, "g")
+      case None => posting0
+    }
+    val shared = posting.as("a")
+      .join(posting.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_ng", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_ng", "n_b"), "id_b")
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+
+  /** MinHash signature (k permutations) of a shingle array column.
+    * Public LSH construction: h_i(x) = (a_i * x32 + b_i) mod (2^61-1),
+    * with x32 the low 32 bits of a base hash and a_i < 2^32, so every
+    * product stays below 2^63 — no Long overflow under ANSI mode.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column = {
+    val base = transform(shingles, g => xxhash64(g).bitwiseAND(lit(0xFFFFFFFFL)))
+    val sig = (0 until k).map { i =>
+      val a = 1000003L * (2 * i + 1) % 4294967291L
+      val b = 998244353L * (i + 1) % 4294967291L
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash+LSH near-duplicate pairs: signature → bands → bucket join
+    * → exact-Jaccard verification on candidates only.
+    *
+    * @param bands × rowsPerBand = signature length. With (8,4) the
+    *   collision curve is steep around J≈0.5.
+    */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int, bands: Int, rowsPerBand: Int,
+                      minSim: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    val sh = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.shingleSet(col(textCol), n).as("ng"))
+      .filter(size(col("ng")) > 0)
+    val sig = sh.select(col("doc_id"), col("ng"),
+      minHashSignature(col("ng"), k).as("sig"))
+    // band id + hash of the band's slice of the signature
+    val banded = sig.select(col("doc_id"), col("ng"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
+      .dropDuplicates("id_a", "id_b")
+    // exact verification on the candidate set only
+    val inter = size(array_intersect(col("ng_a"), col("ng_b"))).cast("double")
+    val uni = (size(col("ng_a")) + size(col("ng_b"))).cast("double") - inter
+    cand.withColumn("jaccard", inter / uni)
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token stream: per-bit majority vote of
+    * token-hash bits, statically unrolled over the 64 bit positions
+    * (shift amounts must be literals) and OR-folded into one Long.
+    * Column-expression only; no UDF.
+    */
+  def simHash(text: Column): Column = {
+    val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    (0 until 64).map { j =>
+      val vote = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3):
+    * pigeonhole on 4 16-bit bands (any pair within distance 3 agrees on
+    * at least one band) then exact bit_count verification — the
+    * standard scalable SimHash join (Manku et al., WWW'07 structure).
+    */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-band pigeonhole guarantees recall only for distance <= 3")
+    val sigs = docs.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sim"))
+    val bandArr = array((0 until 4).map(b =>
+      shiftright(col("sim"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val banded = sigs.select(col("doc_id"), col("sim"), posexplode(bandArr))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).cast("long").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.RelationalOps
+import graft.functions.DetRound.{r2, r4, sqlR2, sqlR4}
+
+/** The reference's relational query surface (SURVEY §2.2–§2.8) mapped to
+  * the driver's synthetic star schema. Query names carry the §2 op ids
+  * they exercise, so coverage is auditable line-by-line.
+  *
+  * All double outputs go through [[graft.functions.DetRound]] on both
+  * engines (see its scaladoc for why `round()` is not portable).
+  */
+object CoreQueries extends QueryPack {
+
+  // A7/A9 aggregate + group-by (SURVEY §2.4; reference Athena queries
+  // doc/architecture.md:374-385). TPC-H-Q1-shaped scan-heavy aggregate.
+  q("a1_groupby_agg",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlR2("sum(l_quantity)")} AS sum_qty,
+       |  ${sqlR2("sum(l_extendedprice)")} AS sum_base_price,
+       |  ${sqlR4("sum(l_extendedprice * (1 - l_discount))")} AS sum_disc_price,
+       |  ${sqlR4("avg(l_quantity)")} AS avg_qty,
+       |  ${sqlR4("avg(l_extendedprice)")} AS avg_price,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base_price"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // P1/P6/P11 projection + cast + alias + range predicate (SURVEY §2.2;
+  // reference process_openaq_raw.py:179-185). Filter + projection both
+  // push to the parquet scan.
+  q("p1_select_cast_filter",
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST(l_partkey AS VARCHAR) AS part_id,
+       |  ${sqlR4("l_extendedprice * (1 - l_discount)")} AS net_price
+       |FROM lineitem
+       |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey").cast("string").as("part_id"),
+        r4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // J1 broadcast dim join + A9 multi-key group-by + O1 order (SURVEY
+  // §2.3/§2.4; reference process_openaq_raw.py:188-192). nation/region
+  // are tiny dims → explicit broadcast; orders↔customer left to AQE.
+  q("j1_join_groupby",
+    s"""SELECT n_name, r_name,
+       |  count(*) AS n_orders,
+       |  ${sqlR2("sum(o_totalprice)")} AS revenue
+       |FROM orders
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |GROUP BY n_name, r_name
+       |ORDER BY n_name, r_name""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val customer = Tables.load(s, dir, "customer")
+    val nation = broadcast(Tables.load(s, dir, "nation"))
+    val region = broadcast(Tables.load(s, dir, "region"))
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name", "r_name")
+      .agg(count(lit(1)).as("n_orders"), r2(sum("o_totalprice")).as("revenue"))
+      .orderBy("n_name", "r_name")
+  }
+
+  // W1 window row_number dedup with deterministic tie-break (SURVEY
+  // §2.5; reference process_openaq_raw.py:129-135, fixed per §7.4-2).
+  q("w1_window_dedup",
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+      |               event_type, value FROM events)
+      |) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    RelationalOps.dedupKeepFirst(ev, Seq("user_id", "event_type"),
+        Seq(col("ts"), col("event_id")))
+      .orderBy("event_id")
+  }
+
+  // A1 pivot long→wide with pinned values + mean (SURVEY §2.4; reference
+  // process_openaq_raw.py:151-159). Pinned list ⇒ one pass, stable schema.
+  q("a1_pivot",
+    s"""SELECT user_id,
+       |  ${sqlR4("avg(CASE WHEN event_type = 'click' THEN value END)")} AS click,
+       |  ${sqlR4("avg(CASE WHEN event_type = 'error' THEN value END)")} AS error,
+       |  ${sqlR4("avg(CASE WHEN event_type = 'purchase' THEN value END)")} AS purchase,
+       |  ${sqlR4("avg(CASE WHEN event_type = 'signup' THEN value END)")} AS signup,
+       |  ${sqlR4("avg(CASE WHEN event_type = 'view' THEN value END)")} AS "view"
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val wide = RelationalOps.pivotAvg(ev, Seq("user_id"), "event_type",
+      PipelineQueries.eventTypes, "value")
+    wide.select(col("user_id") +: PipelineQueries.eventTypes.map(c =>
+      r4(col(c)).as(c)): _*)
+      .orderBy("user_id")
+  }
+
+  // A3 single-pass null audit (SURVEY §2.4; process_openaq_raw.py:228-231).
+  q("a3_null_audit",
+    """SELECT count(CASE WHEN event_id IS NULL THEN 1 END) AS event_id,
+      |  count(CASE WHEN ts IS NULL THEN 1 END) AS ts,
+      |  count(CASE WHEN user_id IS NULL THEN 1 END) AS user_id,
+      |  count(CASE WHEN event_type IS NULL THEN 1 END) AS event_type,
+      |  count(CASE WHEN value IS NULL THEN 1 END) AS value
+      |FROM events""".stripMargin) { (s, dir) =>
+    RelationalOps.nullAudit(Tables.load(s, dir, "events"),
+      Seq("event_id", "ts", "user_id", "event_type", "value"))
+  }
+
+  // A4/A6 distinct counting (SURVEY §2.4; backfill plan :543). The exact
+  // COUNT(DISTINCT) is oracle-checked; approx_count_distinct is the
+  // 100TB-scale variant, covered by a spec (not hash-comparable).
+  q("a6_count_distinct",
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS n_customers,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(countDistinct("o_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  // A8 SUM(CASE WHEN) coverage counts (SURVEY §2.4; backfill plan
+  // :373-381) + F2 date part extraction.
+  q("a8_case_when_coverage",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+      |  count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_large,
+      |  count(*) AS n_total
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY o_year""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_large"),
+        count(lit(1)).as("n_total"))
+      .orderBy("o_year")
+  }
+
+  // O1/O2 top-k (SURVEY §2.6; doc/architecture.md:374-385). Ranked on
+  // the cent-rounded metric so ordering is FP-stable; Catalyst plans
+  // TakeOrderedAndProject (no global sort).
+  q("o2_topk",
+    s"""SELECT c_custkey, c_name, revenue, n_orders FROM (
+       |  SELECT c_custkey, c_name,
+       |    ${sqlR2("sum(o_totalprice)")} AS revenue,
+       |    count(*) AS n_orders
+       |  FROM orders JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY c_custkey, c_name
+       |) ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val agg = Tables.load(s, dir, "orders")
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_name")
+      .agg(r2(sum("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+    RelationalOps.topK(agg, 10, col("revenue").desc, col("c_custkey").asc)
+  }
+
+  // Semi/anti joins (SURVEY §2.3 "available when needed"): customers
+  // without orders (anti) — EXISTS/NOT EXISTS surface.
+  q("j3_anti_join",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  q("j4_semi_join",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  // Set ops (SURVEY §2.7): nations with customers but no suppliers.
+  q("set_except",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      .except(Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy("nationkey")
+  }
+
+  // P8/F8 coalesce-defaulting after an outer join (SURVEY §2.2/§2.8;
+  // process_openaq_raw.py:195-198, extract_api.py:416-418).
+  q("p8_outer_join_fill",
+    s"""SELECT c_custkey, c_name,
+       |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       |  ${sqlR2("coalesce(revenue, 0.0)")} AS revenue
+       |FROM customer LEFT JOIN (
+       |  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS revenue
+       |  FROM orders GROUP BY o_custkey
+       |) ON c_custkey = o_custkey
+       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val perCust = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("revenue"))
+    Tables.load(s, dir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        r2(coalesce(col("revenue"), lit(0.0))).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  // F2/F3/F12 date-part extraction + zero-padding (SURVEY §2.8;
+  // process_openaq_raw.py:124-127): the partition-column derivation.
+  q("f2_date_parts",
+    """SELECT strftime(o_orderdate, '%Y') AS year,
+      |  lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') AS month,
+      |  lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') AS day,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY 1, 2, 3
+      |ORDER BY year, month, day""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy(
+        date_format(col("o_orderdate"), "yyyy").as("year"),
+        lpad(month(col("o_orderdate")).cast("string"), 2, "0").as("month"),
+        lpad(dayofmonth(col("o_orderdate")).cast("string"), 2, "0").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("year", "month", "day")
+  }
+
+  // F7 lower + strip-punctuation normalization (SURVEY §2.8;
+  // extract_api.py:168-179 'PM2.5'→'pm25') + membership filter.
+  q("f7_normalize",
+    """SELECT lower(regexp_replace(p_type, '\.', '', 'g')) AS norm_type,
+      |  p_brand, count(*) AS n
+      |FROM part
+      |WHERE lower(regexp_replace(p_type, '\.', '', 'g'))
+      |      IN ('economy', 'promo', 'standard')
+      |GROUP BY 1, 2
+      |ORDER BY norm_type, p_brand""".stripMargin) { (s, dir) =>
+    val norm = lower(regexp_replace(col("p_type"), "\\.", ""))
+    Tables.load(s, dir, "part")
+      .filter(norm.isin("economy", "promo", "standard"))
+      .groupBy(norm.as("norm_type"), col("p_brand"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("norm_type", "p_brand")
+  }
+
+  // F10/F11 date arithmetic + BETWEEN window (SURVEY §2.8; activity
+  // cutoff etls/openaq_etl.py:137): orders in the 90 days before the
+  // last observed order date (relative cutoff computed relationally
+  // via a scalar subquery — no driver-side collect).
+  q("f10_date_arith",
+    s"""SELECT o_orderstatus, count(*) AS n,
+       |  ${sqlR4("avg(o_totalprice)")} AS avg_price
+       |FROM orders
+       |WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAY FROM orders)
+       |GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val orders = Tables.load(s, dir, "orders")
+    val cutoff = orders.select((max(col("o_orderdate")) - expr("INTERVAL 90 DAYS")).as("cut"))
+    orders.join(broadcast(cutoff))
+      .filter(col("o_orderdate") >= col("cut"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), r4(avg("o_totalprice")).as("avg_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // Streaming-semantics-in-batch: tumbling hourly window aggregation
+  // (SURVEY §2.9). date_trunc is the batch twin of window(ts, '1 hour').
+  q("t1_tumbling_hourly",
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+       |  event_type, count(*) AS n, ${sqlR4("avg(value)")} AS avg_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
+  // first-class op: events.props carries a JSON payload).
+  q("f13_json_extract",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+}

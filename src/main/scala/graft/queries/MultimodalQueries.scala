@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing exercised relationally: binary payload attach →
+  * per-partition stub decode → typed metadata → aggregation. The stub
+  * decode is arithmetic on byte length, so the whole chain has an
+  * exact SQL oracle.
+  */
+object MultimodalQueries extends QueryPack {
+
+  q("mm_decode_meta",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT doc_id, n_bytes,
+      |  CAST(n_bytes % 640 AS INTEGER) AS width,
+      |  CAST((n_bytes * 7) % 480 AS INTEGER) AS height,
+      |  CAST(n_bytes % 24 + 1 AS INTEGER) AS n_frames
+      |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    Multimodal.decodeMeta(s, Multimodal.withPayload(docs))
+      .toDF()
+      .select("doc_id", "n_bytes", "width", "height", "n_frames")
+      .orderBy("doc_id")
+  }
+
+  q("mm_frame_sample",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) % 24 + 1 AS n_frames
+      |  FROM documents)
+      |SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 4)) AS BIGINT) AS frame_idx
+      |FROM m ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val meta = Multimodal.decodeMeta(s, Multimodal.withPayload(docs))
+    Multimodal.sampleFrames(meta, everyK = 4)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+}

@@ -1,0 +1,154 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.RelationalOps
+import graft.functions.Aqi
+import graft.functions.DetRound.{r2, r4, sqlR2, sqlR4}
+
+/** End-to-end re-expressions of the reference's Glue-job dataflow
+  * (SURVEY §3.2) over the synthetic `events` stream table: parse →
+  * dedup → pivot → enrich → fill, plus the NDJSON/partitioned-parquet
+  * I/O boundary ops (S1/K1/K2) exercised as lossless roundtrips whose
+  * oracle is the identity query over the source table.
+  */
+object PipelineQueries extends QueryPack {
+
+  /** Pinned pivot domain (SURVEY §7.4-1): the reference pins pollutant
+    * columns; here the synthetic `event_type` domain.
+    */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** The flagship composite — the whole reference transform chain
+    * (process_openaq_raw.py:94-256 re-expressed): W1 dedup → derive
+    * hour → A1 pinned pivot → J1 broadcast enrich → P8 fill.
+    */
+  def martPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val dedup = RelationalOps.dedupKeepFirst(ev, Seq("user_id", "ts"), Seq(col("event_id")))
+    val hourly = dedup.withColumn("hour", date_trunc("hour", col("ts")))
+    val wide = RelationalOps.pivotAvg(hourly, Seq("user_id", "hour"),
+      "event_type", eventTypes, "value")
+    val dim = Tables.load(s, dir, "customer").select(
+      col("c_custkey").as("user_id"),
+      col("c_name").as("user_name"),
+      col("c_mktsegment").as("segment"))
+    val enriched = RelationalOps.enrich(wide, dim, "user_id")
+    val filled = RelationalOps.fillDefaults(enriched,
+      Map("user_name" -> "Unknown", "segment" -> "Unknown"), Map.empty)
+    filled.select(
+      Seq(col("user_id"), col("hour")) ++
+        eventTypes.map(c => r4(col(c)).as(c)) ++
+        Seq(col("user_name"), col("segment")): _*)
+      .orderBy("user_id", "hour")
+  }
+
+  q("pipe_mart",
+    s"""WITH src AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |  FROM events
+      |), dedup AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+      |    FROM src) WHERE rn = 1
+      |), wide AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    ${sqlR4("avg(CASE WHEN event_type = 'click' THEN value END)")} AS click,
+      |    ${sqlR4("avg(CASE WHEN event_type = 'error' THEN value END)")} AS error,
+      |    ${sqlR4("avg(CASE WHEN event_type = 'purchase' THEN value END)")} AS purchase,
+      |    ${sqlR4("avg(CASE WHEN event_type = 'signup' THEN value END)")} AS signup,
+      |    ${sqlR4("avg(CASE WHEN event_type = 'view' THEN value END)")} AS "view"
+      |  FROM dedup GROUP BY 1, 2
+      |)
+      |SELECT w.user_id, w.hour, click, error, purchase, signup, "view",
+      |  coalesce(c_name, 'Unknown') AS user_name,
+      |  coalesce(c_mktsegment, 'Unknown') AS segment
+      |FROM wide w LEFT JOIN customer ON w.user_id = c_custkey
+      |ORDER BY user_id, hour""".stripMargin)(martPipeline)
+
+  // S1/K2 — NDJSON sink + scan roundtrip with an EXPLICIT schema
+  // (SURVEY §2.1 S1/K2, §1.3 "no inference"). Timestamps serialized as
+  // ISO-8601 with microsecond precision and offset (reference F1:
+  // process_openaq_raw.py:118-121); a lossless roundtrip ⇒ oracle is
+  // the identity over `events`.
+  q("s1_ndjson_roundtrip",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val out = tmpDir("graft_ndjson")
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").option("timestampFormat", tsFmt).json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).option("timestampFormat", tsFmt).json(out)
+      .orderBy("event_id")
+  }
+
+  // K1/S2 — hive-partitioned parquet sink + partition-discovering scan
+  // (SURVEY §2.1 K1/S2; process_openaq_raw.py:249-256). Partition cols
+  // year/month/day derived per F2/F3; the read-back groups per
+  // partition, so layout errors (lost/renamed partition values) fail
+  // the hash. Partition-pruned read is asserted in the spec suite.
+  q("k1_partitioned_sink",
+    s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y') AS year,
+      |  lpad(CAST(month(CAST(ts AS TIMESTAMP)) AS VARCHAR), 2, '0') AS month,
+      |  count(*) AS n, ${sqlR2("sum(value)")} AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY year, month""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_part")
+    Tables.load(s, dir, "events")
+      .withColumn("year", date_format(col("ts"), "yyyy"))
+      .withColumn("month", lpad(month(col("ts")).cast("string"), 2, "0"))
+      .write.mode("overwrite").partitionBy("year", "month").parquet(out)
+    // keep hive partition values as the strings we wrote ("01" not 1)
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    s.read.parquet(out)
+      .groupBy("year", "month")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("year", "month")
+  }
+
+  // K5 — catalog registration + SQL over the registered table (SURVEY
+  // §2.1 K5, §3.3): the declared Athena-style SQL surface runs through
+  // spark.sql against temp views.
+  q("k5_sql_over_catalog",
+    s"""SELECT o_orderpriority, count(*) AS n,
+      |  ${sqlR2("max(o_totalprice)")} AS max_price
+      |FROM orders
+      |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${sqlR2("max(o_totalprice)")} AS max_price
+        |FROM orders
+        |WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // AQI (SURVEY §2.10) — EPA piecewise-linear interpolation as pure
+  // codegen'd Column expressions (no UDF), applied to events.value as
+  // a pm2.5-like concentration; identical CASE chain in the oracle.
+  q("aqi_breakpoints", Aqi.oracleSql) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("value"),
+        r4(Aqi.pm25Aqi(col("value"))).as("aqi"),
+        Aqi.aqiLevel(Aqi.pm25Aqi(col("value"))).as("aqi_level"))
+      .orderBy("event_id")
+  }
+}

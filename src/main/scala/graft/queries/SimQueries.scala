@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.DetRound.{r4, sqlR4}
+import graft.operators.SimilarityOps
+
+/** Similarity-search query surface over `embeddings`
+  * (array<float> × 64). The brute-force dot product is a sequential
+  * double-precision left fold on both engines (Spark `aggregate` vs
+  * DuckDB `list_reduce`), so cosine values are bit-identical and the
+  * top-k ranking hash-matches.
+  */
+object SimQueries extends QueryPack {
+
+  // Brute-force cosine top-5 for the first 10 vectors as queries —
+  // the ANN correctness baseline.
+  q("ann_bruteforce_topk",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |scored AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(generate_series(1, len(q.embedding)),
+      |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))),
+      |      (a, b) -> a + b) / (q.nrm * c.nrm) AS cos
+      |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+      |  floor((cos) * 1e4 + 0.5 + 1e-6) / 1e4 AS cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    SimilarityOps.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // IVF build step: per-label centroids via posexplode + elementwise
+  // mean (the coarse-quantizer training pass of an IVF index).
+  q("ann_ivf_centroids",
+    """WITH ex AS (
+      |  SELECT label, unnest(embedding) AS v,
+      |    unnest(generate_series(1, len(embedding))) AS pos
+      |  FROM embeddings)
+      |SELECT label, CAST(pos - 1 AS INTEGER) AS pos,
+      |  floor((avg(CAST(v AS DOUBLE))) * 1e4 + 0.5 + 1e-6) / 1e4 AS mean
+      |FROM ex GROUP BY 1, 2
+      |ORDER BY label, pos""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos")
+      .agg(r4(avg(col("col").cast("double"))).as("mean"))
+      .orderBy("label", "pos")
+  }
+
+  // LSH-bucketed ANN — the 100TB scale path (bucket join instead of a
+  // cross join). Deterministic random-hyperplane construction, but not
+  // ANSI-SQL-expressible → rows-only check.
+  q("ann_lsh_topk", null) { (s, dir) =>
+    SimilarityOps.lshTopK(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, nBits = 8, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // Embedding-cosine near-duplicate detection (dedup by vector
+  // similarity): all pairs with cosine ≥ 0.95 via bucketed candidates
+  // would risk false negatives, so the oracle-checked variant is exact:
+  // brute-force pairs above threshold.
+  q("dd_embedding_cosine",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  floor((list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (x, y) -> x + y) / (a.nrm * b.nrm)) * 1e4 + 0.5 + 1e-6) / 1e4 AS cos
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        SimilarityOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    pairs.filter(col("cos") >= 0.8)
+      .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.DetRound.{r4, sqlR4}
+import graft.operators.DedupOps
+
+/** Text-analysis + dedup query surface over the `documents` table
+  * (driver mandate: training-data pipeline operators as first-class
+  * components). Oracle-checked wherever the op is SQL-expressible;
+  * probabilistic ops (MinHash/SimHash) are deterministic but
+  * non-relational → rows-only entries.
+  */
+object TextQueries extends QueryPack {
+
+  // Token counting: whitespace tokens + BPE-ish regex word-pieces.
+  q("tx_token_count",
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_words,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        wordRegexCount(col("text")).as("n_words"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+  }
+
+  // Quality scoring: length/stopword/punctuation components + composite.
+  q("tx_quality",
+    s"""WITH t AS (
+      |  SELECT doc_id, text,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stop_hits,
+      |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS punct_ratio
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ${sqlR4("stop_hits / nt")} AS stopword_ratio,
+      |  ${sqlR4("punct_ratio")} AS punct_ratio,
+      |  ${sqlR4("least(1.0, nt / 100.0) * (1.0 - stop_hits / nt) * (1.0 - punct_ratio)")} AS quality
+      |FROM t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        r4(stopwordRatio(col("text"))).as("stopword_ratio"),
+        r4(punctRatio(col("text"))).as("punct_ratio"),
+        r4(qualityScore(col("text"))).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  // Language-ID heuristic vs. the labeled lang column.
+  q("tx_lang_id",
+    """SELECT doc_id, lang,
+      |  CASE WHEN len(list_filter(string_split(text, ' '),
+      |    x -> x IN ('the','a','of','and','is','to'))) >= 2
+      |  THEN 'en' ELSE 'und' END AS pred_lang
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        langIdHeuristic(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  // Rolling-hash document fingerprint (same modular left-fold on both
+  // engines: (acc*31 + codepoint) mod 1e9+7 over characters).
+  q("tx_fingerprint",
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(list_filter(string_split(text, ''), c -> c != ''),
+      |                     c -> CAST(unicode(c) AS BIGINT))),
+      |    (acc, cp) -> (acc * 31 + cp) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), rollingHash(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }
+
+  // Exact dedup by content digest (SURVEY-mandated exact hash dedup).
+  q("dd_exact",
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+    DedupOps.exactDuplicates(Tables.load(s, dir, "documents"), "doc_id", "text")
+      .orderBy("fingerprint")
+  }
+
+  // Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
+  // self-join — complete, so the brute-force SQL oracle must agree.
+  q("dd_ngram_jaccard",
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ngr AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [] END) AS ng
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ng FROM ngr),
+      |ex AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared, sa.n_ng AS n_a, sb.n_ng AS n_b,
+      |  ${sqlR4("shared / (sa.n_ng + sb.n_ng - shared)")} AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE shared / (sa.n_ng + sb.n_ng - shared) >= 0.2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3, minSim = 0.2)
+      .withColumn("jaccard", r4(col("jaccard")))
+      .orderBy("id_a", "id_b")
+  }
+
+  // MinHash+LSH near-dup candidates, exact-verified (deterministic but
+  // not ANSI-SQL-expressible → rows-only correctness check).
+  q("dd_minhash_lsh", null) { (s, dir) =>
+    DedupOps.minHashLshPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, minSim = 0.2)
+      .withColumn("jaccard", r4(col("jaccard")))
+      .orderBy("id_a", "id_b")
+  }
+
+  // SimHash near-dup pairs, Hamming ≤ 3 (rows-only: bit-level op).
+  q("dd_simhash", null) { (s, dir) =>
+    DedupOps.simHashPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+}
