@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Aqi
+
+/** The reference's Glue transform (`glue_jobs/process_openaq_raw.py`)
+  * re-expressed as composable `DataFrame => DataFrame` stages. Same
+  * observable semantics, Spark-idiomatic execution:
+  *
+  *   - explicit schema NDJSON scan (S1) instead of inference
+  *   - deterministic dedup tie-break (reference's W1 orders by its own
+  *     partition key — arbitrary row wins; we order by extracted_at
+  *     desc so the LATEST extraction wins, documented deviation
+  *     SURVEY §7.4-2)
+  *   - pinned pivot values (one pass, stable schema, §7.4-1)
+  *   - broadcast dim join (J1)
+  *   - dynamic partition overwrite instead of blind append (idempotent
+  *     re-runs, §7.4-3)
+  *   - optional AQI columns (§2.10) — codegen'd, no UDF
+  *
+  * At 100 TB: the only wide shuffles are the dedup window and the
+  * pivot aggregate, both keyed by (location_id, datetime) — co-
+  * partitioned, so AQE collapses them into one exchange reuse; the dim
+  * join broadcasts; the write is partitioned by date with AQE file
+  * coalescing (no reference-style repartition("location_id") small
+  * files).
+  */
+object AqPipeline {
+
+  /** S1 — NDJSON scan with the explicit canonical schema. */
+  def readRaw(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(AqSchemas.rawMeasurement)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+      .json(path)
+
+  /** F1-F3 — ISO-8601+offset → UTC timestamp; derive zero-padded
+    * partition columns (`process_openaq_raw.py:118-127`). Unparseable
+    * datetimes become null and are dropped (P9, `openaq_etl.py:293-297`).
+    */
+  def parseTimestamps(df: DataFrame): DataFrame =
+    df.withColumn("datetime_ts", try_to_timestamp(col("datetime")))
+      .filter(col("datetime_ts").isNotNull)
+      .drop("datetime").withColumnRenamed("datetime_ts", "datetime")
+      .withColumn("year", date_format(col("datetime"), "yyyy"))
+      .withColumn("month", lpad(month(col("datetime")).cast("string"), 2, "0"))
+      .withColumn("day", lpad(dayofmonth(col("datetime")).cast("string"), 2, "0"))
+
+  /** W1 — keep one row per (location_id, datetime, parameter); the
+    * reference's orderBy(datetime) over a (location_id, datetime)
+    * window makes the survivor arbitrary — we take the freshest
+    * extraction deterministically.
+    */
+  def deduplicate(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("location_id", "datetime", "parameter")
+      .orderBy(col("extracted_at").desc, col("sensor_id").asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** A1 — long→wide pivot with the pinned pollutant list; `avg`
+    * absorbs residual duplicates exactly like the reference
+    * (`process_openaq_raw.py:151-159`).
+    */
+  def pivotParameters(df: DataFrame): DataFrame =
+    df.groupBy("location_id", "datetime", "year", "month", "day")
+      .pivot("parameter", AqSchemas.parameters)
+      .agg(avg("value"))
+
+  /** P1/P7 — per-location metadata dimension from the same raw scan
+    * (`process_openaq_raw.py:179-185`): select+cast+rename, one row
+    * per location.
+    */
+  def locationDim(raw: DataFrame): DataFrame =
+    raw.select(
+      col("location_id"),
+      col("city").cast("string").as("city_name"),
+      col("country").cast("string").as("country_code"),
+      col("latitude").cast("double"),
+      col("longitude").cast("double"))
+      .dropDuplicates("location_id")
+
+  /** J1 + P8 — broadcast-enrich facts with the location dim, then
+    * default-fill (`process_openaq_raw.py:188-198`).
+    */
+  def enrich(facts: DataFrame, dim: DataFrame): DataFrame =
+    facts.join(broadcast(dim), Seq("location_id"), "left")
+      .na.fill(Map("city_name" -> "Unknown", "country_code" -> "VN"))
+      .na.fill(Map("latitude" -> 0.0, "longitude" -> 0.0))
+
+  /** §2.10 — append AQI columns (pm2.5-driven overall AQI, level,
+    * dominant pollutant) as pure expressions.
+    */
+  def withAqi(mart: DataFrame): DataFrame = {
+    val byPollutant = AqSchemas.parameters.map(p => p -> col(p))
+    mart
+      .withColumn("aqi", Aqi.rowAqi(byPollutant.map(_._2): _*))
+      .withColumn("aqi_level", Aqi.aqiLevel(col("aqi")))
+      .withColumn("dominant_pollutant", Aqi.dominantPollutant(byPollutant: _*))
+  }
+
+  /** Full transform chain (SURVEY §3.2), raw long-format → golden mart
+    * column order.
+    */
+  def transform(raw: DataFrame, aqi: Boolean = false): DataFrame = {
+    val parsed = parseTimestamps(raw)
+    val wide = pivotParameters(deduplicate(parsed))
+    val enriched = enrich(wide, locationDim(parsed))
+    val ordered = enriched.select(
+      Seq(col("location_id").cast("string").as("location_id"), col("datetime")) ++
+        AqSchemas.parameters.map(col) ++
+        Seq(col("city_name"), col("country_code"), col("latitude"),
+          col("longitude"), col("year"), col("month"), col("day")): _*)
+    if (aqi) withAqi(ordered) else ordered
+  }
+
+  /** K1 — partitioned parquet sink, idempotent per partition: dynamic
+    * partition overwrite replaces the reference's blind append
+    * (`process_openaq_raw.py:253-256`; fix per SURVEY §7.4-3). AQE
+    * handles file sizing — no manual repartition.
+    */
+  def writeMart(df: DataFrame, path: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
+  }
+
+  /** K5 — register the mart for the SQL surface (§3.3). */
+  def registerMart(spark: SparkSession, path: String, name: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    spark.read.parquet(path).createOrReplaceTempView(name)
+  }
+
+  /** A3 — single-pass data-quality audit over the critical columns
+    * (`process_openaq_raw.py:213-235`): null counts + duplicate-key
+    * count in ONE job, not the reference's five `count()` actions.
+    */
+  def validate(mart: DataFrame): DataFrame = {
+    val critical = Seq("location_id", "datetime", "country_code")
+    val metrics = Seq(
+      count(lit(1)).as("row_count"),
+      countDistinct(col("location_id"), col("datetime")).as("distinct_keys")) ++
+      critical.map(c => count(when(col(c).isNull, 1)).as(s"null_$c"))
+    mart.select(metrics: _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+import graft.pipeline.{AqPipeline, AqSchemas}
+
+/** Structured-Streaming mode for the ingest flow the reference runs as
+  * hourly Airflow batches (SURVEY §2.9): new NDJSON files arriving
+  * under a raw directory are a file-source stream; the 24h
+  * re-extraction overlap (`handler.py:268-269`) becomes a watermarked
+  * streaming dedup; the transform+write reuses the exact batch stages
+  * via `foreachBatch` (one code path for both modes).
+  */
+object AqStreaming {
+
+  /** File-source stream over the raw NDJSON landing dir — the
+    * streaming twin of `AqPipeline.readRaw`. `maxFilesPerTrigger`
+    * bounds micro-batch size at scale.
+    */
+  def readRawStream(spark: SparkSession, path: String,
+                    maxFilesPerTrigger: Int = 1000): DataFrame =
+    spark.readStream
+      .schema(AqSchemas.rawMeasurement)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(path)
+
+  /** Watermarked streaming dedup: state for (location_id, datetime,
+    * parameter) keys is evicted once the watermark passes the 24h
+    * re-extraction overlap — bounded state by construction
+    * (SURVEY §7.4-6).
+    */
+  def dedupStream(raw: DataFrame, watermark: String = "24 hours"): DataFrame =
+    AqPipeline.parseTimestamps(raw)
+      .withWatermark("datetime", watermark)
+      .dropDuplicatesWithinWatermark("location_id", "datetime", "parameter")
+
+  /** Tumbling hourly per-location aggregates with late-data handling —
+    * the streaming twin of the mart's hourly grain.
+    */
+  def hourlyAggregates(deduped: DataFrame): DataFrame =
+    deduped
+      .groupBy(window(col("datetime"), "1 hour"), col("location_id"), col("parameter"))
+      .agg(avg("value").as("avg_value"), count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("location_id"),
+        col("parameter"), col("avg_value"), col("n"))
+
+  /** End-to-end streaming pipeline: micro-batches run the SAME batch
+    * transform (pivot needs a full group view, so it runs per
+    * micro-batch inside foreachBatch) and land in the partitioned mart
+    * idempotently (dynamic partition overwrite per batch).
+    */
+  def streamToMart(spark: SparkSession, rawPath: String, martPath: String,
+                   checkpoint: String): DataStreamWriter[Row] = {
+    val deduped = dedupStream(readRawStream(spark, rawPath))
+    deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val wide = AqPipeline.enrich(
+            AqPipeline.pivotParameters(batch),
+            AqPipeline.locationDim(batch))
+          val ordered = wide.select(
+            Seq(col("location_id").cast("string").as("location_id"), col("datetime")) ++
+              AqSchemas.parameters.map(col) ++
+              Seq(col("city_name"), col("country_code"), col("latitude"),
+                col("longitude"), col("year"), col("month"), col("day")): _*)
+          AqPipeline.writeMart(ordered, martPath)
+        }
+      }
+  }
+}

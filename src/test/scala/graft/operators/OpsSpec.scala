@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.functions.TextFunctions
+
+class RelationalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeepFirst keeps exactly the row the tie-break orders first") {
+    val df = Seq(("a", 2, "second"), ("a", 1, "first"), ("b", 5, "only"))
+      .toDF("k", "seq", "tag")
+    val out = RelationalOps.dedupKeepFirst(df, Seq("k"), Seq(col("seq")))
+    assert(out.orderBy("k").select("tag").as[String].collect().toSeq ==
+      Seq("first", "only"))
+  }
+
+  test("pivotAvg pins columns even for absent values") {
+    val df = Seq((1, "x", 2.0), (1, "x", 4.0)).toDF("id", "p", "v")
+    val out = RelationalOps.pivotAvg(df, Seq("id"), "p", Seq("x", "y"), "v")
+    assert(out.columns.toSeq == Seq("id", "x", "y"))
+    assert(out.head() == Row(1, 3.0, null))
+  }
+
+  test("enrich never fans out on duplicate dim rows") {
+    val facts = Seq((1, "f1"), (2, "f2")).toDF("k", "f")
+    val dim = Seq((1, "d1"), (1, "d1-dup"), (3, "d3")).toDF("k", "d")
+    assert(RelationalOps.enrich(facts, dim, "k").count() == 2)
+  }
+
+  test("nullAudit counts per-column nulls in one row") {
+    val df = Seq((Some(1), Option.empty[String]), (None, Some("x")))
+      .toDF("a", "b")
+    assert(RelationalOps.nullAudit(df, Seq("a", "b")).head() == Row(1L, 1L))
+  }
+
+  test("topK returns exactly k in metric order") {
+    val df = (1 to 100).map(i => (i, i * 2.0)).toDF("id", "m")
+    val out = RelationalOps.topK(df, 3, col("m").desc)
+    assert(out.select("id").as[Int].collect().toSeq == Seq(100, 99, 98))
+  }
+}
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (3L, "completely different words entirely here now")
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicates groups identical content") {
+    val out = DedupOps.exactDuplicates(docs, "doc_id", "text")
+    val dup = out.filter($"n_copies" === 2).head()
+    assert(dup.getAs[Long]("keep_id") == 0L)
+    assert(out.count() == 3) // 3 distinct contents
+  }
+
+  test("ngramJaccardPairs computes exact shingle Jaccard") {
+    val out = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+    val pairs = out.select("id_a", "id_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // 9 tokens → 7 trigrams each; docs 0/1 share 6 of 8 distinct
+    assert(pairs((0L, 2L)) == 1.0)
+    assert(math.abs(pairs((0L, 1L)) - 6.0 / 8.0) < 1e-12)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("minHashLshPairs finds high-similarity pairs with exact verification") {
+    val out = DedupOps.minHashLshPairs(docs, "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4, minSim = 0.5)
+    val keys = out.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((0L, 2L))) // exact dup always collides
+    val j02 = out.filter($"id_a" === 0 && $"id_b" === 2).select("jaccard").head().getDouble(0)
+    assert(j02 == 1.0)
+  }
+
+  test("simHash: identical text → distance 0; simHashPairs surfaces it") {
+    val out = DedupOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val p02 = out.filter($"id_a" === 0 && $"id_b" === 2).head()
+    assert(p02.getAs[Long]("hamming") == 0L)
+  }
+}
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ngrams: shorter-than-n text yields empty array, not an error") {
+    val df = Seq("one two", "a b c d").toDF("text")
+      .select(size(TextFunctions.ngrams(col("text"), 3)).as("n"))
+    assert(df.as[Int].collect().toSeq == Seq(0, 2))
+  }
+
+  test("rollingHash is the documented modular fold") {
+    val h = Seq("ab").toDF("text")
+      .select(TextFunctions.rollingHash(col("text"))).as[Long].head()
+    assert(h == (('a'.toInt * 31L) + 'b'.toInt) % 1000000007L)
+  }
+
+  test("quality score stays within [0,1]") {
+    val df = Seq("the the the", "x " * 200).toDF("text")
+      .select(TextFunctions.qualityScore(col("text")).as("q"))
+    assert(df.as[Double].collect().forall(q => q >= 0.0 && q <= 1.0))
+  }
+}
+
+class SimilarityOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identity 1, orthogonal 0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      SimilarityOps.cosine(col("a"), col("b")),
+      SimilarityOps.cosine(col("a"), col("c"))).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("bruteForceTopK ranks nearest first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 2)
+    assert(out.select("neighbor_id").as[Long].collect().toSeq == Seq(1L, 2L))
+  }
+
+  test("centroids: elementwise means per cell") {
+    val vecs = Seq((0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)))
+      .toDF("label", "embedding")
+    val c = SimilarityOps.centroids(vecs, "label", "embedding")
+      .select("centroid").as[Seq[Double]].head()
+    assert(c == Seq(2.0, 4.0))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import graft.multimodal.Multimodal
+
+  test("decodeMeta: deterministic stub metadata, schema intact") {
+    import spark.implicits._
+    val docs = Seq((7L, "hello world")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs)).head()
+    assert(meta.n_bytes == 11L)
+    assert(meta.width == 11 && meta.height == (77 % 480) && meta.format == "stub")
+  }
+
+  test("sampleFrames: stride sampling over fake frame count") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 30)).toDF("doc_id", "text") // 30 bytes → 7 frames
+    val meta = Multimodal.decodeMeta(spark, Multimodal.withPayload(docs))
+    val frames = Multimodal.sampleFrames(meta, everyK = 3)
+    assert(frames.select("frame_idx").as[Int].collect().toSeq == Seq(0, 3, 6))
+  }
+}

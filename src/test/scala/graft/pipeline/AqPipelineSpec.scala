@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+/** Per-operator tests for the air-quality transform chain, covering
+  * the reference's own edge cases (FIXTURES.md §1):
+  * exact duplicates, same-key-different-value (pivot-mean), all-null
+  * metadata (VoidType class), mixed timezone offsets, invalid
+  * datetime, UTC-day partition boundary, idempotent re-write.
+  */
+class AqPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rawDf(rows: Seq[String]) = {
+    val ds = spark.createDataset(rows)
+    spark.read.schema(AqSchemas.rawMeasurement).json(ds)
+  }
+
+  private val base =
+    """{"location_id": 18, "sensor_id": 37, "datetime": "2024-01-15T10:00:00+07:00",
+      | "parameter": "pm25", "value": 45.5, "unit": "ug/m3",
+      | "extracted_at": "2024-01-15T11:00:00", "location_name": "SPARTAN",
+      | "city": "Hanoi", "timezone": "Asia/Bangkok", "country": "VN",
+      | "latitude": 21.0285, "longitude": 105.8542}""".stripMargin.replaceAll("\n", "")
+
+  test("F1: ISO-8601 offsets normalize to UTC") {
+    val df = AqPipeline.parseTimestamps(rawDf(Seq(base)))
+    val ts = df.select("datetime").as[java.sql.Timestamp].head()
+    assert(ts.toInstant.toString == "2024-01-15T03:00:00Z") // 10:00+07:00
+  }
+
+  test("F2/F3: partition columns zero-padded from UTC datetime") {
+    val df = AqPipeline.parseTimestamps(rawDf(Seq(base)))
+    assert(df.select("year", "month", "day").head() == Row("2024", "01", "15"))
+  }
+
+  test("TZ boundary: 02:00+07:00 lands on the PREVIOUS UTC day") {
+    val row = base.replace("2024-01-15T10:00:00+07:00", "2024-01-15T02:00:00+07:00")
+    val df = AqPipeline.parseTimestamps(rawDf(Seq(row)))
+    assert(df.select("day").head().getString(0) == "14")
+  }
+
+  test("P9: unparseable datetime rows are dropped") {
+    val bad = base.replace("2024-01-15T10:00:00+07:00", "not-a-date")
+    assert(AqPipeline.parseTimestamps(rawDf(Seq(base, bad))).count() == 1)
+  }
+
+  test("W1: dedup keeps the freshest extraction, deterministically") {
+    val older = base.replace("\"value\": 45.5", "\"value\": 1.0")
+      .replace("2024-01-15T11:00:00", "2024-01-15T09:00:00")
+    val df = AqPipeline.deduplicate(AqPipeline.parseTimestamps(rawDf(Seq(older, base))))
+    assert(df.count() == 1)
+    assert(df.select("value").head().getDouble(0) == 45.5)
+  }
+
+  test("A1: pivot pins all pollutant columns and means duplicates") {
+    val v2 = base.replace("\"value\": 45.5", "\"value\": 54.5")
+      .replace("\"sensor_id\": 37", "\"sensor_id\": 38")
+    val wide = AqPipeline.pivotParameters(
+      AqPipeline.parseTimestamps(rawDf(Seq(base, v2))))
+    assert(AqSchemas.parameters.forall(wide.columns.contains))
+    assert(wide.select("pm25").head().getDouble(0) == 50.0)
+    assert(wide.select("pm10").head().isNullAt(0))
+  }
+
+  test("VoidType class: all-null metadata survives with defaults") {
+    val nul = base
+      .replace("\"city\": \"Hanoi\"", "\"city\": null")
+      .replace("\"country\": \"VN\"", "\"country\": null")
+      .replace("\"latitude\": 21.0285", "\"latitude\": null")
+      .replace("\"longitude\": 105.8542", "\"longitude\": null")
+    val mart = AqPipeline.transform(rawDf(Seq(nul)))
+    val r = mart.select("city_name", "country_code", "latitude", "longitude").head()
+    assert(r == Row("Unknown", "VN", 0.0, 0.0))
+  }
+
+  test("golden schema: transform output matches the reference contract") {
+    val mart = AqPipeline.transform(rawDf(Seq(base)))
+    val expected = AqSchemas.mart.fields.map(f => (f.name, f.dataType)).toSeq
+    val actual = mart.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(actual == expected)
+  }
+
+  test("K1: partitioned write is idempotent (dynamic overwrite, not append)") {
+    val out = Files.createTempDirectory("aq_mart").toString
+    val mart = AqPipeline.transform(rawDf(Seq(base)))
+    AqPipeline.writeMart(mart, out)
+    AqPipeline.writeMart(mart, out) // re-run must not double rows
+    assert(spark.read.parquet(out).count() == 1)
+    val partDir = new java.io.File(s"$out/year=2024/month=01/day=15")
+    assert(partDir.isDirectory, "hive partition layout expected")
+  }
+
+  test("A3: validation audit is a single-pass single-row report") {
+    val mart = AqPipeline.transform(rawDf(Seq(base)))
+    val audit = AqPipeline.validate(mart).head()
+    assert(audit.getAs[Long]("row_count") == 1L)
+    assert(audit.getAs[Long]("distinct_keys") == 1L)
+    assert(audit.getAs[Long]("null_location_id") == 0L)
+  }
+
+  test("AQI: EPA breakpoint interpolation + level + dominant pollutant") {
+    val rows = Seq(
+      base, // pm25 45.5 → AQI in (101,150]
+      base.replace("\"parameter\": \"pm25\"", "\"parameter\": \"o3\"")
+        .replace("\"value\": 45.5", "\"value\": 10.0")
+        .replace("\"location_id\": 18", "\"location_id\": 19"))
+    val mart = AqPipeline.transform(rawDf(rows), aqi = true)
+    val r18 = mart.filter($"location_id" === "18")
+      .select("aqi", "aqi_level", "dominant_pollutant").head()
+    // (150-101)/(55.4-35.5)*(45.5-35.5)+101 = 125.62...
+    assert(math.abs(r18.getDouble(0) - 125.6231155778894) < 1e-9)
+    assert(r18.getString(1) == "Unhealthy for Sensitive Groups")
+    assert(r18.getString(2) == "pm25")
+    val r19 = mart.filter($"location_id" === "19")
+      .select("aqi", "aqi_level", "dominant_pollutant").head()
+    assert(math.abs(r19.getDouble(0) - (50.0 / 12.0 * 10.0)) < 1e-9)
+    assert(r19.getString(1) == "Good")
+    assert(r19.getString(2) == "o3")
+  }
+
+  test("AQI edge cases: null and negative concentrations") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Some(-5.0), 1), (None, 2)).toDF("c", "id")
+      .select(graft.functions.Aqi.pm25Aqi(col("c")).as("aqi"))
+    assert(df.collect().forall(_.isNullAt(0)))
+  }
+}
