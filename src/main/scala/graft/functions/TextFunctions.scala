@@ -25,16 +25,13 @@ object TextFunctions {
     regexp_count(text, lit("[a-z]+|[0-9]+")).cast("long")
 
   /** Token n-gram shingles ("w1 w2 w3"), empty array when the doc is
-    * shorter than n (guarded: Spark's `sequence(1, k)` with k<1 would
-    * generate a DESCENDING sequence, not an empty one).
+    * shorter than n. Backed by the native
+    * [[org.apache.spark.sql.graftx.TokenNgrams]] expression (the HOF
+    * form — transform over sequence + element_at — is interpreted per
+    * shingle and an order of magnitude slower on the dedup hot path).
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val tok = tokens(text)
-    val idx = sequence(lit(1), size(tok) - lit(n - 1))
-    val make = transform(idx, i =>
-      concat_ws(" ", (0 until n).map(k => element_at(tok, i + lit(k))): _*))
-    when(size(tok) >= n, make).otherwise(array().cast("array<string>"))
-  }
+  def ngrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.graftx.GraftFunctions.tokenNgrams(tokens(text), n)
 
   /** Distinct shingle set (the MinHash/Jaccard input). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(ngrams(text, n))

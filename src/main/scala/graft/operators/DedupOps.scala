@@ -68,22 +68,12 @@ object DedupOps {
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
-
-  /** MinHash signature (k permutations) of a shingle array column.
-    * Public LSH construction: h_i(x) = (a_i * x32 + b_i) mod (2^61-1),
-    * with x32 the low 32 bits of a base hash and a_i < 2^32, so every
-    * product stays below 2^63 — no Long overflow under ANSI mode.
+  /** MinHash signature (k permutations) of a shingle array column —
+    * the native one-pass [[org.apache.spark.sql.graftx.MinHashSignature]]
+    * expression (h_i(x) = (a_i·x32 + b_i) mod 2^61-1, overflow-free).
     */
-  def minHashSignature(shingles: Column, k: Int): Column = {
-    val base = transform(shingles, g => xxhash64(g).bitwiseAND(lit(0xFFFFFFFFL)))
-    val sig = (0 until k).map { i =>
-      val a = 1000003L * (2 * i + 1) % 4294967291L
-      val b = 998244353L * (i + 1) % 4294967291L
-      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(MersennePrime))))
-    }
-    array(sig: _*)
-  }
+  def minHashSignature(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.graftx.GraftFunctions.minHashSignature(shingles, k)
 
   /** MinHash+LSH near-duplicate pairs: signature → bands → bucket join
     * → exact-Jaccard verification on candidates only.
@@ -123,19 +113,12 @@ object DedupOps {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 64-bit SimHash of the token stream: per-bit majority vote of
-    * token-hash bits, statically unrolled over the 64 bit positions
-    * (shift amounts must be literals) and OR-folded into one Long.
-    * Column-expression only; no UDF.
+  /** 64-bit SimHash of the token stream — the native one-pass
+    * [[org.apache.spark.sql.graftx.SimHash64]] expression (per-bit
+    * majority vote of xxhash64 token bits).
     */
-  def simHash(text: Column): Column = {
-    val hs = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    (0 until 64).map { j =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simHash(text: Column): Column =
+    org.apache.spark.sql.graftx.GraftFunctions.simHash64(TextFunctions.tokens(text))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (≤ 3):
     * pigeonhole on 4 16-bit bands (any pair within distance 3 agrees on

@@ -98,14 +98,8 @@ object SimQueries extends QueryPack {
       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
       |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-    val emb = Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val pairs = emb.as("a").join(emb.as("b"),
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-        SimilarityOps.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-    pairs.filter(col("cos") >= 0.8)
-      .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+    SimilarityOps.cosinePairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", minSim = 0.8)
       .orderBy("id_a", "id_b")
   }
 }

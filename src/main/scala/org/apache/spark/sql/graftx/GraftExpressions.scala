@@ -1,0 +1,260 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot paths where composable
+  * higher-order functions (`aggregate`/`transform`/`zip_with`) are
+  * interpreted per element and fall out of whole-stage codegen
+  * (SURVEY §7.3 preference order: custom `Expression` before custom
+  * operators). Lives under `org.apache.spark.sql` to use the
+  * `private[sql]` expression-to-Column bridge, the standard extension
+  * technique.
+  */
+
+/** Native dot product of two `array<float>` columns, accumulated in
+  * DOUBLE precision sequentially in index order — bit-identical to the
+  * `aggregate(zip_with(...))` fold AND to DuckDB `list_reduce`, so
+  * oracle hash-matching is preserved while gaining a codegen'd
+  * primitive loop. Null array → null; arrays are dense by contract.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of an `array<string>` token column in ONE pass:
+  * per-token xxhash64 (seed 42, identical to the builtin), ±1 vote per
+  * bit, sign → bit. Replaces 64 interpreted `aggregate` folds over the
+  * token array with a single native O(tokens × 64) loop.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature (k affine permutations) of an `array<string>`
+  * shingle column in one pass: base = xxhash64(shingle, 42) & 0xFFFFFFFF,
+  * h_i = (a_i * base + b_i) mod (2^61-1) with a_i < 2^32 so products
+  * never overflow a signed long. Returns `array<long>` of length k.
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+  private lazy val coeffA: Array[Long] =
+    Array.tabulate(k)(i => 1000003L * (2L * i + 1) % 4294967291L)
+  private lazy val coeffB: Array[Long] =
+    Array.tabulate(k)(i => 998244353L * (i + 1L) % 4294967291L)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L) & 0xFFFFFFFFL
+      var p = 0
+      while (p < k) {
+        val h = java.lang.Math.floorMod(coeffA(p) * base + coeffB(p), MersennePrime)
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Token n-gram shingles ("w1 w2 w3") of an `array<string>` token
+  * column as one native pass (the HOF form builds each shingle through
+  * interpreted lambda plumbing). Shorter-than-n input → empty array.
+  */
+case class TokenNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sz = arr.numElements()
+    val out = if (sz < n) new Array[AnyRef](0) else {
+      val res = new Array[AnyRef](sz - n + 1)
+      var i = 0
+      while (i <= sz - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        res(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      res
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Random-hyperplane LSH signature of an `array<float>` vector:
+  * nBits sign bits, hyperplane components from a fixed LCG stream in
+  * [-1,1] keyed by (bit, dim) — same construction and accumulation
+  * order as the Column-expression form, one native O(nBits·dim) loop
+  * instead of a 512-term codegen expression tree.
+  */
+case class RhpSignature(child: Expression, dim: Int, nBits: Int)
+    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rhp_signature"
+
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nBits, dim) { (b, d) =>
+      val x = (1103515245L * (b * dim + d + 12345L) + 12345L) % 2147483647L
+      (x.toDouble / 2147483647.0) * 2 - 1
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, v.numElements())
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      val plane = planes(b)
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        proj += v.getFloat(d).toDouble * plane(d)
+        d += 1
+      }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column API + SQL registration for the graft expressions. */
+object GraftFunctions {
+  def vecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(FloatVecDot(expr(a), expr(b)))
+
+  def vecNorm(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(vecDot(a, a))
+  }
+
+  def simHash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64(expr(tokens)))
+
+  def minHashSignature(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSignature(expr(shingles), k))
+
+  def tokenNgrams(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(TokenNgrams(expr(tokens), n))
+
+  def rhpSignature(vec: Column, dim: Int, nBits: Int): Column =
+    ExpressionUtils.column(RhpSignature(expr(vec), dim, nBits))
+
+  private def expr(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register as SQL functions (K5/§3.3 surface: usable from
+    * `spark.sql`, e.g. `SELECT float_vec_dot(a, b)`).
+    */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("float_vec_dot",
+      es => FloatVecDot(es.head, es(1)), "builtin")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "builtin")
+    reg.createOrReplaceTempFunction("token_ngrams",
+      es => TokenNgrams(es.head, 3), "builtin")
+  }
+}
