@@ -102,10 +102,14 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
-/** MinHash signature (k affine permutations) of an `array<string>`
-  * shingle column in one pass: base = xxhash64(shingle, 42) & 0xFFFFFFFF,
-  * h_i = (a_i * base + b_i) mod (2^61-1) with a_i < 2^32 so products
-  * never overflow a signed long. Returns `array<long>` of length k.
+/** MinHash signature (k universal-hash permutations) of an
+  * `array<string>` shingle column in one pass:
+  * base = xxhash64(shingle, 42) mod p, h_i = (a_i·base + b_i) mod p
+  * with p = 2^31-1 (Mersenne) and a_i ∈ [1,p), b_i ∈ [0,p) drawn from
+  * a fixed splitmix stream. Products stay < 2^62 (no signed-long
+  * overflow) AND wrap the modulus many times — a min-wise independent
+  * family (coefficients that never wrap would make every slot pick
+  * the same minimum element). Returns `array<long>` of length k.
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
@@ -114,11 +118,17 @@ case class MinHashSignature(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
-  private val MersennePrime = 2305843009213693951L // 2^61 - 1
+  private val P = 2147483647L // 2^31 - 1
+  private def mix(i: Long): Long = {
+    var z = i * 0x9E3779B97F4A7C15L + 0x632BE59BD9B4E019L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
   private lazy val coeffA: Array[Long] =
-    Array.tabulate(k)(i => 1000003L * (2L * i + 1) % 4294967291L)
+    Array.tabulate(k)(i => java.lang.Math.floorMod(mix(2L * i), P - 1) + 1)
   private lazy val coeffB: Array[Long] =
-    Array.tabulate(k)(i => 998244353L * (i + 1L) % 4294967291L)
+    Array.tabulate(k)(i => java.lang.Math.floorMod(mix(2L * i + 1), P))
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -126,10 +136,11 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val base = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L) & 0xFFFFFFFFL
+      val base = java.lang.Math.floorMod(
+        XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), P)
       var p = 0
       while (p < k) {
-        val h = java.lang.Math.floorMod(coeffA(p) * base + coeffB(p), MersennePrime)
+        val h = (coeffA(p) * base + coeffB(p)) % P
         if (h < sig(p)) sig(p) = h
         p += 1
       }
@@ -251,10 +262,10 @@ object GraftFunctions {
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("float_vec_dot",
-      es => FloatVecDot(es.head, es(1)), "builtin")
+      es => FloatVecDot(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("simhash64",
-      es => SimHash64(es.head), "builtin")
+      es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_ngrams",
-      es => TokenNgrams(es.head, 3), "builtin")
+      es => TokenNgrams(es.head, 3), "built-in")
   }
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.GraftFunctions
+import graft.SparkSpec
+
+/** Specs for the native graftx expressions: each one must agree
+  * exactly with the composable higher-order-function formulation it
+  * replaced (that equivalence is what keeps the DuckDB oracles valid).
+  */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FloatVecDot == aggregate(zip_with(...)) fold, bit for bit") {
+    val df = Seq(
+      (Array(1.1f, -2.2f, 3.3f), Array(0.5f, 0.25f, -4.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = df.select(
+      (GraftFunctions.vecDot($"a", $"b") - hof).as("d")).as[Double].collect()
+    assert(diff.forall(_ == 0.0)) // exact, not approximate
+  }
+
+  test("FloatVecDot: null array propagates null") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(GraftFunctions.vecDot($"a", $"b")).head().isNullAt(0))
+  }
+
+  test("TokenNgrams matches hand-built trigrams and guards short input") {
+    val df = Seq("a b c d", "a b").toDF("t")
+      .select(GraftFunctions.tokenNgrams(split($"t", " "), 3).as("ng"))
+    val got = df.as[Seq[String]].collect()
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("SimHash64: identical token arrays → identical signatures; different → different") {
+    val df = Seq("x y z", "x y z", "p q r s t u v w").toDF("t")
+      .select(GraftFunctions.simHash64(split($"t", " ")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+  }
+
+  test("MinHashSignature: length k, permutation-invariant on set equality") {
+    val df = Seq(Seq("a", "b", "c"), Seq("c", "a", "b"), Seq("a", "b", "x"))
+      .toDF("s")
+      .select(GraftFunctions.minHashSignature($"s", 16).as("sig"))
+    val sigs = df.as[Seq[Long]].collect()
+    assert(sigs.forall(_.length == 16))
+    assert(sigs(0) == sigs(1)) // min over a set ignores order
+    assert(sigs(0) != sigs(2))
+    // matching fraction estimates Jaccard(2/4 = .5) loosely
+    val matches = sigs(0).zip(sigs(2)).count { case (x, y) => x == y }
+    assert(matches > 0 && matches < 16)
+  }
+
+  test("RhpSignature: deterministic; similar vectors collide more than dissimilar") {
+    val df = Seq(
+      Array(1.0f, 0.0f, 0.5f, 0.2f),
+      Array(1.0f, 0.01f, 0.5f, 0.2f),
+      Array(-1.0f, 0.3f, -0.5f, -0.2f)).toDF("v")
+      .select(GraftFunctions.rhpSignature($"v", 4, 16).as("sig"))
+    val s = df.as[Long].collect()
+    assert(s(0) == s(1)) // near-identical vectors share all sign bits
+    assert(java.lang.Long.bitCount(s(0) ^ s(2)) > 4) // opposite vector flips many
+  }
+
+  test("SQL registration: float_vec_dot callable from spark.sql") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head().getDouble(0)
+    assert(r == 11.0)
+  }
+}
