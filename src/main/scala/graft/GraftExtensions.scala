@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftx.{FloatVecDot, RhpSignature, SimHash64, TokenNgrams}
+
+/** `SparkSessionExtensions` entry point: injects the graft expressions
+  * into the session's FunctionRegistry so the SQL surface has them
+  * from the first query. Wire-up:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)           // programmatic
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      info("float_vec_dot", "_FUNC_(a, b) - double-precision dot product of two float arrays"),
+      (es: Seq[Expression]) => FloatVecDot(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(tokens) - 64-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      info("token_ngrams", "_FUNC_(tokens) - token 3-gram shingles"),
+      (es: Seq[Expression]) => TokenNgrams(es.head, 3)))
+    ext.injectFunction((
+      FunctionIdentifier("rhp_signature64"),
+      info("rhp_signature64", "_FUNC_(vec) - 16-bit random-hyperplane LSH bucket of a 64-dim float vector"),
+      (es: Seq[Expression]) => RhpSignature(es.head, 64, 16)))
+  }
+}
+
+object GraftExtensions {
+  /** Convenience builder for a fully-wired session. */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}

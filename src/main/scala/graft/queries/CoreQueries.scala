@@ -321,6 +321,78 @@ object CoreQueries extends QueryPack {
       .orderBy("hour", "event_type")
   }
 
+  // W2 — analytic windows beyond the reference's row_number (SURVEY
+  // §2.5 "available in Spark when needed"): lag/lead + running frame.
+  q("w2_lag_lead_frame",
+    s"""SELECT event_id, user_id,
+       |  lag(value) OVER w AS prev_value,
+       |  lead(value) OVER w AS next_value,
+       |  ${sqlR4("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_sum
+       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        lag("value", 1).over(w).as("prev_value"),
+        lead("value", 1).over(w).as("next_value"),
+        r4(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_sum"))
+      .orderBy("event_id")
+  }
+
+  // W3 — ranking family: rank/dense_rank over a metric per group.
+  q("w3_rank",
+    """SELECT event_id, event_type,
+      |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .orderBy("event_id")
+  }
+
+  // A9b — ROLLUP subtotals (beyond the reference surface; Catalyst
+  // expands to grouping sets in one pass).
+  q("a9_rollup",
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderpriority,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY ROLLUP(1, 2)
+      |ORDER BY o_year NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .rollup(year(col("o_orderdate")).as("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
+  // Set ops (SURVEY §2.7): INTERSECT twin of set_except.
+  q("set_intersect",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey")).distinct()
+      .intersect(Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy("nationkey")
+  }
+
+  // A6b — the 100TB-scale distinct-count variant: HLL++ sketch
+  // (approx_count_distinct). Sketch internals differ per engine →
+  // rows-only check; the spec suite bounds its error vs exact.
+  q("a6_approx_distinct", null) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(approx_count_distinct("o_custkey").as("approx_customers"))
+      .orderBy("o_orderpriority")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",

@@ -77,3 +77,21 @@ class ExpressionsSpec extends SparkSpec {
     assert(r == 11.0)
   }
 }
+
+/** The SparkSessionExtensions path: TestSpark builds its session with
+  * `.withExtensions(new GraftExtensions)`, so the SQL functions must
+  * resolve without any explicit registerAll call.
+  */
+class ExtensionsSpec extends graft.SparkSpec {
+  test("extension-injected SQL functions resolve") {
+    val r = spark.sql(
+      """SELECT
+        |  simhash64(array('a','b')) AS sh,
+        |  token_ngrams(array('a','b','c','d')) AS ng,
+        |  rhp_signature64(array_repeat(CAST(0.5 AS FLOAT), 64)) AS bucket
+        |""".stripMargin).head()
+    assert(!r.isNullAt(0))
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(r.getLong(2) >= 0L)
+  }
+}

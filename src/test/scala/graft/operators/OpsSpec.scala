@@ -159,3 +159,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.select("frame_idx").as[Int].collect().toSeq == Seq(0, 3, 6))
   }
 }
+
+class ApproxDistinctSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("approx_count_distinct stays within HLL++ error bounds vs exact") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => i % 3777).toDF("k")
+    val (exact, approx) = df
+      .agg(countDistinct($"k"), approx_count_distinct($"k", 0.02))
+      .as[(Long, Long)].head()
+    assert(exact == 3777)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+}
