@@ -74,4 +74,96 @@ object RelationalOps {
     */
   def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
     df.orderBy(order: _*).limit(k)
+
+  /** As-of join: for each left row, the latest right row with
+    * `rightTime <= leftTime` on the same key (nulls when none).
+    *
+    * Spark has no native as-of join; rather than a custom SparkPlan,
+    * this composes as the union-and-carry-forward trick: tag both
+    * sides, sort within key by (time, tag, seq) and carry the right
+    * payload forward with `last(_, ignoreNulls)` over an unbounded
+    * preceding frame — ONE shuffle on the key, no range-join
+    * explosion. Ties at equal time: right rows sort before left
+    * ("at or before"), multiple right rows at one time resolve to the
+    * highest `rightSeq` (deterministic).
+    *
+    * At scale this is the canonical shape: a sort within key
+    * partitions, linear scan, no per-row probing.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               rightSeq: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__tag", lit(1)).withColumn("__seq", lit(Long.MaxValue))
+    val lAligned = payload.foldLeft(l)((d, p) =>
+      d.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType)))
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime).cast("timestamp"))
+      .withColumn("__tag", lit(0)).withColumn("__seq", col(rightSeq).cast("long"))
+    val rAligned = payload.foldLeft(r)((d, p) => d.withColumn(s"__p_$p", col(p)))
+    val cols = Seq("__k", "__t", "__tag", "__seq") ++ payload.map(p => s"__p_$p")
+    val lSel = lAligned.select((cols ++ leftCols).map(col): _*)
+    val rSel = rAligned.select(cols.map(col) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = lSel.union(rSel)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__tag").asc, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned)((d, p) =>
+      d.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w)))
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(p)): _*)
+  }
+
+  /** Skew-safe two-phase aggregation: spread each hot key over
+    * `salts` partial groups (map-side combine already bounds this,
+    * but for HIGH-cardinality aggregation states — collect_set,
+    * percentile sketches — the salted partial keeps any single
+    * reducer's state bounded), then merge. Caller supplies both the
+    * partial and merge aggregates.
+    */
+  def saltedAgg(df: DataFrame, key: String, salts: Int)(
+      partial: Seq[Column], merge: Seq[Column]): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .groupBy(col(key), col("__salt")).agg(partial.head, partial.tail: _*)
+      .groupBy(col(key)).agg(merge.head, merge.tail: _*)
+
+  /** Connected components by iterative min-label propagation — the
+    * transitive-closure step a dedup pipeline runs on its near-dup
+    * pair graph to form duplicate CLUSTERS (keep one doc per
+    * component). Deterministic: every node ends up labeled with the
+    * smallest id reachable from it.
+    *
+    * Each iteration is one join+groupBy (distributed); the driver only
+    * checks convergence counts. Iterations ≤ graph diameter — near-dup
+    * graphs are shallow; `maxIter` bounds pathological chains.
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .cache()
+      next.count() // materialize before comparing
+      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
 }

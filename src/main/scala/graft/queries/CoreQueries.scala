@@ -393,6 +393,69 @@ object CoreQueries extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  // J5 — as-of join (engine extra; the classic event-to-dimension-
+  // history op): each event picks the customer's latest order at or
+  // before the event time. One shuffle (union + carry-forward), no
+  // range explosion; oracle = correlated latest-row subquery.
+  q("j5_asof_join",
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT o_orderkey FROM orders
+      |   WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+      |   ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS last_orderkey,
+      |  (SELECT o_orderdate FROM orders
+      |   WHERE o_custkey = e.user_id AND o_orderdate <= e.ts
+      |   ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS last_orderdate
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("last_orderkey", col("o_orderkey"))
+      .withColumn("last_orderdate", col("o_orderdate"))
+    RelationalOps.asofJoin(ev, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", rightSeq = "o_orderkey",
+        payload = Seq("last_orderkey", "last_orderdate"))
+      .select("event_id", "user_id", "last_orderkey", "last_orderdate")
+      .orderBy("event_id")
+  }
+
+  // W4 — sessionization (gap > 30 min starts a new session): the
+  // canonical event-stream composite of lag + conditional + running
+  // sum + re-aggregation.
+  q("w4_sessionize",
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, CAST(sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM g)
+      |SELECT user_id, session_seq, count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY 1, 2
+      |ORDER BY user_id, session_seq""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("new_s",
+        when(lag("ts", 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum("new_s").over(wRun).cast("long"))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.DetRound.{r4, sqlR4}
-import graft.operators.DedupOps
+import graft.operators.{DedupOps, RelationalOps}
 
 /** Text-analysis + dedup query surface over the `documents` table
   * (driver mandate: training-data pipeline operators as first-class
@@ -118,6 +118,46 @@ object TextQueries extends QueryPack {
         "doc_id", "text", n = 3, minSim = 0.2)
       .withColumn("jaccard", r4(col("jaccard")))
       .orderBy("id_a", "id_b")
+  }
+
+  // Duplicate clustering: connected components over the near-dup pair
+  // graph (keep-one-per-cluster is the final step of every dedup
+  // pipeline). Spark: iterative min-label propagation; oracle: a
+  // recursive-CTE transitive closure over the same exact pair set.
+  q("dd_clusters",
+    s"""WITH RECURSIVE toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ngr AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [] END) AS ng
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ng FROM ngr),
+      |ex AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM shared
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE shared / (sa.n_ng + sb.n_ng - shared) >= 0.2),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id)
+      |SELECT id AS doc_id, min(r) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.2)
+    RelationalOps.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      .orderBy("doc_id")
   }
 
   // MinHash+LSH near-dup candidates, exact-verified (deterministic but

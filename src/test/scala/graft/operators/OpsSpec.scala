@@ -173,3 +173,63 @@ class ApproxDistinctSpec extends graft.SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05)
   }
 }
+
+class AsofJoinSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import java.sql.Timestamp
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: latest right row at-or-before, ties resolved by seq") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:00:00")),
+      (2L, 10L, ts("2024-01-01 09:00:00")), // before any right row
+      (3L, 20L, ts("2024-01-01 10:00:00"))  // exactly at a right time
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 100L, "a"),
+      (10L, ts("2024-01-01 11:00:00"), 101L, "b"),
+      (20L, ts("2024-01-01 10:00:00"), 200L, "c"),
+      (20L, ts("2024-01-01 10:00:00"), 201L, "d") // same time, higher seq wins
+    ).toDF("k2", "t2", "seq", "payload")
+    val out = RelationalOps.asofJoin(left, right,
+      leftKey = "k", rightKey = "k2", leftTime = "t", rightTime = "t2",
+      rightSeq = "seq", payload = Seq("payload"))
+      .orderBy("event_id").select("event_id", "payload").as[(Long, Option[String])]
+    assert(out.collect().toSeq == Seq(
+      (1L, Some("b")),   // latest before 12:00 is 11:00/"b"
+      (2L, None),        // nothing at or before 09:00
+      (3L, Some("d")))) // tie at 10:00 → highest seq
+  }
+}
+
+class ConnectedComponentsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents: chains collapse to min label; singletons keep own id") {
+    val nodes = (0L to 6L).toDF("id")
+    // chain 0-1-2-3, pair 4-5, singleton 6
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val out = RelationalOps.connectedComponents(nodes, "id", pairs, "a", "b")
+      .orderBy("id").select("cluster_id").as[Long].collect().toSeq
+    assert(out == Seq(0L, 0L, 0L, 0L, 4L, 4L, 6L))
+  }
+}
+
+class SaltedAggSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("saltedAgg(sum/count) equals direct aggregation") {
+    val df = (1 to 10000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toLong))
+      .toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    val salted = RelationalOps.saltedAgg(df, "k", salts = 16)(
+      Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+      Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .orderBy("k").as[(String, Long, Long)].collect().toSeq
+    assert(salted == direct)
+  }
+}
