@@ -456,6 +456,35 @@ object CoreQueries extends QueryPack {
       .orderBy("user_id", "session_seq")
   }
 
+  // A11 — exact percentiles (engine extra): both engines sort the
+  // group and linearly interpolate; integer-valued quantities keep the
+  // arithmetic exact.
+  q("a11_percentiles",
+    s"""SELECT l_returnflag,
+       |  ${sqlR4("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+       |  ${sqlR4("quantile_cont(l_quantity, 0.9)")} AS p90_qty,
+       |  ${sqlR4("quantile_cont(l_extendedprice, 0.5)")} AS p50_price
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+        r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // A11b — the sketch variant for 100TB (t-digest-style bounded
+  // memory): approx_percentile; rows-only (sketch internals differ).
+  q("a11_approx_percentiles", null) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx_q"))
+      .orderBy("l_returnflag")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",

@@ -80,6 +80,35 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // TF-IDF term scoring: term frequency within doc × inverse document
+  // frequency across the corpus — the classic text-weighting composite
+  // (explode → two aggregations → join). ln() is libm on both engines;
+  // the deterministic-rounding epsilon absorbs any last-ulp variance.
+  q("tx_tfidf",
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tfc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+       |df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT doc_id, term, tf,
+       |  ${sqlR4("tf * ln(CAST(n_docs AS DOUBLE) / df)")} AS tfidf
+       |FROM tfc JOIN df USING (term) CROSS JOIN n
+       |WHERE term IN ('spark', 'vector', 'dup')
+       |ORDER BY doc_id, term""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(df, "term").join(broadcast(nDocs))
+      .filter(col("term").isin("spark", "vector", "dup"))
+      .select(col("doc_id"), col("term"), col("tf"),
+        r4(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
   // Exact dedup by content digest (SURVEY-mandated exact hash dedup).
   q("dd_exact",
     """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,

@@ -12,6 +12,8 @@ object TestSpark {
       .master("local[4]")
       .appName("graft-tests")
       .withExtensions(new GraftExtensions) // dogfood the extension wiring
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
