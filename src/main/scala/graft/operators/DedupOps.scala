@@ -46,8 +46,11 @@ object DedupOps {
                         maxPosting: Option[Int] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
       TextFunctions.shingleSet(col(textCol), n).as("ng"))
-    val sizes = sh.select(col("doc_id"), size(col("ng")).cast("long").as("n_ng"))
-    val posting0 = sh.select(col("doc_id"), explode(col("ng")).as("g"))
+    // each posting row carries its doc's set size, so the pair
+    // aggregation below needs NO extra joins back to a sizes table
+    // (two fewer shuffles; n_ng is constant within a pair group).
+    val posting0 = sh.select(col("doc_id"),
+      size(col("ng")).cast("long").as("n_ng"), explode(col("ng")).as("g"))
     val posting = maxPosting match {
       case Some(cap) =>
         // drop shingles appearing in more than `cap` docs (skew guard)
@@ -55,14 +58,12 @@ object DedupOps {
         posting0.join(freq, "g")
       case None => posting0
     }
-    val shared = posting.as("a")
+    posting.as("a")
       .join(posting.as("b"),
         col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_ng", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_ng", "n_b"), "id_b")
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n_ng")).as("n_a"), max(col("b.n_ng")).as("n_b"))
       .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= minSim)
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")

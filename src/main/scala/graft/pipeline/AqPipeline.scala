@@ -81,6 +81,38 @@ object AqPipeline {
       col("longitude").cast("double"))
       .dropDuplicates("location_id")
 
+  /** S3-shape ingestion of the nested locations dimension: read the
+    * API-shaped JSON (explicit nested schema), explode `sensors[]`,
+    * and build the sensor_id → location-metadata lookup the Lambda
+    * builds as a dict (`extract_api.py:374-422`) — relationally, so it
+    * broadcasts instead of living in driver memory.
+    */
+  def sensorLookup(locations: DataFrame): DataFrame =
+    locations.select(
+      col("id").as("location_id"),
+      col("name").as("location_name"),
+      col("locality"),
+      col("timezone"),
+      col("country.code").as("country"),
+      col("coordinates.latitude").as("latitude"),
+      col("coordinates.longitude").as("longitude"),
+      explode(col("sensors")).as("sensor"))
+      .select(col("sensor.id").as("sensor_id"),
+        col("sensor.parameter.name").as("parameter"),
+        col("location_id"), col("location_name"), col("locality"),
+        col("timezone"), col("country"), col("latitude"), col("longitude"))
+
+  /** F8 — the reference's static LOCATION_CITY_MAP override
+    * (`extract_api.py:355-372`): city = locality, else the per-location
+    * override, else "Unknown". The map rides along as a broadcast-able
+    * literal (`typedlit`), not a driver-side dict.
+    */
+  def cityWithOverride(cityMap: Map[Long, String]): org.apache.spark.sql.Column =
+    coalesce(
+      col("locality"),
+      element_at(typedlit(cityMap), col("location_id")),
+      lit("Unknown"))
+
   /** J1 + P8 — broadcast-enrich facts with the location dim, then
     * default-fill (`process_openaq_raw.py:188-198`).
     */

@@ -129,3 +129,73 @@ class AqPipelineSpec extends SparkSpec {
     assert(df.collect().forall(_.isNullAt(0)))
   }
 }
+
+/** Nested-dimension ingestion (FIXTURES §2) + the city-override
+  * lookup, and the reference's data-quality invariant suite
+  * (tests/test_glue_transformation.py) applied to our mart.
+  */
+class AqDimensionSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val locJson =
+    """{"id": 18, "name": "SPARTAN", "locality": null, "timezone": "Asia/Bangkok",
+      | "country": {"id": 56, "code": "VN", "name": "Vietnam"},
+      | "isMobile": false, "isMonitor": true,
+      | "sensors": [
+      |   {"id": 37, "name": "pm25", "parameter": {"id": 2, "name": "pm25", "units": "ug/m3", "displayName": "PM2.5"}},
+      |   {"id": 38, "name": "pm10", "parameter": {"id": 3, "name": "pm10", "units": "ug/m3", "displayName": "PM10"}}],
+      | "coordinates": {"latitude": 21.048, "longitude": 105.8},
+      | "datetimeLast": {"utc": "2026-01-01T00:00:00Z", "local": "2026-01-01T07:00:00+07:00"}}
+      |""".stripMargin.replaceAll("\n", "")
+
+  private def locations = spark.read.schema(AqSchemas.location)
+    .json(spark.createDataset(Seq(locJson)))
+
+  test("sensorLookup explodes sensors[] into a flat broadcastable dim") {
+    val dim = AqPipeline.sensorLookup(locations)
+    assert(dim.count() == 2)
+    val r = dim.filter($"sensor_id" === 38).head()
+    assert(r.getAs[String]("parameter") == "pm10")
+    assert(r.getAs[Long]("location_id") == 18L)
+    assert(r.getAs[String]("country") == "VN")
+  }
+
+  test("cityWithOverride: locality > static map > Unknown") {
+    val dim = AqPipeline.sensorLookup(locations)
+      .withColumn("city", AqPipeline.cityWithOverride(Map(18L -> "Hanoi")))
+    assert(dim.select("city").head().getString(0) == "Hanoi") // locality null → map
+    val noMap = AqPipeline.sensorLookup(locations)
+      .withColumn("city", AqPipeline.cityWithOverride(Map.empty))
+    assert(noMap.select("city").head().getString(0) == "Unknown")
+  }
+}
+
+class MartInvariantsSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  // the reference's own data-quality suite, applied to the mart our
+  // pipeline produces from the synthetic events flow (pipe_mart)
+  private lazy val mart =
+    graft.queries.PipelineQueries.martPipeline(spark, "/root/testdata/sf0.001").cache()
+
+  test("invariant: unique (user, hour) keys") {
+    assert(mart.groupBy("user_id", "hour").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("invariant: no nulls in critical columns") {
+    assert(mart.filter(col("user_id").isNull || col("hour").isNull ||
+      col("user_name").isNull || col("segment").isNull).count() == 0)
+  }
+
+  test("invariant: pivoted values non-negative where present") {
+    val anyNeg = graft.queries.PipelineQueries.eventTypes
+      .map(c => col(c) < 0).reduce(_ || _)
+    assert(mart.filter(anyNeg).count() == 0)
+  }
+
+  test("invariant: metadata consistent per user") {
+    assert(mart.select("user_id", "user_name", "segment").distinct()
+      .groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+  }
+}
