@@ -199,3 +199,26 @@ class MartInvariantsSpec extends graft.SparkSpec {
       .groupBy("user_id").count().filter(col("count") > 1).count() == 0)
   }
 }
+
+class PipelineMetricsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("observe-based telemetry: stage counts without extra jobs") {
+    val listener = PipelineMetrics.attach(spark)
+    try {
+      val df = Seq((1, Some("a")), (2, None), (3, Some("c")))
+        .toDF("id", "v")
+      val staged = PipelineMetrics.observed(df, "stage_raw", nullCols = Seq("v"))
+        .filter($"id" > 0)
+      staged.write.format("noop").mode("overwrite").save() // ONE action
+      // listener callbacks are async — wait briefly
+      var tries = 0
+      while (!listener.collected.contains("stage_raw") && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val m = listener.collected("stage_raw")
+      assert(m("rows") == 3L)
+      assert(m("null_v") == 1L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+}

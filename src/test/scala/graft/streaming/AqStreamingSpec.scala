@@ -34,3 +34,47 @@ class AqStreamingSpec extends SparkSpec {
     assert(out.schema.fieldNames.contains("pm25"))
   }
 }
+
+/** Stateful sessionization e2e: two micro-batches (maxFilesPerTrigger
+  * = 1); the 2h gap in batch 2 closes batch 1's session, which must be
+  * emitted with its aggregates.
+  */
+class SessionizeStreamSpec extends graft.SparkSpec {
+  import java.nio.file.Files
+
+  test("flatMapGroupsWithState closes sessions on gap across micro-batches") {
+    val dir = Files.createTempDirectory("sess_raw")
+    val out = Files.createTempDirectory("sess_out").toString
+    val ckpt = Files.createTempDirectory("sess_ckpt").toString
+    def rec(ts: String, v: Double) =
+      s"""{"user_id": 1, "ts": "$ts", "value": $v}"""
+    Files.writeString(dir.resolve("f1.json"), Seq(
+      rec("2024-01-01T10:00:00.000Z", 1.0),
+      rec("2024-01-01T10:10:00.000Z", 2.0),
+      rec("2024-01-01T10:20:00.000Z", 3.0)).mkString("\n"))
+    Files.writeString(dir.resolve("f2.json"), Seq(
+      rec("2024-01-01T13:00:00.000Z", 9.0)).mkString("\n"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val q = Sessionize.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val sessions = spark.read.parquet(out).collect()
+    assert(sessions.length == 1, s"expected the closed first session, got ${sessions.toSeq}")
+    val s = sessions.head
+    assert(s.getAs[Long]("n_events") == 3L)
+    assert(s.getAs[Double]("total_value") == 6.0)
+    assert(s.getAs[java.sql.Timestamp]("session_start").toInstant.toString
+      == "2024-01-01T10:00:00Z")
+  }
+}
