@@ -109,6 +109,44 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "term")
   }
 
+  // Deterministic content-hash train/test split (the reproducible
+  // alternative to rand() sampling — split survives re-runs, joins,
+  // and engine changes because it keys on content, not randomness):
+  // first hex nibble of md5(text) buckets into 16 cells, 12/16 train.
+  q("tx_train_test_split",
+    """SELECT doc_id,
+      |  CASE WHEN substr(md5(text), 1, 1) IN
+      |    ('0','1','2','3','4','5','6','7','8','9','a','b')
+      |  THEN 'train' ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        when(substring(md5(col("text").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"),
+          lit("train")).otherwise(lit("test")).as("split"))
+      .orderBy("doc_id")
+  }
+
+  // Stratified per-class sampling: top-k docs per language by a
+  // deterministic content-hash order (reproducible downsampling for
+  // class balancing).
+  q("tx_stratified_sample",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (
+      |    PARTITION BY lang ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 20
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
   // Exact dedup by content digest (SURVEY-mandated exact hash dedup).
   q("dd_exact",
     """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
