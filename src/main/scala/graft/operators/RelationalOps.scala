@@ -143,27 +143,35 @@ object RelationalOps {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
       .cache()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
-    var changed = 1L
+    // labels only ever decrease, so their (overflow-safe) sum strictly
+    // decreases while anything changes — convergence is ONE scalar
+    // aggregate per iteration, not a self-join diff
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .cache()
-      next.count() // materialize before comparing
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 }
