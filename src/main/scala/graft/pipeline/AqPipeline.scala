@@ -35,6 +35,24 @@ object AqPipeline {
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
       .json(path)
 
+  /** S1 variant with quarantine: PERMISSIVE parse keeps malformed
+    * lines in a `_corrupt_record` column instead of failing the job —
+    * `good` flows on, `bad` is preserved for reprocessing (the ops
+    * answer to a poison NDJSON line in a 100 TB landing zone).
+    */
+  def readRawQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val schema = AqSchemas.rawMeasurement.add("_corrupt_record", "string")
+    val df = spark.read.schema(schema)
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // corrupt-record splits must come from one parse pass
+    val good = df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = df.filter(col("_corrupt_record").isNotNull).select("_corrupt_record")
+    (good, bad)
+  }
+
   /** F1-F3 — ISO-8601+offset → UTC timestamp; derive zero-padded
     * partition columns (`process_openaq_raw.py:118-127`). Unparseable
     * datetimes become null and are dropped (P9, `openaq_etl.py:293-297`).

@@ -1,0 +1,28 @@
+package graft.io
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compact: many small files -> few files, identical content, layout kept") {
+    val path = Files.createTempDirectory("compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"p${i % 2}", i * 1.5)).toDF("id", "part", "v")
+    // simulate the reference's incremental small-file writes
+    df.repartition(40).write.partitionBy("part").parquet(path)
+    val before = Maintenance.dataFiles(path).length
+    assert(before >= 60, s"expected many small files, got $before")
+    val sumBefore = spark.read.parquet(path).agg(sum("id")).head().getLong(0)
+
+    Maintenance.compact(spark, path, Seq("part"), targetBytes = 512L * 1024 * 1024)
+
+    val after = Maintenance.dataFiles(path).length
+    assert(after <= 2, s"expected ~1 file per partition, got $after")
+    val re = spark.read.parquet(path)
+    assert(re.agg(sum("id")).head().getLong(0) == sumBefore)
+    assert(re.select("part").distinct().count() == 2) // partition col survives
+    assert(new java.io.File(path + "/part=p0").isDirectory)
+  }
+}

@@ -222,3 +222,18 @@ class PipelineMetricsSpec extends graft.SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 }
+
+class QuarantineSpec extends graft.SparkSpec {
+  test("PERMISSIVE quarantine: corrupt NDJSON lines split out, good rows flow") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("quarantine")
+    val good =
+      """{"location_id": 1, "sensor_id": 2, "datetime": "2024-01-15T10:00:00+07:00", "parameter": "pm25", "value": 1.5, "unit": "u", "extracted_at": "x", "location_name": "n", "city": "c", "timezone": "tz", "country": "VN", "latitude": 1.0, "longitude": 2.0}"""
+    Files.writeString(dir.resolve("f.json"),
+      Seq(good, """{"location_id": BROKEN!!!""", good).mkString("\n"))
+    val (g, b) = AqPipeline.readRawQuarantine(spark, dir.toString)
+    assert(g.count() == 2)
+    assert(b.count() == 1)
+    assert(b.head().getString(0).contains("BROKEN"))
+  }
+}

@@ -78,3 +78,42 @@ class SessionizeStreamSpec extends graft.SparkSpec {
       == "2024-01-01T10:00:00Z")
   }
 }
+
+/** Stream ≡ batch: the hourly aggregation computed over the real
+  * sf0.001 events table via readStream (file-source micro-batches)
+  * must equal the batch t1_tumbling_hourly result exactly.
+  */
+class StreamBatchEquivalenceSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("streaming hourly counts equal batch hourly counts") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.Tables.load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file-source streams need a directory: stage the table file
+    val staged = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+    val q = stream.writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly_stream")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
