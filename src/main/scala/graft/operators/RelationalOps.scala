@@ -42,12 +42,19 @@ object RelationalOps {
     * the extra distinct-scan job and keeps the output schema stable).
     * `avg` absorbs residual duplicates exactly like the reference's
     * `mean`.
+    *
+    * NOT `Dataset.pivot`: Spark plans pivot as TWO aggregates (pre-agg
+    * per (group, pivotVal) then pivot-agg per group) — two shuffles.
+    * With a pinned domain the same result is ONE conditional
+    * aggregation (`avg(when(pivotCol = v, value))` per v): one
+    * map-side-combined shuffle, half the exchange volume at scale.
     */
   def pivotAvg(df: DataFrame, groupCols: Seq[String], pivotCol: String,
-               pivotValues: Seq[String], valueCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
-      .pivot(pivotCol, pivotValues)
-      .agg(avg(col(valueCol)))
+               pivotValues: Seq[String], valueCol: String): DataFrame = {
+    val aggs = pivotValues.map(v =>
+      avg(when(col(pivotCol) === v, col(valueCol))).as(v))
+    df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 
   /** J1/J2 — enrich facts with a small dimension via broadcast hash join
     * (`process_openaq_raw.py:188-192`). The dim is deduplicated first so

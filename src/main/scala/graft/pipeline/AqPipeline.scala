@@ -79,12 +79,14 @@ object AqPipeline {
 
   /** A1 — long→wide pivot with the pinned pollutant list; `avg`
     * absorbs residual duplicates exactly like the reference
-    * (`process_openaq_raw.py:151-159`).
+    * (`process_openaq_raw.py:151-159`). Single conditional-aggregation
+    * pass (one shuffle), not Dataset.pivot's two (see
+    * [[graft.operators.RelationalOps.pivotAvg]]).
     */
   def pivotParameters(df: DataFrame): DataFrame =
-    df.groupBy("location_id", "datetime", "year", "month", "day")
-      .pivot("parameter", AqSchemas.parameters)
-      .agg(avg("value"))
+    graft.operators.RelationalOps.pivotAvg(df,
+      Seq("location_id", "datetime", "year", "month", "day"),
+      "parameter", AqSchemas.parameters, "value")
 
   /** P1/P7 — per-location metadata dimension from the same raw scan
     * (`process_openaq_raw.py:179-185`): select+cast+rename, one row

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** The scale claims as regression tests, not documentation: filters
+  * push to the parquet scans, dims broadcast, top-k never global-sorts,
+  * the pipeline doesn't multiply exchanges. Runs against sf0.001 (plan
+  * shapes are scale-invariant pre-AQE).
+  */
+class PlanShapeSpec extends SparkSpec {
+  // sf0.01, NOT sf0.001: MartInvariantsSpec caches the sf0.001 mart,
+  // and a matching plan would resolve to InMemoryRelation here, hiding
+  // the join/exchange operators these tests assert on.
+  private val dir = "/root/testdata/sf0.01"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    // unwrap AQE wrapper so we see the real operators
+    val roots = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val scan = if (roots.isEmpty) Seq(p) else roots
+    scan.flatMap(_.collect(pf))
+  }
+
+  private def planString(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("a1_groupby_agg: shipdate filter is pushed to the parquet scan") {
+    val s = planString("a1_groupby_agg")
+    assert(s.contains("PushedFilters") && s.contains("LessThanOrEqual(l_shipdate"),
+      s"expected pushed shipdate filter in:\n$s")
+  }
+
+  test("p1_select_cast_filter: range predicates pushed, schema pruned") {
+    val s = planString("p1_select_cast_filter")
+    assert(s.contains("GreaterThanOrEqual(l_discount,0.05)"))
+    assert(!s.contains("l_returnflag"), "untouched columns must not be read")
+  }
+
+  test("j1_join_groupby: all three dims join as broadcast hash joins") {
+    val joins = collectAll(plan("j1_join_groupby")) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(joins.size >= 3, s"expected >=3 broadcast joins, got ${joins.size}")
+  }
+
+  test("o2_topk: TakeOrderedAndProject, no global Sort") {
+    val s = planString("o2_topk")
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$s")
+  }
+
+  test("pipe_mart: bounded exchange count (dedup+pivot+join+sort)") {
+    val exchanges = collectAll(plan("pipe_mart")) {
+      case e: ShuffleExchangeExec => e
+    }
+    // dedup window (user_id,ts) + single-pass pivot (user_id,hour) +
+    // dim dedup + final orderBy; the dim join must broadcast
+    assert(exchanges.size <= 4, s"pipe_mart grew extra shuffles: ${exchanges.size}")
+    val bcasts = collectAll(plan("pipe_mart")) { case b: BroadcastHashJoinExec => b }
+    assert(bcasts.nonEmpty, "dim enrichment must broadcast")
+  }
+
+  test("ann_bruteforce_topk: query side broadcasts; FloatVecDot in plan") {
+    val p = plan("ann_bruteforce_topk")
+    val bcasts = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    val s = p.toString
+    assert(s.contains("float_vec_dot") || s.contains("FloatVecDot") ||
+      bcasts.nonEmpty || s.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast + native dot in:\n$s")
+  }
+}
