@@ -485,6 +485,37 @@ object CoreQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // P12 — IN-subquery membership (planned as a semi join).
+  q("p12_in_subquery",
+    """SELECT o_orderstatus, count(*) AS n
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'FURNITURE')
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'FURNITURE')
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  // F14 — schema-full JSON parsing (from_json into a struct, not
+  // per-path string extraction).
+  q("f14_from_json_struct",
+    """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .withColumn("p", from_json(col("props"), lit("k LONG")))
+      .groupBy((col("p.k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("k_mod")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",
