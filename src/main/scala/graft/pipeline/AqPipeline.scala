@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Aqi
@@ -34,6 +34,16 @@ object AqPipeline {
     spark.read.schema(AqSchemas.rawMeasurement)
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
       .json(path)
+
+  /** Typed view of the raw layer (SURVEY §1.4): `Dataset[Measurement]`
+    * for callers that want compile-time field checks on the canonical
+    * record.
+    */
+  def typedMeasurements(raw: DataFrame): Dataset[AqSchemas.Measurement] = {
+    implicit val enc: org.apache.spark.sql.Encoder[AqSchemas.Measurement] =
+      org.apache.spark.sql.Encoders.product[AqSchemas.Measurement]
+    raw.as[AqSchemas.Measurement]
+  }
 
   /** S1 variant with quarantine: PERMISSIVE parse keeps malformed
     * lines in a `_corrupt_record` column instead of failing the job —

@@ -8,6 +8,19 @@ import org.apache.spark.sql.types._
   */
 object AqSchemas {
 
+  /** Canonical long-format record as a case class (SURVEY §1.4):
+    * the typed `Dataset[Measurement]` surface for the ingest layer —
+    * compile-time field checks where the schema is static.
+    */
+  case class Measurement(
+      location_id: Option[Long], sensor_id: Option[Long],
+      datetime: Option[String], parameter: Option[String],
+      value: Option[Double], unit: Option[String],
+      extracted_at: Option[String], location_name: Option[String],
+      city: Option[String], timezone: Option[String],
+      country: Option[String], latitude: Option[Double],
+      longitude: Option[Double])
+
   /** Canonical long-format measurement record as landed in NDJSON
     * (FIXTURES.md §1; reference fields built at
     * `extract_api.py:249-255,311-318,412-421`).

@@ -233,3 +233,24 @@ class SaltedAggSpec extends graft.SparkSpec {
     assert(salted == direct)
   }
 }
+
+class BinaryFileSourceSpec extends graft.SparkSpec {
+  import graft.multimodal.Multimodal
+  import org.apache.spark.sql.functions._
+
+  test("binaryFile source feeds the multimodal decode path") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("media")
+    Files.write(dir.resolve("img_1.bin"), Array.fill[Byte](640)(7))
+    Files.write(dir.resolve("img_2.bin"), Array.fill[Byte](100)(9))
+
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "img_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("content").as("payload"))
+    val meta = Multimodal.decodeMeta(spark, media).collect().sortBy(_.doc_id)
+    assert(meta.map(_.n_bytes).toSeq == Seq(640L, 100L))
+    assert(meta.head.width == 0) // 640 % 640
+    assert(meta(1).width == 100)
+  }
+}

@@ -237,3 +237,41 @@ class QuarantineSpec extends graft.SparkSpec {
     assert(b.head().getString(0).contains("BROKEN"))
   }
 }
+
+class TypedAndPruningSpec extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private val rec =
+    """{"location_id": 18, "sensor_id": 37, "datetime": "2024-01-15T10:00:00+07:00", "parameter": "pm25", "value": 45.5, "unit": "u", "extracted_at": "e", "location_name": "n", "city": "c", "timezone": "tz", "country": "VN", "latitude": 1.0, "longitude": 2.0}"""
+
+  test("typed Dataset[Measurement] surface (SURVEY §1.4)") {
+    import spark.implicits._
+    val raw = spark.read.schema(AqSchemas.rawMeasurement)
+      .json(spark.createDataset(Seq(rec)))
+    val ds = AqPipeline.typedMeasurements(raw)
+    val m = ds.head()
+    assert(m.parameter.contains("pm25") && m.value.contains(45.5))
+    // typed filter still compiles down to the same relational plan
+    assert(ds.filter(_.country.contains("VN")).count() == 1)
+  }
+
+  test("P11: year/month predicates prune hive partitions at the file level") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("prune").toString
+    val recs = (1 to 3).map(m => rec.replace("2024-01-15", f"2024-0$m%d-15"))
+    val raw = spark.read.schema(AqSchemas.rawMeasurement)
+      .json(spark.createDataset(recs)(org.apache.spark.sql.Encoders.STRING))
+    AqPipeline.writeMart(AqPipeline.transform(raw), out)
+    AqPipeline.registerMart(spark, out, "prune_mart")
+
+    val pruned = spark.table("prune_mart").filter(col("month") === "02")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.relation.location.inputFiles.length == 3, "3 month partitions on disk")
+    assert(scan.metadata("PartitionFilters").contains("month"),
+      s"partition filter missing: ${scan.metadata("PartitionFilters")}")
+    assert(scan.inputRDDs().head.partitions.length <= 1, "only one partition dir should be read")
+    assert(pruned.count() == 1)
+  }
+}
