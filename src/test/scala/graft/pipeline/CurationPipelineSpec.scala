@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longText =
+    "the quick brown fox jumps over the lazy dog and then runs far away into the hills tonight"
+
+  test("curate: gates, exact dedup, near-dup canonicalization, deterministic split") {
+    val docs = Seq(
+      (0L, longText, "en", "s"),
+      (1L, longText, "en", "s"),                       // exact dup of 0 → dropped
+      (2L, longText.replace("dog", "cat"), "en", "s"), // near-dup of 0 → clustered, dropped
+      (3L, "too short", "en", "s"),                    // quality gate → dropped
+      (4L, "completely different words entirely spoken here today " * 3, "en", "s")
+    ).toDF("doc_id", "text", "lang", "source")
+
+    val out = CurationPipeline.curate(docs,
+      CurationPipeline.Config(minTokens = 5, minQuality = 0.0, nearDupSim = 0.5))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 4L), s"kept $kept")
+
+    // split is a pure function of content → stable across runs
+    val split1 = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    val split2 = CurationPipeline.curate(docs,
+        CurationPipeline.Config(minTokens = 5, minQuality = 0.0, nearDupSim = 0.5))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(split1 == split2)
+  }
+
+  test("audit reports consistent totals") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val curated = CurationPipeline.curate(docs)
+    val a = CurationPipeline.audit(curated).head()
+    assert(a.getAs[Long]("n_docs") ==
+      a.getAs[Long]("n_train") + a.getAs[Long]("n_test"))
+    assert(a.getAs[Long]("n_clusters") == a.getAs[Long]("n_docs"))
+  }
+}
