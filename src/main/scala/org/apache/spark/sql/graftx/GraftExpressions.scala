@@ -63,20 +63,13 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** 64-bit SimHash of an `array<string>` token column in ONE pass:
-  * per-token xxhash64 (seed 42, identical to the builtin), ±1 vote per
-  * bit, sign → bit. Replaces 64 interpreted `aggregate` folds over the
-  * token array with a single native O(tokens × 64) loop.
+/** Static helpers callable from generated Java (Scala objects emit
+  * static forwarders), so the hash expressions participate in
+  * whole-stage codegen as one method call instead of a CodegenFallback
+  * row-materializing eval.
   */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
-
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
-  override def dataType: DataType = LongType
-  override def prettyName: String = "simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+object GraftHashOps {
+  def simHash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0
@@ -97,6 +90,45 @@ case class SimHash64(child: Expression)
     }
     sig
   }
+
+  def rhpSignature(v: ArrayData, planes: Array[Array[Double]], dim: Int): Long = {
+    val n = math.min(dim, v.numElements())
+    var sig = 0L
+    var b = 0
+    while (b < planes.length) {
+      val plane = planes(b)
+      var proj = 0.0
+      var d = 0
+      while (d < n) {
+        proj += v.getFloat(d).toDouble * plane(d)
+        d += 1
+      }
+      if (proj >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** 64-bit SimHash of an `array<string>` token column in ONE pass:
+  * per-token xxhash64 (seed 42, identical to the builtin), ±1 vote per
+  * bit, sign → bit. Replaces 64 interpreted `aggregate` folds over the
+  * token array with a single native O(tokens × 64) loop; generates a
+  * static call so whole-stage codegen keeps flowing.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.simHash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftx.GraftHashOps.simHash64($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -197,7 +229,7 @@ case class TokenNgrams(child: Expression, n: Int)
   * instead of a 512-term codegen expression tree.
   */
 case class RhpSignature(child: Expression, dim: Int, nBits: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
@@ -209,23 +241,13 @@ case class RhpSignature(child: Expression, dim: Int, nBits: Int)
       (x.toDouble / 2147483647.0) * 2 - 1
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, v.numElements())
-    var sig = 0L
-    var b = 0
-    while (b < nBits) {
-      val plane = planes(b)
-      var proj = 0.0
-      var d = 0
-      while (d < n) {
-        proj += v.getFloat(d).toDouble * plane(d)
-        d += 1
-      }
-      if (proj >= 0) sig |= (1L << b)
-      b += 1
-    }
-    sig
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.rhpSignature(input.asInstanceOf[ArrayData], planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftx.GraftHashOps.rhpSignature($c, $planesRef, $dim);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
