@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Aqi {
 
+  type Breakpoints = Seq[(Double, Double, Double, Double)]
+
   /** (concLo, concHi, aqiLo, aqiHi) — PM2.5 µg/m³ 24h breakpoints
     * (plan :42-49).
     */
-  val pm25Breakpoints: Seq[(Double, Double, Double, Double)] = Seq(
+  val pm25Breakpoints: Breakpoints = Seq(
     (0.0, 12.0, 0.0, 50.0),
     (12.1, 35.4, 51.0, 100.0),
     (35.5, 55.4, 101.0, 150.0),
@@ -26,19 +28,77 @@ object Aqi {
     (150.5, 250.4, 201.0, 300.0),
     (250.5, 500.4, 301.0, 500.0))
 
+  /** Published EPA breakpoint tables for the remaining pollutants the
+    * reference pivots (µg/m³ for PM10; ppb for O3-8h/NO2-1h/SO2-1h;
+    * ppm for CO-8h; BC has no EPA index — treated like PM2.5, the
+    * usual practice for black-carbon reporting).
+    */
+  val pm10Breakpoints: Breakpoints = Seq(
+    (0.0, 54.0, 0.0, 50.0),
+    (55.0, 154.0, 51.0, 100.0),
+    (155.0, 254.0, 101.0, 150.0),
+    (255.0, 354.0, 151.0, 200.0),
+    (355.0, 424.0, 201.0, 300.0),
+    (425.0, 604.0, 301.0, 500.0))
+
+  val o3Breakpoints: Breakpoints = Seq(
+    (0.0, 54.0, 0.0, 50.0),
+    (55.0, 70.0, 51.0, 100.0),
+    (71.0, 85.0, 101.0, 150.0),
+    (86.0, 105.0, 151.0, 200.0),
+    (106.0, 200.0, 201.0, 300.0),
+    (201.0, 604.0, 301.0, 500.0))
+
+  val no2Breakpoints: Breakpoints = Seq(
+    (0.0, 53.0, 0.0, 50.0),
+    (54.0, 100.0, 51.0, 100.0),
+    (101.0, 360.0, 101.0, 150.0),
+    (361.0, 649.0, 151.0, 200.0),
+    (650.0, 1249.0, 201.0, 300.0),
+    (1250.0, 2049.0, 301.0, 500.0))
+
+  val so2Breakpoints: Breakpoints = Seq(
+    (0.0, 35.0, 0.0, 50.0),
+    (36.0, 75.0, 51.0, 100.0),
+    (76.0, 185.0, 101.0, 150.0),
+    (186.0, 304.0, 151.0, 200.0),
+    (305.0, 604.0, 201.0, 300.0),
+    (605.0, 1004.0, 301.0, 500.0))
+
+  val coBreakpoints: Breakpoints = Seq(
+    (0.0, 4.4, 0.0, 50.0),
+    (4.5, 9.4, 51.0, 100.0),
+    (9.5, 12.4, 101.0, 150.0),
+    (12.5, 15.4, 151.0, 200.0),
+    (15.5, 30.4, 201.0, 300.0),
+    (30.5, 50.4, 301.0, 500.0))
+
+  val breakpointsByPollutant: Map[String, Breakpoints] = Map(
+    "pm25" -> pm25Breakpoints, "pm10" -> pm10Breakpoints,
+    "o3" -> o3Breakpoints, "no2" -> no2Breakpoints,
+    "so2" -> so2Breakpoints, "co" -> coBreakpoints,
+    "bc" -> pm25Breakpoints)
+
   private def interp(c: Column, lo: Double, hi: Double, alo: Double, ahi: Double): Column =
     lit((ahi - alo) / (hi - lo)) * (c - lit(lo)) + lit(alo)
 
-  /** Piecewise AQI for a pm2.5-like concentration column. */
-  def pm25Aqi(c: Column): Column = {
-    val last = pm25Breakpoints.last
-    val chain = pm25Breakpoints.init.foldRight(
+  /** Piecewise AQI over an arbitrary breakpoint table. */
+  def aqiFor(c: Column, bps: Breakpoints): Column = {
+    val last = bps.last
+    val chain = bps.init.foldRight(
       // above the top range: extrapolate on the last segment, uncapped
       interp(c, last._1, last._2, last._3, last._4)) {
       case ((lo, hi, alo, ahi), tail) => when(c <= hi, interp(c, lo, hi, alo, ahi)).otherwise(tail)
     }
     when(c.isNull || c < 0, lit(null)).otherwise(chain)
   }
+
+  /** Piecewise AQI for a pm2.5-like concentration column. */
+  def pm25Aqi(c: Column): Column = aqiFor(c, pm25Breakpoints)
+
+  /** AQI for a named pollutant using its own EPA table. */
+  def pollutantAqi(name: String, c: Column): Column =
+    aqiFor(c, breakpointsByPollutant.getOrElse(name, pm25Breakpoints))
 
   /** AQI → category label (plan :42-49,64). */
   def aqiLevel(aqi: Column): Column =
@@ -50,14 +110,16 @@ object Aqi {
       .when(aqi <= 300, "Very Unhealthy")
       .otherwise("Hazardous")
 
-  /** Row AQI = max over per-pollutant AQIs (plan :38); null-skipping
-    * via `greatest`.
+  /** Row AQI = max over per-pollutant AQIs computed with each
+    * pollutant's own EPA table (plan :38); null-skipping via
+    * `greatest`.
     */
-  def rowAqi(pollutants: Column*): Column = greatest(pollutants.map(pm25Aqi): _*)
+  def rowAqi(named: (String, Column)*): Column =
+    greatest(named.map { case (n, c) => pollutantAqi(n, c) }: _*)
 
   /** Dominant pollutant = argmax by AQI (plan :63), as a when-chain. */
   def dominantPollutant(named: (String, Column)*): Column = {
-    val aqis = named.map { case (n, c) => n -> pm25Aqi(c) }
+    val aqis = named.map { case (n, c) => n -> pollutantAqi(n, c) }
     val overall = greatest(aqis.map(_._2): _*)
     aqis.foldRight(lit(null).cast("string")) { case ((n, a), tail) =>
       when(a.isNotNull && a === overall, lit(n)).otherwise(tail)

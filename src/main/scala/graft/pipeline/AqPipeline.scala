@@ -157,7 +157,7 @@ object AqPipeline {
   def withAqi(mart: DataFrame): DataFrame = {
     val byPollutant = AqSchemas.parameters.map(p => p -> col(p))
     mart
-      .withColumn("aqi", Aqi.rowAqi(byPollutant.map(_._2): _*))
+      .withColumn("aqi", Aqi.rowAqi(byPollutant: _*))
       .withColumn("aqi_level", Aqi.aqiLevel(col("aqi")))
       .withColumn("dominant_pollutant", Aqi.dominantPollutant(byPollutant: _*))
   }

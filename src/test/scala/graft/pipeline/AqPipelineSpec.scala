@@ -117,7 +117,8 @@ class AqPipelineSpec extends SparkSpec {
     assert(r18.getString(2) == "pm25")
     val r19 = mart.filter($"location_id" === "19")
       .select("aqi", "aqi_level", "dominant_pollutant").head()
-    assert(math.abs(r19.getDouble(0) - (50.0 / 12.0 * 10.0)) < 1e-9)
+    // o3 uses its own EPA table: (50-0)/(54-0)*(10-0)+0
+    assert(math.abs(r19.getDouble(0) - (50.0 / 54.0 * 10.0)) < 1e-9)
     assert(r19.getString(1) == "Good")
     assert(r19.getString(2) == "o3")
   }
