@@ -516,6 +516,21 @@ object CoreQueries extends QueryPack {
       .orderBy("k_mod")
   }
 
+  // W5 — sliding-frame moving average (time-series smoothing).
+  q("w5_moving_avg",
+    s"""SELECT event_id, user_id,
+       |  ${sqlR4("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)")} AS mavg
+       |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"), r4(avg("value").over(w)).as("mavg"))
+      .orderBy("event_id")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",

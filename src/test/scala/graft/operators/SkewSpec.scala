@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** AQE skew handling — the runtime answer to hot keys at 100 TB. With
+  * the skew thresholds lowered to test scale, a 95%-one-key join must
+  * get its skewed partition split by AdaptiveSparkPlan (the plan marks
+  * the sort-merge join `skew=true`).
+  */
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("AQE splits a skewed join partition") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+
+      val facts = (1 to 200000)
+        .map(i => (if (i % 20 != 0) 1L else i.toLong, s"payload_$i"))
+        .toDF("k", "v") // 95% of rows share k=1
+      val dim = (1L to 200000L by 17).map(k => (k, s"d$k")).toDF("k", "d")
+      // no key-preserving operator above the join: requiring the join's
+      // output partitioning (e.g. groupBy("k")) legally disables the
+      // skew split, since splitting would break that distribution
+      val joined = facts.join(dim, "k").select(length(col("v")).as("l"))
+      // drive THIS DataFrame's QueryExecution (write/count would plan
+      // their own), so executedPlan below is the final adaptive plan
+      assert(joined.collect().nonEmpty)
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join split in plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
