@@ -516,6 +516,24 @@ object CoreQueries extends QueryPack {
       .orderBy("k_mod")
   }
 
+  // A1⁻¹ — unpivot (wide→long, the pivot inverse): melting the pinned
+  // pivot back out must equal the direct long-form aggregation.
+  q("a1_unpivot",
+    s"""SELECT user_id, event_type AS param,
+       |  ${sqlR4("avg(value)")} AS value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY user_id, param""".stripMargin) { (s, dir) =>
+    val wide = RelationalOps.pivotAvg(Tables.load(s, dir, "events"),
+      Seq("user_id"), "event_type", PipelineQueries.eventTypes, "value")
+    val rounded = wide.select(col("user_id") +:
+      PipelineQueries.eventTypes.map(c => r4(col(c)).as(c)): _*)
+    rounded.unpivot(Array(col("user_id")),
+        PipelineQueries.eventTypes.map(col).toArray, "param", "value")
+      .filter(col("value").isNotNull)
+      .orderBy("user_id", "param")
+  }
+
   // W5 — sliding-frame moving average (time-series smoothing).
   q("w5_moving_avg",
     s"""SELECT event_id, user_id,
