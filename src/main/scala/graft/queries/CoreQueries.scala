@@ -354,7 +354,9 @@ object CoreQueries extends QueryPack {
     val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
     Tables.load(s, dir, "events")
       .select(col("event_id"), col("event_type"),
-        rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+        // long, matching DuckDB's BIGINT rank outputs
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
       .orderBy("event_id")
   }
 

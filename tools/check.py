@@ -43,6 +43,12 @@ for name, sql in sorted(oracle.items()):
         print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
         fail += 1
         continue
+    # report dtype mismatches (value compare below is dtype-lenient, but
+    # a strict driver compare might not be)
+    for c in sorted(exp.columns):
+        de, dg = str(exp[c].dtype), str(got[c].dtype)
+        if de != dg and not (de.startswith("datetime") and dg.startswith("datetime")):
+            print(f"  warn {name}.{c}: spark dtype {dg} vs oracle {de}")
     # normalize dtypes for comparison (timestamps → ns, numeric exact)
     mismatch = None
     for c in sorted(exp.columns):
