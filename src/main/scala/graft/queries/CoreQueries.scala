@@ -536,6 +536,27 @@ object CoreQueries extends QueryPack {
       .orderBy("user_id", "param")
   }
 
+  // Anomaly detection: per-group z-score outliers (|z| > 2.5). Group
+  // stats once, broadcast back — no per-row window needed.
+  q("ad_zscore_outliers",
+    s"""WITH stats AS (
+       |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+       |  FROM events GROUP BY 1)
+       |SELECT event_id, e.event_type,
+       |  ${sqlR4("(value - mu) / sigma")} AS z
+       |FROM events e JOIN stats USING (event_type)
+       |WHERE abs((value - mu) / sigma) > 2.5
+       |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("value") - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), r4(col("z")).as("z"))
+      .orderBy("event_id")
+  }
+
   // W5 — sliding-frame moving average (time-series smoothing).
   q("w5_moving_avg",
     s"""SELECT event_id, user_id,
