@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -91,6 +91,47 @@ object GraftHashOps {
     sig
   }
 
+  def minHashSignature(arr: ArrayData, coeffA: Array[Long], coeffB: Array[Long]): ArrayData = {
+    val P = 2147483647L
+    val k = coeffA.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val base = java.lang.Math.floorMod(
+        XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), P)
+      var p = 0
+      while (p < k) {
+        val h = (coeffA(p) * base + coeffB(p)) % P
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  def tokenNgrams(arr: ArrayData, n: Int): ArrayData = {
+    val sz = arr.numElements()
+    val out = if (sz < n) new Array[AnyRef](0) else {
+      val res = new Array[AnyRef](sz - n + 1)
+      var i = 0
+      while (i <= sz - n) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(arr.getUTF8String(i + j).toString)
+          j += 1
+        }
+        res(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      res
+    }
+    new GenericArrayData(out)
+  }
+
   def rhpSignature(v: ArrayData, planes: Array[Array[Double]], dim: Int): Long = {
     val n = math.min(dim, v.numElements())
     var sig = 0L
@@ -144,7 +185,7 @@ case class SimHash64(child: Expression)
   * the same minimum element). Returns `array<long>` of length k.
   */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -162,23 +203,14 @@ case class MinHashSignature(child: Expression, k: Int)
   private lazy val coeffB: Array[Long] =
     Array.tabulate(k)(i => java.lang.Math.floorMod(mix(2L * i + 1), P))
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sig = Array.fill(k)(Long.MaxValue)
-    val n = arr.numElements()
-    var i = 0
-    while (i < n) {
-      val base = java.lang.Math.floorMod(
-        XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L), P)
-      var p = 0
-      while (p < k) {
-        val h = (coeffA(p) * base + coeffB(p)) % P
-        if (h < sig(p)) sig(p) = h
-        p += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(sig)
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.minHashSignature(input.asInstanceOf[ArrayData], coeffA, coeffB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refA = ctx.addReferenceObj("coeffA", coeffA, "long[]")
+    val refB = ctx.addReferenceObj("coeffB", coeffB, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftx.GraftHashOps.minHashSignature($c, $refA, $refB);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -190,33 +222,18 @@ case class MinHashSignature(child: Expression, k: Int)
   * interpreted lambda plumbing). Shorter-than-n input → empty array.
   */
 case class TokenNgrams(child: Expression, n: Int)
-    extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "token_ngrams"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val sz = arr.numElements()
-    val out = if (sz < n) new Array[AnyRef](0) else {
-      val res = new Array[AnyRef](sz - n + 1)
-      var i = 0
-      while (i <= sz - n) {
-        val sb = new java.lang.StringBuilder()
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(arr.getUTF8String(i + j).toString)
-          j += 1
-        }
-        res(i) = UTF8String.fromString(sb.toString)
-        i += 1
-      }
-      res
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.tokenNgrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftx.GraftHashOps.tokenNgrams($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
