@@ -117,3 +117,59 @@ class StreamBatchEquivalenceSpec extends graft.SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 }
+
+/** Watermarked tumbling-window aggregation semantics in append mode:
+  * a window emits only once the watermark passes its end; rows that
+  * arrive late-but-before-eviction still merge into their window (the
+  * watermark BOUNDS STATE LIFETIME — it is not a hard row filter);
+  * windows the watermark has not passed are never emitted.
+  */
+class HourlyAggregatesSpec extends graft.SparkSpec {
+  import java.nio.file.Files
+
+  private def rec(hh: Int, mm: Int, v: Double) =
+    f"""{"location_id": 1, "sensor_id": 2, "datetime": "2024-01-15T$hh%02d:$mm%02d:00Z", "parameter": "pm25", "value": $v%.1f, "unit": "u", "extracted_at": "e", "location_name": "n", "city": "c", "timezone": "tz", "country": "VN", "latitude": 1.0, "longitude": 2.0}"""
+
+  test("append-mode hourly windows emit closed windows; late data dropped") {
+    val raw = Files.createTempDirectory("hourly_raw")
+    val out = Files.createTempDirectory("hourly_out").toString
+    val ckpt = Files.createTempDirectory("hourly_ckpt").toString
+    // batch 1: hour-10 events
+    Files.writeString(raw.resolve("f1.json"),
+      Seq(rec(10, 0, 10.0), rec(10, 30, 20.0)).mkString("\n"))
+    // batch 2: hour-13 event advances the watermark far past hour 10
+    Files.writeString(raw.resolve("f2.json"), rec(13, 0, 99.0))
+    // batch 3: hour-10 straggler — behind the operative watermark
+    // (12:30) but the hour-10 state has not been evicted yet, so it
+    // still merges (state-bounding, not row-filtering, semantics)
+    Files.writeString(raw.resolve("f3.json"), rec(10, 45, 1000.0))
+    // file source orders batches by modification time: force f1<f2<f3
+    raw.resolve("f1.json").toFile.setLastModified(1000000L)
+    raw.resolve("f2.json").toFile.setLastModified(2000000L)
+    raw.resolve("f3.json").toFile.setLastModified(3000000L)
+
+    // single stateful operator: chaining the dedup in front would delay
+    // the aggregate's operative watermark by the dedup's own delay
+    // (Spark propagates the upstream OUTPUT watermark), letting a
+    // same-batch straggler slip into a closing window
+    val parsed = graft.pipeline.AqPipeline.parseTimestamps(
+      AqStreaming.readRawStream(spark, raw.toString, maxFilesPerTrigger = 1))
+      .withWatermark("datetime", "30 minutes")
+    val agg = AqStreaming.hourlyAggregates(parsed)
+    val q = agg.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("hour").toInstant.toString,
+        r.getAs[Double]("avg_value"), r.getAs[Long]("n"))).toSeq
+    // only the CLOSED hour-10 window is emitted, exactly once, with
+    // the pre-eviction straggler merged; hour-13 (watermark not past
+    // its end) is withheld
+    assert(rows.map(_._1) == Seq("2024-01-15T10:00:00Z"), s"got $rows")
+    assert(rows.head._3 == 3L && math.abs(rows.head._2 - 1030.0 / 3) < 1e-9)
+  }
+}
