@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
-  * Methodology: a short untimed warmup (tiny action + one pass over
-  * the smallest sf to trigger JVM/codegen/parquet-footer init), then
-  * each query timed to FULL materialization via a noop-format write
+  * Methodology: each query runs TWICE — an untimed warm run (Janino
+  * codegen compilation of the query's stages dominates first
+  * execution and would mis-attribute ~1-3s per query), then the timed
+  * steady-state run, materialized fully via a noop-format write
   * (count() would let Catalyst prune computed columns). Queries run in
   * sorted name order for stable attribution.
   */
@@ -27,12 +28,11 @@ object Bench {
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
 
-    // untimed warmup: JVM + codegen + shuffle machinery
+    // untimed warmup: JVM + shuffle machinery
     spark.range(1000000).selectExpr("sum(id)").collect()
-    try materialize("a1_groupby_agg", "/root/testdata/sf0.001")
-    catch { case _: Throwable => }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      try materialize(name, sfDir) catch { case _: Throwable => } // codegen warm
       val t0 = System.nanoTime()
       try materialize(name, sfDir)
       catch { case _: Throwable => }
