@@ -395,6 +395,18 @@ object CoreQueries extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  // A6c — our own mergeable sketch aggregate (TypedImperativeAggregate
+  // with serialized partial buffers): KMV distinct estimate.
+  // Deterministic and partitioning-insensitive, but hash-specific →
+  // rows-only; KmvSketchSpec bounds its error.
+  q("a6_kmv_distinct", null) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(org.apache.spark.sql.graftx.KmvDistinctSketch
+        .kmvDistinct(col("o_custkey"), k = 256).as("kmv_customers"))
+      .orderBy("o_orderpriority")
+  }
+
   // J5 — as-of join (engine extra; the classic event-to-dimension-
   // history op): each event picks the customer's latest order at or
   // before the event time. One shuffle (union + carry-forward), no
