@@ -584,6 +584,23 @@ object CoreQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // F15 — timezone conversion (the reference's +07:00 normalization
+  // concern, SURVEY §7.4-4): UTC events viewed in Asia/Bangkok local
+  // time (fixed +07:00, no DST — cross-engine safe). The oracle
+  // expresses the same instant-shift with interval arithmetic.
+  q("f15_tz_convert",
+    """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP) + INTERVAL 7 HOUR) AS TIMESTAMP) AS local_day,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY local_day""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(date_trunc("day",
+        from_utc_timestamp(col("ts"), "Asia/Bangkok")).as("local_day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("local_day")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",
