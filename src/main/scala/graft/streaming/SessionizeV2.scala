@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Sessionization on Spark 4's `transformWithState` arbitrary-state
+  * API (the successor to flatMapGroupsWithState): typed ValueState,
+  * explicit event-time timers, state TTL support. Same gap semantics
+  * as [[Sessionize]] — one open session per key, closed on gap or on
+  * the timer once the watermark passes lastTs + gap.
+  */
+object SessionizeV2 {
+  import Sessionize.{Event, Session, SessionState}
+
+  implicit private val eventEnc: Encoder[Event] = Encoders.product[Event]
+  implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
+  implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
+
+  private class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def toSession(userId: Long, s: SessionState): Session =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[Session] = {
+      val out = ArrayBuffer.empty[Session]
+      var cur = Option(session.get())
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= gapMs =>
+            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            out += toSession(key, s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        getHandle.registerTimer(s.lastTs + gapMs)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      val s = session.get()
+      if (s != null && expiredTimerInfo.getExpiryTimeInMs() >= s.lastTs + gapMs) {
+        session.clear()
+        Iterator(toSession(key, s))
+      } else Iterator.empty
+    }
+  }
+
+  def sessionizeStream(events: DataFrame, gapMinutes: Int,
+                       watermarkDelay: String = "10 minutes"): Dataset[Session] =
+    events.selectExpr("user_id", "ts", "value")
+      .withWatermark("ts", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
+}

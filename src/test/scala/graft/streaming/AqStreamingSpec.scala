@@ -173,3 +173,51 @@ class HourlyAggregatesSpec extends graft.SparkSpec {
     assert(rows.head._3 == 3L && math.abs(rows.head._2 - 1030.0 / 3) < 1e-9)
   }
 }
+
+/** transformWithState (Spark 4 arbitrary-state API) sessionization:
+  * same two-micro-batch scenario as the flatMapGroupsWithState spec.
+  * Requires the RocksDB state store provider.
+  */
+class SessionizeV2Spec extends graft.SparkSpec {
+  import java.nio.file.Files
+
+  test("transformWithState closes sessions on gap across micro-batches") {
+    val saved = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("sessv2_raw")
+      val out = Files.createTempDirectory("sessv2_out").toString
+      val ckpt = Files.createTempDirectory("sessv2_ckpt").toString
+      def rec(ts: String, v: Double) = s"""{"user_id": 1, "ts": "$ts", "value": $v}"""
+      Files.writeString(dir.resolve("f1.json"), Seq(
+        rec("2024-01-01T10:00:00.000Z", 1.0),
+        rec("2024-01-01T10:10:00.000Z", 2.0)).mkString("\n"))
+      Files.writeString(dir.resolve("f2.json"), rec("2024-01-01T13:00:00.000Z", 9.0))
+      dir.resolve("f1.json").toFile.setLastModified(1000000L)
+      dir.resolve("f2.json").toFile.setLastModified(2000000L)
+
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.toString)
+      val q = SessionizeV2.sessionizeStream(stream, gapMinutes = 30)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      val sessions = spark.read.parquet(out).collect()
+      assert(sessions.length == 1, s"expected one closed session, got ${sessions.toSeq}")
+      assert(sessions.head.getAs[Long]("n_events") == 2L)
+      assert(sessions.head.getAs[Double]("total_value") == 3.0)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+}
