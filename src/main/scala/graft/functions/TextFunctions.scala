@@ -89,4 +89,5 @@ object TextFunctions {
     transform(shingleSet(text, n), g =>
       aggregate(filter(split(g, ""), c => c =!= ""), lit(0L),
         (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L))))
+
 }

@@ -254,3 +254,18 @@ class BinaryFileSourceSpec extends graft.SparkSpec {
     assert(meta(1).width == 100)
   }
 }
+
+class HaversineSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("haversine: Hanoi to Ho Chi Minh City ~= 1140-1170 km; zero for same point") {
+    val df = Seq((21.0285, 105.8542, 10.8231, 106.6297)).toDF("la1", "lo1", "la2", "lo2")
+    val d = df.select(graft.functions.GeoFunctions.haversineKm(
+      col("la1"), col("lo1"), col("la2"), col("lo2"))).as[Double].head()
+    assert(d > 1120 && d < 1180, s"got $d km")
+    val z = df.select(graft.functions.GeoFunctions.haversineKm(
+      col("la1"), col("lo1"), col("la1"), col("lo1"))).as[Double].head()
+    assert(z == 0.0)
+  }
+}
