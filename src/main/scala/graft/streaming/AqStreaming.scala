@@ -49,8 +49,19 @@ object AqStreaming {
 
   /** End-to-end streaming pipeline: micro-batches run the SAME batch
     * transform (pivot needs a full group view, so it runs per
-    * micro-batch inside foreachBatch) and land in the partitioned mart
-    * idempotently (dynamic partition overwrite per batch).
+    * micro-batch inside foreachBatch) and APPEND to the partitioned
+    * mart.
+    *
+    * Append, not the batch path's dynamic partition overwrite: a
+    * micro-batch holds only the files that arrived since the last
+    * trigger, so overwriting a date partition would delete earlier
+    * batches' rows that share it (a bug CheckpointResumeSpec guards
+    * against). The checkpoint gives bookmark semantics (each file
+    * ingested once); duplicates within the stream are dropped by the
+    * watermarked dedup upstream. Exactly-once across batch REPLAYS
+    * (driver crash mid-write) additionally needs a transactional
+    * table format — with plain parquet this is at-least-once, the
+    * same contract as the reference's append job.
     */
   def streamToMart(spark: SparkSession, rawPath: String, martPath: String,
                    checkpoint: String): DataStreamWriter[Row] = {
@@ -69,7 +80,8 @@ object AqStreaming {
               AqSchemas.parameters.map(col) ++
               Seq(col("city_name"), col("country_code"), col("latitude"),
                 col("longitude"), col("year"), col("month"), col("day")): _*)
-          AqPipeline.writeMart(ordered, martPath)
+          ordered.write.mode("append")
+            .partitionBy("year", "month", "day").parquet(martPath)
         }
       }
   }
