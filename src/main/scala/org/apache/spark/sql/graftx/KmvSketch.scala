@@ -98,6 +98,50 @@ case class KmvDistinctSketch(
     copy(child = newChildren.head)
 }
 
+/** The sketch-algebra companion: aggregates SERIALIZED KMV sketches
+  * (as produced by [[KmvDistinctSketch.kmvSketch]]) into one distinct
+  * estimate — the 100 TB rollup pattern where per-day/per-partition
+  * sketches are materialized once and unioned cheaply at query time
+  * instead of re-scanning raw data.
+  */
+case class KmvUnionEstimate(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmv_union_estimate"
+
+  private val impl = KmvDistinctSketch(child, k)
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    impl.createAggregationBuffer()
+
+  override def update(buf: mutable.TreeSet[Long], input: org.apache.spark.sql.catalyst.InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) impl.merge(buf, impl.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] =
+    impl.merge(buf, other)
+
+  override def eval(buf: mutable.TreeSet[Long]): Any = impl.eval(buf)
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = impl.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnionEstimate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvUnionEstimate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object KmvDistinctSketch {
   /** Column API: approximate COUNT(DISTINCT expr) with a k-sized
     * mergeable sketch.
@@ -105,4 +149,49 @@ object KmvDistinctSketch {
   def kmvDistinct(c: Column, k: Int = 256): Column =
     ExpressionUtils.column(
       KmvDistinctSketch(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** The serialized sketch itself (binary) — materialize per
+    * group/partition, union later with [[kmvUnionEstimate]].
+    */
+  def kmvSketch(c: Column, k: Int = 256): Column =
+    ExpressionUtils.column(
+      KmvSketchBytes(ExpressionUtils.expression(c), k).toAggregateExpression())
+
+  /** Distinct estimate from a column of serialized sketches. */
+  def kmvUnionEstimate(c: Column, k: Int = 256): Column =
+    ExpressionUtils.column(
+      KmvUnionEstimate(ExpressionUtils.expression(c), k).toAggregateExpression())
+}
+
+/** Same buffer machinery as [[KmvDistinctSketch]], but evaluates to
+  * the SERIALIZED sketch (binary) instead of the estimate.
+  */
+case class KmvSketchBytes(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kmv_sketch"
+
+  private val impl = KmvDistinctSketch(child, k)
+  override def createAggregationBuffer(): mutable.TreeSet[Long] = impl.createAggregationBuffer()
+  override def update(buf: mutable.TreeSet[Long], input: org.apache.spark.sql.catalyst.InternalRow): mutable.TreeSet[Long] =
+    impl.update(buf, input)
+  override def merge(buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] =
+    impl.merge(buf, other)
+  override def eval(buf: mutable.TreeSet[Long]): Any = impl.serialize(buf)
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = impl.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchBytes =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketchBytes =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
 }

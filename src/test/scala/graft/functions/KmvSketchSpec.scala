@@ -38,3 +38,21 @@ class KmvSketchSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) > 0))
   }
 }
+
+class KmvSketchAlgebraSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graftx.KmvDistinctSketch._
+
+  test("per-group sketches unioned == direct global estimate") {
+    val df = (1 to 50000).map(i => (i % 7, i % 4211)).toDF("day", "v")
+    // the rollup pattern: materialize one sketch per day...
+    val perDay = df.groupBy("day").agg(kmvSketch($"v", 256).as("sk"))
+    assert(perDay.count() == 7)
+    // ...then union sketches at query time (no raw re-scan)
+    val viaUnion = perDay.agg(kmvUnionEstimate($"sk", 256)).as[Long].head()
+    val direct = df.agg(kmvDistinct($"v", 256)).as[Long].head()
+    assert(viaUnion == direct) // identical k-min sets → identical estimate
+    val exact = df.select("v").distinct().count()
+    assert(math.abs(viaUnion - exact).toDouble / exact < 0.25, s"$viaUnion vs $exact")
+  }
+}
