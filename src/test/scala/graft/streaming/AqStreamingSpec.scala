@@ -257,3 +257,46 @@ class CheckpointResumeSpec extends graft.SparkSpec {
     assert(spark.read.parquet(mart).count() == 4)
   }
 }
+
+/** Stream-stream attribution join: clicks within 30 min before a
+  * purchase by the same user, watermark-bounded state on both sides.
+  */
+class StreamJoinSpec extends graft.SparkSpec {
+  import java.nio.file.Files
+
+  private def rec(user: Long, ts: String, v: Double) =
+    s"""{"user_id": $user, "ts": "$ts", "value": $v}"""
+
+  test("watermarked stream-stream join matches in-window pairs only") {
+    val clicksDir = Files.createTempDirectory("sj_clicks")
+    val purchasesDir = Files.createTempDirectory("sj_purch")
+    val out = Files.createTempDirectory("sj_out").toString
+    val ckpt = Files.createTempDirectory("sj_ckpt").toString
+    Files.writeString(clicksDir.resolve("c.json"), Seq(
+      rec(1, "2024-01-01T10:00:00Z", 1.0),   // in window of the 10:20 purchase
+      rec(1, "2024-01-01T09:40:00Z", 2.0),   // 40 min before → OUT of window
+      rec(2, "2024-01-01T10:05:00Z", 3.0)).mkString("\n")) // other user
+    Files.writeString(purchasesDir.resolve("p.json"),
+      rec(1, "2024-01-01T10:20:00Z", 99.0))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def read(d: java.nio.file.Path) = spark.readStream.schema(schema).json(d.toString)
+
+    val joined = StreamJoins.attributionJoin(
+      read(clicksDir), read(purchasesDir), windowMinutes = 30)
+    val q = joined.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1, s"got ${rows.toSeq}")
+    assert(rows.head.getAs[Double]("c_value") == 1.0)
+    assert(rows.head.getAs[Double]("e_value") == 99.0)
+  }
+}
