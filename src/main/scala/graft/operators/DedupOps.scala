@@ -79,6 +79,14 @@ object DedupOps {
   /** MinHash+LSH near-duplicate pairs: signature → bands → bucket join
     * → exact-Jaccard verification on candidates only.
     *
+    * Shuffle discipline (the 100 TB shape): band rows carry ONLY
+    * `(doc_id, band, band_hash)` — 24 bytes/row — through the
+    * posexplode and the candidate self-join; the shingle arrays
+    * (~8× the document text if carried per band) stay in the compact
+    * per-doc `sh` table and are joined back exactly once per side
+    * AFTER candidate pairs are deduped. Same answer, the exchange
+    * volume drops from O(bands × content) to O(bands × 24B).
+    *
     * @param bands × rowsPerBand = signature length. With (8,4) the
     *   collision curve is steep around J≈0.5.
     */
@@ -89,13 +97,13 @@ object DedupOps {
     val sh = docs.select(col(idCol).as("doc_id"),
       TextFunctions.shingleSet(col(textCol), n).as("ng"))
       .filter(size(col("ng")) > 0)
-    val sig = sh.select(col("doc_id"), col("ng"),
+    // band id + hash of the band's slice of the signature; NO payload
+    val banded = sh.select(col("doc_id"),
       minHashSignature(col("ng"), k).as("sig"))
-    // band id + hash of the band's slice of the signature
-    val banded = sig.select(col("doc_id"), col("ng"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val cand = banded.as("a")
@@ -103,13 +111,16 @@ object DedupOps {
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.ng").as("ng_a"), col("b.ng").as("ng_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // exact verification on the candidate set only
+    // exact verification on the deduped candidate set only: the only
+    // rows that ever carry two shingle arrays at once
+    val verified = cand
+      .join(sh.select(col("doc_id").as("id_a"), col("ng").as("ng_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("ng").as("ng_b")), "id_b")
     val inter = size(array_intersect(col("ng_a"), col("ng_b"))).cast("double")
     val uni = (size(col("ng_a")) + size(col("ng_b"))).cast("double") - inter
-    cand.withColumn("jaccard", inter / uni)
+    verified.withColumn("jaccard", inter / uni)
       .filter(col("jaccard") >= minSim)
       .select("id_a", "id_b", "jaccard")
   }

@@ -492,10 +492,15 @@ object CoreQueries extends QueryPack {
 
   // A11b — the sketch variant for 100TB (t-digest-style bounded
   // memory): approx_percentile; rows-only (sketch internals differ).
+  // Projected to SCALAR columns (element_at) — the driver checker
+  // sorts rows by every column and cannot hash array cells.
   q("a11_approx_percentiles", null) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx_q"))
+      .select(col("l_returnflag"),
+        element_at(col("approx_q"), 1).as("p50_qty"),
+        element_at(col("approx_q"), 2).as("p90_qty"))
       .orderBy("l_returnflag")
   }
 

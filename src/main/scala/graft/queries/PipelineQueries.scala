@@ -117,7 +117,7 @@ object PipelineQueries extends QueryPack {
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     s.read.parquet(out)
       .groupBy("year", "month")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
       .orderBy("year", "month")
   }
 

@@ -65,18 +65,43 @@ object SimQueries extends QueryPack {
   }
 
   // LSH-bucketed ANN — the 100TB scale path (bucket join instead of a
-  // cross join). Deterministic random-hyperplane construction, but not
+  // cross join): 6 independent 10-bit hash tables from one 60-bit RHP
+  // signature, skew-capped buckets, exact cosine only on candidates.
+  // Deterministic random-hyperplane construction, but not
   // ANSI-SQL-expressible → rows-only check.
   q("ann_lsh_topk", null) { (s, dir) =>
     SimilarityOps.lshTopK(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, nBits = 8, k = 5)
+        "vec_id", "embedding", dim = 64, bands = 6, bitsPerBand = 10, k = 5)
       .orderBy("query_id", "rank")
   }
 
-  // Embedding-cosine near-duplicate detection (dedup by vector
-  // similarity): all pairs with cosine ≥ 0.95 via bucketed candidates
-  // would risk false negatives, so the oracle-checked variant is exact:
-  // brute-force pairs above threshold.
+  // IVF probe search end-to-end: centroids seeded from `label`, corpus
+  // re-assigned to nearest centroid, each query probes the 3 nearest
+  // cells and runs exact top-k inside them (the other scale path:
+  // cell = equi-join key, queries scan ~nprobe/nCells of the corpus).
+  // Rows-only: probe pruning is not ANSI-SQL-expressible.
+  q("ann_ivf_search", null) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    SimilarityOps.ivfSearch(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", "label", nprobe = 3, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // Embedding near-dup, FIRST-CLASS plan: banded RHP LSH candidates +
+  // exact-cosine verification — equi-joins only, no
+  // BroadcastNestedLoopJoin (asserted in the plan spec). 12 bands × 5
+  // bits ⇒ ≥1-band hit probability ≈0.99 at cos 0.8. Rows-only check;
+  // recall vs the exact twin is spec-asserted.
+  q("dd_embedding_lsh", null) { (s, dir) =>
+    SimilarityOps.embeddingLshPairs(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, bands = 12, bitsPerBand = 5,
+        minSim = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  // Embedding-cosine near-duplicate detection, the exact oracle twin
+  // of dd_embedding_lsh: brute-force all pairs above threshold —
+  // correctness ground truth at small n, NOT the production plan.
   q("dd_embedding_cosine",
     """WITH v AS (
       |  SELECT vec_id, embedding,

@@ -156,8 +156,19 @@ object TextQueries extends QueryPack {
       .orderBy("fingerprint")
   }
 
+  /** Posting-list cap for the checked n-gram queries: a shingle seen in
+    * more than this many docs is a stop-phrase and is dropped before the
+    * inverted-index self-join (skew guard — a shingle in f docs creates
+    * f² candidate rows). Mirrored EXACTLY in the DuckDB oracles, so the
+    * gate checks the capped semantics it would run at scale.
+    */
+  val NgramPostingCap = 100
+
   // Exact n-gram (3-shingle) Jaccard near-dup pairs via inverted-index
   // self-join — complete, so the brute-force SQL oracle must agree.
+  // The skew cap is ON (the plan shipped to 100TB), and the oracle
+  // applies the identical cap; `shared` counts only uncapped shingles
+  // while n_a/n_b stay full-set sizes on both sides.
   q("dd_ngram_jaccard",
     s"""WITH toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -169,7 +180,9 @@ object TextQueries extends QueryPack {
       |    ELSE [] END) AS ng
       |  FROM toks),
       |sizes AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ng FROM ngr),
-      |ex AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |ex0 AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |ok AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= $NgramPostingCap),
+      |ex AS (SELECT ex0.doc_id, ex0.g FROM ex0 JOIN ok USING (g)),
       |shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -182,7 +195,8 @@ object TextQueries extends QueryPack {
       |WHERE shared / (sa.n_ng + sb.n_ng - shared) >= 0.2
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     DedupOps.ngramJaccardPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", n = 3, minSim = 0.2)
+        "doc_id", "text", n = 3, minSim = 0.2,
+        maxPosting = Some(NgramPostingCap))
       .withColumn("jaccard", r4(col("jaccard")))
       .orderBy("id_a", "id_b")
   }
@@ -202,7 +216,9 @@ object TextQueries extends QueryPack {
       |    ELSE [] END) AS ng
       |  FROM toks),
       |sizes AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ng FROM ngr),
-      |ex AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |ex0 AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |ok AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= $NgramPostingCap),
+      |ex AS (SELECT ex0.doc_id, ex0.g FROM ex0 JOIN ok USING (g)),
       |shared AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -222,7 +238,8 @@ object TextQueries extends QueryPack {
       |SELECT id AS doc_id, min(r) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables.load(s, dir, "documents")
-    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.2)
+    val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.2,
+      maxPosting = Some(NgramPostingCap))
     RelationalOps.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
       .orderBy("doc_id")
   }
