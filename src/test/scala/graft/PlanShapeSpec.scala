@@ -73,4 +73,43 @@ class PlanShapeSpec extends SparkSpec {
       bcasts.nonEmpty || s.contains("BroadcastNestedLoopJoin"),
       s"expected broadcast + native dot in:\n$s")
   }
+
+  test("dd_embedding_lsh: equi-joins only — no BroadcastNestedLoopJoin, no cartesian") {
+    val s = planString("dd_embedding_lsh")
+    assert(!s.contains("BroadcastNestedLoopJoin"),
+      s"embedding near-dup must not plan an all-pairs join:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"embedding near-dup must not plan a cartesian product:\n$s")
+  }
+
+  test("ann_lsh_topk: banded candidates join without BNLJ/cartesian") {
+    val s = planString("ann_lsh_topk")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"LSH top-k must stay on equi-join buckets:\n$s")
+  }
+
+  test("dd_minhash_lsh: band exchanges carry no array payload (24B rows, not shingles)") {
+    val exchanges = collectAll(plan("dd_minhash_lsh")) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    val bandExchanges = exchanges.filter(
+      _.output.exists(a => a.name == "band_hash" || a.name == "band_val"))
+    assert(bandExchanges.nonEmpty, "expected the banded candidate exchange in the plan")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"band exchange must not carry shingle arrays: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
+  }
+
+  test("dd_embedding_lsh: band exchanges carry no vector payload") {
+    val exchanges = collectAll(plan("dd_embedding_lsh")) {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    val bandExchanges = exchanges.filter(_.output.exists(_.name == "band_val"))
+    assert(bandExchanges.nonEmpty, "expected the banded candidate exchange in the plan")
+    bandExchanges.foreach { e =>
+      assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"band exchange must not carry embeddings: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
+  }
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Recall guarantees for the bucketed (scale-path) similarity plans
+  * against their exact twins, on data with PLANTED structure — the
+  * synthetic sf tables have no pairs above the near-dup threshold, so
+  * recall there is vacuous. Geometry is controlled here: jittered
+  * copies sit at cos ≈ 0.99, unrelated random 64-dim vectors at
+  * cos ≈ 0 ± 0.13.
+  */
+class LshRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 64
+  private val rnd = new scala.util.Random(42)
+
+  private def randVec(): Array[Float] = Array.fill(dim)(rnd.nextGaussian().toFloat)
+
+  private def jitter(v: Array[Float], eps: Double): Array[Float] =
+    v.map(x => (x + eps * rnd.nextGaussian()).toFloat)
+
+  /** 150 independent vectors + 40 near-dup copies (ids 1000+i of i). */
+  private lazy val planted: DataFrame = {
+    val base = (0 until 150).map(i => (i.toLong, randVec()))
+    val dups = base.take(40).map { case (i, v) => (1000L + i, jitter(v, 0.12)) }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("embeddingLshPairs: subset of exact pairs (precision 1.0), recall >= 0.9") {
+    val exact = pairSet(SimilarityOps.cosinePairs(planted, "vec_id", "embedding", 0.8))
+    assert(exact.size >= 35, s"planted data must contain near-dups, got ${exact.size}")
+    val lsh = pairSet(SimilarityOps.embeddingLshPairs(planted, "vec_id", "embedding",
+      dim, bands = 12, bitsPerBand = 5, minSim = 0.8))
+    assert(lsh.subsetOf(exact), "exact verification must keep precision at 1.0")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("embeddingLshPairs: bucket cap drops a degenerate hot bucket without killing recall") {
+    // a pile of near-identical vectors all land in the same buckets in
+    // every band; with the cap at 50 the pile is skipped, planted pairs
+    // elsewhere still surface through uncapped buckets
+    val pile = (0 until 120).map(i => (5000L + i, jitter(planted.head().getSeq[Float](1).toArray, 0.01)))
+    val withPile = planted.union(pile.toDF("vec_id", "embedding"))
+    val capped = SimilarityOps.embeddingLshPairs(withPile, "vec_id", "embedding",
+      dim, bands = 12, bitsPerBand = 5, minSim = 0.8, maxBucket = Some(50))
+    val pairs = pairSet(capped)
+    val pileIds = pile.map(_._1).toSet
+    val nonPile = pairs.filterNot { case (a, b) => pileIds(a) || pileIds(b) }
+    assert(nonPile.nonEmpty, "capping the hot bucket must not erase unrelated near-dups")
+  }
+
+  /** 10 tight clusters of 40 vectors each around well-separated centers. */
+  private lazy val clustered: DataFrame = {
+    val centers = (0 until 10).map(_ => randVec().map(_ * 5f))
+    val rows = for {
+      c <- 0 until 10
+      i <- 0 until 40
+    } yield (c * 100L + i, jitter(centers(c), 0.3), c)
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("ivfSearch: recall >= 0.9 vs brute force on clustered corpus") {
+    val queries = clustered.filter($"vec_id" % 100 === 0) // one per cluster
+    val exact = SimilarityOps.bruteForceTopK(queries, clustered, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = SimilarityOps.ivfSearch(queries, clustered, "vec_id", "embedding", "label",
+      nprobe = 2, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall")
+  }
+
+  test("ivfSearch: each query returns exactly k ranked rows") {
+    val queries = clustered.filter($"vec_id" === 0L)
+    val out = SimilarityOps.ivfSearch(queries, clustered, "vec_id", "embedding", "label",
+      nprobe = 2, k = 5).collect()
+    assert(out.length == 5)
+    assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("lshTopK: banded candidates recover brute-force top-1 for clustered data") {
+    val top1 = SimilarityOps.lshTopK(clustered, "vec_id", "embedding",
+      dim, bands = 6, bitsPerBand = 10, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val exact1 = SimilarityOps.bruteForceTopK(clustered, clustered, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact1.count { case (q, n) => top1.get(q).contains(n) }
+    val recall = hits.toDouble / exact1.size
+    assert(recall >= 0.9, s"top-1 recall $recall")
+  }
+}
