@@ -126,26 +126,54 @@ object Aqi {
     }
   }
 
+  /** [[aqiFor]] as DuckDB SQL text over an arbitrary value expression —
+    * IDENTICAL arithmetic expression order to the Column form, so both
+    * engines produce bit-identical IEEE doubles (the slope constant is
+    * pre-computed in Scala for both).
+    */
+  def sqlAqiFor(v: String, bps: Breakpoints): String = {
+    def seg(lo: Double, hi: Double, alo: Double, ahi: Double) =
+      s"(${(ahi - alo) / (hi - lo)}) * (($v) - $lo) + $alo"
+    val last = bps.last
+    val chain = bps.init.foldRight(seg(last._1, last._2, last._3, last._4)) {
+      case ((lo, hi, alo, ahi), tail) =>
+        s"CASE WHEN ($v) <= $hi THEN ${seg(lo, hi, alo, ahi)} ELSE $tail END"
+    }
+    s"CASE WHEN ($v) IS NULL OR ($v) < 0 THEN NULL ELSE $chain END"
+  }
+
+  /** [[rowAqi]] as SQL over already-computed per-pollutant AQI columns:
+    * Spark's `greatest` skips nulls; SQL mirrors with a coalesce floor
+    * (real AQIs are ≥ 0) nullified back out.
+    */
+  def sqlRowAqi(aqiCols: Seq[String]): String =
+    s"NULLIF(greatest(${aqiCols.map(c => s"coalesce($c, -1e9)").mkString(", ")}), -1e9)"
+
+  /** [[dominantPollutant]] as SQL: the same first-match when-chain over
+    * the same pollutant order.
+    */
+  def sqlDominantPollutant(named: Seq[(String, String)], overall: String): String =
+    named.foldRight("NULL") { case ((n, a), tail) =>
+      s"CASE WHEN ($a) IS NOT NULL AND ($a) = ($overall) THEN '$n' ELSE $tail END"
+    }
+
+  /** [[aqiLevel]] as SQL over an AQI expression. */
+  def sqlAqiLevel(aqi: String): String =
+    s"""CASE WHEN ($aqi) IS NULL THEN 'Unknown'
+       |     WHEN ($aqi) <= 50 THEN 'Good'
+       |     WHEN ($aqi) <= 100 THEN 'Moderate'
+       |     WHEN ($aqi) <= 150 THEN 'Unhealthy for Sensitive Groups'
+       |     WHEN ($aqi) <= 200 THEN 'Unhealthy'
+       |     WHEN ($aqi) <= 300 THEN 'Very Unhealthy'
+       |     ELSE 'Hazardous' END""".stripMargin
+
   /** The same pm2.5 chain + level as DuckDB SQL over `events.value`
     * (identical arithmetic expression order ⇒ identical IEEE doubles).
     */
   val oracleSql: String = {
-    def seg(lo: Double, hi: Double, alo: Double, ahi: Double) =
-      s"(${(ahi - alo) / (hi - lo)}) * (value - $lo) + $alo"
-    val last = pm25Breakpoints.last
-    val chain = pm25Breakpoints.init.foldRight(seg(last._1, last._2, last._3, last._4)) {
-      case ((lo, hi, alo, ahi), tail) =>
-        s"CASE WHEN value <= $hi THEN ${seg(lo, hi, alo, ahi)} ELSE $tail END"
-    }
-    val aqi = s"CASE WHEN value IS NULL OR value < 0 THEN NULL ELSE $chain END"
+    val aqi = sqlAqiFor("value", pm25Breakpoints)
     s"""SELECT event_id, value, ${DetRound.sqlR4(aqi)} AS aqi,
-       |  CASE WHEN ($aqi) IS NULL THEN 'Unknown'
-       |       WHEN ($aqi) <= 50 THEN 'Good'
-       |       WHEN ($aqi) <= 100 THEN 'Moderate'
-       |       WHEN ($aqi) <= 150 THEN 'Unhealthy for Sensitive Groups'
-       |       WHEN ($aqi) <= 200 THEN 'Unhealthy'
-       |       WHEN ($aqi) <= 300 THEN 'Very Unhealthy'
-       |       ELSE 'Hazardous' END AS aqi_level
+       |  ${sqlAqiLevel(aqi)} AS aqi_level
        |FROM events ORDER BY event_id""".stripMargin
   }
 }

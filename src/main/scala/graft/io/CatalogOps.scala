@@ -1,0 +1,74 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Persistent-catalog surface — the reference's serve-time contract is
+  * a cataloged partitioned table queried via `DESCRIBE`,
+  * `SHOW PARTITIONS` and table listings (crawler semantics:
+  * `/root/reference/doc/architecture.md:249-264`, query surface
+  * `utils/athena_utils.py:219-223`,
+  * `tests/test_phase5_manual_trigger.py:269-288`). Spark-native
+  * equivalents: datasource tables in the session catalog, partition
+  * recovery (`MSCK REPAIR TABLE` — the crawler re-expressed as one
+  * metadata command), `spark.catalog` introspection.
+  *
+  * At 100 TB the payoff is partition pruning from table metadata:
+  * a query with `WHERE year='2025' AND month='07'` against a cataloged
+  * table plans a scan of just that directory, no file listing of the
+  * other ~1000 partitions.
+  */
+object CatalogOps {
+
+  /** Managed partitioned table: write + register in one step
+    * (`saveAsTable`); partitions are tracked in the catalog as they
+    * are written.
+    */
+  def saveAsPartitionedTable(df: DataFrame, name: String,
+                             partitionCols: Seq[String],
+                             mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*)
+      .format("parquet").saveAsTable(name)
+
+  /** External partitioned table over an existing hive-layout directory
+    * (the reference's crawl-then-query flow): declare the full schema,
+    * point LOCATION at the data, then RECOVER the partitions from the
+    * directory structure — the Glue-crawler step as one command.
+    */
+  def registerExternalPartitioned(spark: SparkSession, name: String,
+                                  path: String, schema: StructType,
+                                  partitionCols: Seq[String]): Unit = {
+    val partSet = partitionCols.toSet
+    val dataDdl = StructType(schema.filterNot(f => partSet(f.name))).toDDL
+    val partDdl = partitionCols
+      .map(c => s"$c ${schema(c).dataType.sql}").mkString(", ")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name ($dataDdl, $partDdl)
+         |USING PARQUET
+         |PARTITIONED BY (${partitionCols.mkString(", ")})
+         |LOCATION '$path'""".stripMargin)
+    spark.sql(s"MSCK REPAIR TABLE $name")
+  }
+
+  /** `SHOW PARTITIONS`, parsed from `k1=v1/k2=v2` strings into one
+    * typed column per partition key (the reference's
+    * `get_partitions`).
+    */
+  def partitions(spark: SparkSession, name: String,
+                 partitionCols: Seq[String]): DataFrame = {
+    val listed = spark.sql(s"SHOW PARTITIONS $name")
+    partitionCols.zipWithIndex.foldLeft(listed) { case (df, (c, i)) =>
+      df.withColumn(c, regexp_extract(col("partition"), s"$c=([^/]*)", 1))
+    }.select(partitionCols.map(col): _*)
+  }
+
+  /** Column name/type/comment rows — `DESCRIBE TABLE` as data. */
+  def describeTable(spark: SparkSession, name: String): DataFrame =
+    spark.sql(s"DESCRIBE TABLE $name")
+
+  /** Catalog listing (the `information_schema.tables` surface). */
+  def tableNames(spark: SparkSession, db: String = "default"): Seq[String] =
+    spark.catalog.listTables(db).collect().map(_.name).toSeq.sorted
+}

@@ -101,27 +101,32 @@ object RelationalOps {
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
                rightSeq: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
+    // ALL payload fields travel in ONE struct: `last(_, ignoreNulls)`
+    // then picks the whole latest right row atomically — a genuine
+    // null INSIDE that row's payload stays null instead of being
+    // backfilled from an older row (and no two payload columns can
+    // ever come from different right rows).
+    val payloadType = StructType(payload.map(p => StructField(p, right.schema(p).dataType)))
     val l = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__tag", lit(1)).withColumn("__seq", lit(Long.MaxValue))
-    val lAligned = payload.foldLeft(l)((d, p) =>
-      d.withColumn(s"__p_$p", lit(null).cast(right.schema(p).dataType)))
+      .withColumn("__p", lit(null).cast(payloadType))
     val r = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime).cast("timestamp"))
       .withColumn("__tag", lit(0)).withColumn("__seq", col(rightSeq).cast("long"))
-    val rAligned = payload.foldLeft(r)((d, p) => d.withColumn(s"__p_$p", col(p)))
-    val cols = Seq("__k", "__t", "__tag", "__seq") ++ payload.map(p => s"__p_$p")
-    val lSel = lAligned.select((cols ++ leftCols).map(col): _*)
-    val rSel = rAligned.select(cols.map(col) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+      .withColumn("__p", struct(payload.map(col): _*))
+    val cols = Seq("__k", "__t", "__tag", "__seq", "__p")
+    val lSel = l.select((cols ++ leftCols).map(col): _*)
+    val rSel = r.select(cols.map(col) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val unioned = lSel.union(rSel)
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__tag").asc, col("__seq").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned)((d, p) =>
-      d.withColumn(s"__c_$p", last(col(s"__p_$p"), ignoreNulls = true).over(w)))
-    carried.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"__c_$p").as(p)): _*)
+    unioned.withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ payload.map(p => col("__c").getField(p).as(p)): _*)
   }
 
   /** Skew-safe two-phase aggregation: spread each hot key over

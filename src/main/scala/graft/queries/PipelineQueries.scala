@@ -141,6 +141,33 @@ object PipelineQueries extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // K5+ — PERSISTENT catalog: external partitioned table registered
+  // over a hive-layout directory, partitions RECOVERED from the
+  // filesystem (MSCK — the reference's Glue-crawler step), then SQL
+  // served from the cataloged table. One row per partition proves the
+  // recovery found exactly the partitions the data implies; the counts
+  // prove the table serves the rows behind them.
+  q("k6_catalog_partitions",
+    s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y') AS year,
+      |  lpad(CAST(month(CAST(ts AS TIMESTAMP)) AS VARCHAR), 2, '0') AS month,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY year, month""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_cat")
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("year", date_format(col("ts"), "yyyy"))
+      .withColumn("month", lpad(month(col("ts")).cast("string"), 2, "0"))
+    ev.write.mode("overwrite").partitionBy("year", "month").parquet(out)
+    graft.io.CatalogOps.registerExternalPartitioned(
+      s, "events_catalogued", out, ev.schema, Seq("year", "month"))
+    s.sql(
+      """SELECT year, month, count(*) AS n
+        |FROM events_catalogued
+        |GROUP BY year, month
+        |ORDER BY year, month""".stripMargin)
+  }
+
   // AQI (SURVEY §2.10) — EPA piecewise-linear interpolation as pure
   // codegen'd Column expressions (no UDF), applied to events.value as
   // a pm2.5-like concentration; identical CASE chain in the oracle.
@@ -150,5 +177,63 @@ object PipelineQueries extends QueryPack {
         r4(Aqi.pm25Aqi(col("value"))).as("aqi"),
         Aqi.aqiLevel(Aqi.pm25Aqi(col("value"))).as("aqi_level"))
       .orderBy("event_id")
+  }
+
+  /** Multi-pollutant AQI mapping for [[aqiDominantOracle]] /
+    * `aqi_dominant`: the synthetic event types stand in for the
+    * reference's pivoted pollutant columns, each scored with its OWN
+    * EPA breakpoint table.
+    */
+  val pollutantForEventType: Seq[(String, String)] = Seq(
+    "pm25" -> "click", "pm10" -> "error", "o3" -> "purchase",
+    "no2" -> "signup", "co" -> "view")
+
+  private def aqiDominantOracle: String = {
+    val pivotCols = pollutantForEventType.map { case (p, e) =>
+      s"${sqlR4(s"avg(CASE WHEN event_type = '$e' THEN value END)")} AS $p"
+    }.mkString(",\n      |    ")
+    val aqiCols = pollutantForEventType.map { case (p, _) =>
+      s"${Aqi.sqlAqiFor(p, Aqi.breakpointsByPollutant(p))} AS aqi_$p"
+    }.mkString(",\n      |    ")
+    val names = pollutantForEventType.map { case (p, _) => p -> s"aqi_$p" }
+    val overall = Aqi.sqlRowAqi(names.map(_._2))
+    s"""WITH wide AS (
+      |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    $pivotCols
+      |  FROM events GROUP BY 1, 2),
+      |aqis AS (
+      |  SELECT user_id, hour,
+      |    $aqiCols
+      |  FROM wide)
+      |SELECT user_id, hour,
+      |  ${sqlR4(overall)} AS aqi,
+      |  ${Aqi.sqlAqiLevel(overall)} AS aqi_level,
+      |  ${Aqi.sqlDominantPollutant(names, overall)} AS dominant
+      |FROM aqis
+      |ORDER BY user_id, hour""".stripMargin
+  }
+
+  // §2.10 full surface — overall row AQI (max over per-pollutant AQIs,
+  // each on its own EPA table) + dominant pollutant (argmax) over
+  // pivoted multi-pollutant rows, the reference AQI plan's
+  // `doc/archive/AQI Calculation Implementation Plan.md:58-65`. Pivot
+  // values are det-rounded BEFORE scoring so both engines interpolate
+  // identical inputs.
+  q("aqi_dominant", aqiDominantOracle) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        date_trunc("hour", col("ts")).as("hour"))
+    val wide0 = RelationalOps.pivotAvg(ev, Seq("user_id", "hour"),
+      "event_type", pollutantForEventType.map(_._2), "value")
+    val wide = wide0.select(
+      Seq(col("user_id"), col("hour")) ++
+        pollutantForEventType.map { case (p, e) => r4(col(e)).as(p) }: _*)
+    val byP = pollutantForEventType.map { case (p, _) => p -> col(p) }
+    val overall = Aqi.rowAqi(byP: _*)
+    wide.select(col("user_id"), col("hour"),
+      r4(overall).as("aqi"),
+      Aqi.aqiLevel(overall).as("aqi_level"),
+      Aqi.dominantPollutant(byP: _*).as("dominant"))
+      .orderBy("user_id", "hour")
   }
 }

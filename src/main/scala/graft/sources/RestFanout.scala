@@ -1,6 +1,17 @@
 package graft.sources
 
+import scala.util.control.NonFatal
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+
+/** Outcome of one key's fetch after retries: either `ok` with the
+  * fetched NDJSON records, or a quarantine row carrying the final
+  * error — a failed key NEVER aborts its partition (the reference's
+  * retry policy, `dags/openaq_dag.py:13-23`, re-expressed per key
+  * instead of per task so one flaky sensor can't fail a 10k-key
+  * partition).
+  */
+case class FetchOutcome(id: Long, ok: Boolean, attempts: Int,
+                        records: Seq[String], error: String)
 
 /** Distributed per-key fan-out fetch — the at-scale form of the
   * reference's per-sensor measurement loop (SURVEY §2.1 S4:
@@ -37,6 +48,59 @@ object RestFanout {
         fetcher(id)
       }
     }
+
+  implicit private val outcomeEnc: Encoder[FetchOutcome] = Encoders.product[FetchOutcome]
+
+  /** [[fetchPerKey]] with bounded exponential backoff and failure
+    * quarantine. Attempt i sleeps `baseBackoffMs * 2^(i-1)` (capped at
+    * `maxBackoffMs`) before retrying; after `maxAttempts` the key is
+    * emitted as a quarantine row instead of throwing, so the partition
+    * (and the job) survives persistent per-key failures. The sleeper is
+    * injectable for deterministic tests.
+    */
+  def fetchPerKeyResilient(ids: Dataset[java.lang.Long],
+                           fetcher: Long => Seq[String],
+                           maxAttempts: Int = 3,
+                           baseBackoffMs: Long = 200L,
+                           maxBackoffMs: Long = 10000L,
+                           minIntervalMs: Long = 0L,
+                           sleeper: Long => Unit = Thread.sleep): Dataset[FetchOutcome] =
+    ids.mapPartitions { it =>
+      var lastCall = 0L
+      it.map { boxed =>
+        val id = boxed.longValue()
+        if (minIntervalMs > 0) {
+          val wait = lastCall + minIntervalMs - System.currentTimeMillis()
+          if (wait > 0) sleeper(wait)
+          lastCall = System.currentTimeMillis()
+        }
+        var attempt = 0
+        var result: FetchOutcome = null
+        while (result == null) {
+          attempt += 1
+          try {
+            result = FetchOutcome(id, ok = true, attempt, fetcher(id), error = "")
+          } catch {
+            case NonFatal(e) if attempt < maxAttempts =>
+              sleeper(math.min(baseBackoffMs << (attempt - 1), maxBackoffMs))
+            case NonFatal(e) =>
+              result = FetchOutcome(id, ok = false, attempt, Seq.empty,
+                error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+        result
+      }
+    }
+
+  /** Successfully fetched NDJSON records from a resilient fan-out. */
+  def records(outcomes: Dataset[FetchOutcome]): Dataset[String] =
+    outcomes.filter(_.ok).flatMap(_.records)
+
+  /** Quarantined keys (exhausted retries) — persisted for replay, the
+    * reference's failed-key audit trail.
+    */
+  def quarantined(outcomes: Dataset[FetchOutcome]): Dataset[FetchOutcome] =
+    outcomes.filter(o => !o.ok)
 
   /** Parse fetched NDJSON records against an explicit schema —
     * composes with [[graft.pipeline.AqPipeline.transform]] for the

@@ -202,6 +202,22 @@ class AsofJoinSpec extends graft.SparkSpec {
       (2L, None),        // nothing at or before 09:00
       (3L, Some("d")))) // tie at 10:00 → highest seq
   }
+
+  test("asofJoin: payload comes atomically from the TRUE latest right row, genuine nulls kept") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("event_id", "k", "t")
+    val right = Seq(
+      // older row: both payload fields non-null
+      (10L, ts("2024-01-01 10:00:00"), 100L, Option("old_a"), Option(1.5)),
+      // LATEST row: payload_a is genuinely NULL, payload_b present
+      (10L, ts("2024-01-01 11:00:00"), 101L, Option.empty[String], Option(2.5))
+    ).toDF("k2", "t2", "seq", "payload_a", "payload_b")
+    val out = RelationalOps.asofJoin(left, right,
+      leftKey = "k", rightKey = "k2", leftTime = "t", rightTime = "t2",
+      rightSeq = "seq", payload = Seq("payload_a", "payload_b"))
+      .select("payload_a", "payload_b").as[(Option[String], Option[Double])].head()
+    // per-column last(ignoreNulls) would wrongly return ("old_a", 2.5)
+    assert(out == (None, Some(2.5)))
+  }
 }
 
 class ConnectedComponentsSpec extends graft.SparkSpec {

@@ -81,4 +81,48 @@ class RestFanoutSpec extends SparkSpec {
     // 4 calls with >=50ms spacing (first is free) => at least ~150ms
     assert(System.currentTimeMillis() - t0 >= 150L)
   }
+
+  test("resilient fetch: flaky key retried with backoff, dead key quarantined, partition survives") {
+    FlakyFetcher.calls.clear()
+    FlakyFetcher.sleeps.clear()
+    val ids = spark.createDataset(Seq(1L, 2L, 3L).map(java.lang.Long.valueOf))
+      .repartition(1)
+    val outcomes = RestFanout.fetchPerKeyResilient(ids, FlakyFetcher.fetch,
+      maxAttempts = 3, baseBackoffMs = 1L, sleeper = FlakyFetcher.recordSleep).collect()
+    val byId = outcomes.map(o => o.id -> o).toMap
+    assert(byId(1L).ok && byId(1L).attempts == 1 && byId(1L).records == Seq("""{"id": 1}"""))
+    // id 2 fails twice, succeeds on attempt 3
+    assert(byId(2L).ok && byId(2L).attempts == 3 && byId(2L).records == Seq("""{"id": 2}"""))
+    // id 3 always fails -> quarantined, other keys unaffected
+    assert(!byId(3L).ok && byId(3L).attempts == 3)
+    assert(byId(3L).error.contains("dead key"))
+    // exponential: sleeps 1ms then 2ms for id 2's retries (and id 3's)
+    import scala.jdk.CollectionConverters._
+    assert(FlakyFetcher.sleeps.asScala.toSeq.sorted == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("records()/quarantined() split a resilient fan-out") {
+    FlakyFetcher.calls.clear()
+    val ids = spark.createDataset(Seq(1L, 2L, 3L).map(java.lang.Long.valueOf)).repartition(1)
+    val outcomes = RestFanout.fetchPerKeyResilient(ids, FlakyFetcher.fetch,
+      maxAttempts = 3, baseBackoffMs = 1L, sleeper = _ => ())
+    assert(RestFanout.records(outcomes).collect().sorted.toSeq ==
+      Seq("""{"id": 1}""", """{"id": 2}"""))
+    assert(RestFanout.quarantined(outcomes).collect().map(_.id).toSeq == Seq(3L))
+  }
+}
+
+/** Executor-side flaky stub (static state is visible in local mode):
+  * id 2 throws on its first two attempts; id 3 always throws.
+  */
+object FlakyFetcher {
+  val calls = new java.util.concurrent.ConcurrentHashMap[Long, Integer]()
+  val sleeps = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+  def recordSleep(ms: Long): Unit = sleeps.add(ms)
+  def fetch(id: Long): Seq[String] = {
+    val n = calls.merge(id, 1, (a, b) => a + b)
+    if (id == 3L) throw new RuntimeException(s"dead key $id")
+    if (id == 2L && n <= 2) throw new RuntimeException(s"flaky key $id attempt $n")
+    Seq(s"""{"id": $id}""")
+  }
 }
