@@ -71,23 +71,22 @@ object TextFunctions {
   }
 
   /** Polynomial rolling-hash fingerprint over characters:
-    * acc = (acc*31 + codepoint) mod 1e9+7. Left fold in array order ⇒
-    * identical in any engine with a sequential reduce. Bounded:
-    * acc < 2^30, acc*31 + cp < 2^36 — no Long overflow under ANSI.
+    * acc = (acc*31 + codepoint) mod 1e9+7. Left fold in code-point
+    * order ⇒ identical in any engine with a sequential reduce (DuckDB:
+    * `list_reduce` over `unicode(c)`). Backed by the native
+    * [[org.apache.spark.sql.graftx.RollingHash31]] expression — the
+    * HOF form pays an interpreted lambda per CHARACTER, the worst
+    * per-element ratio in the library.
     */
-  def rollingHash(text: Column): Column = {
-    val chars = filter(split(text, ""), c => c =!= "")
-    aggregate(chars, lit(0L),
-      (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L)))
-  }
+  def rollingHash(text: Column): Column =
+    org.apache.spark.sql.graftx.GraftFunctions.rollingHash31(text)
 
   /** Content-defined chunk fingerprints: rolling hash over each token
     * n-gram — the document-fingerprinting primitive for fuzzy
     * containment checks.
     */
   def ngramFingerprints(text: Column, n: Int): Column =
-    transform(shingleSet(text, n), g =>
-      aggregate(filter(split(g, ""), c => c =!= ""), lit(0L),
-        (acc, ch) => pmod(acc * lit(31L) + ascii(ch).cast("long"), lit(1000000007L))))
+    transform(shingleSet(text, n),
+      g => org.apache.spark.sql.graftx.GraftFunctions.rollingHash31(g))
 
 }

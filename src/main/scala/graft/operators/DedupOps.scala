@@ -53,9 +53,12 @@ object DedupOps {
       size(col("ng")).cast("long").as("n_ng"), explode(col("ng")).as("g"))
     val posting = maxPosting match {
       case Some(cap) =>
-        // drop shingles appearing in more than `cap` docs (skew guard)
-        val freq = posting0.groupBy("g").count().filter(col("count") <= cap).select("g")
-        posting0.join(freq, "g")
+        // drop shingles appearing in more than `cap` docs (skew guard).
+        // The HOT set is what's small (stop-phrases), so broadcast it
+        // into a LEFT ANTI join — the posting table itself is never
+        // re-shuffled for the cap, at any corpus size.
+        val hot = posting0.groupBy("g").count().filter(col("count") > cap).select("g")
+        posting0.join(broadcast(hot), Seq("g"), "left_anti")
       case None => posting0
     }
     posting.as("a")

@@ -171,10 +171,13 @@ object RelationalOps {
     while (!converged && iter < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("label").as("nbr_label"))
-      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+      val next0 = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-        .cache()
+      // periodic lineage truncation: each iteration nests the previous
+      // plan, so deep graphs would otherwise re-analyze an O(iter)-size
+      // tree per round (and overflow on pathological chains)
+      val next = (if (iter % 8 == 7) next0.localCheckpoint() else next0).cache()
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

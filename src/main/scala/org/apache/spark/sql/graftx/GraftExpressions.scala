@@ -132,6 +132,18 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  def rollingHash31(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
   def rhpSignature(v: ArrayData, planes: Array[Array[Double]], dim: Int): Long = {
     val n = math.min(dim, v.numElements())
     var sig = 0L
@@ -239,6 +251,31 @@ case class TokenNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash of a string column —
+  * acc = (acc·31 + codepoint) mod 1e9+7 over Unicode code points, the
+  * same left fold as the HOF form (`aggregate` over `split(text,'')`
+  * with `ascii`) and DuckDB's `list_reduce` over `unicode(c)`, but one
+  * native O(chars) loop instead of an interpreted lambda per
+  * character.
+  */
+case class RollingHash31(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash31"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.rollingHash31(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftx.GraftHashOps.rollingHash31($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH signature of an `array<float>` vector:
   * nBits sign bits, hyperplane components from a fixed LCG stream in
   * [-1,1] keyed by (bit, dim) — same construction and accumulation
@@ -292,6 +329,9 @@ object GraftFunctions {
 
   def rhpSignature(vec: Column, dim: Int, nBits: Int): Column =
     ExpressionUtils.column(RhpSignature(expr(vec), dim, nBits))
+
+  def rollingHash31(s: Column): Column =
+    ExpressionUtils.column(RollingHash31(expr(s)))
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
