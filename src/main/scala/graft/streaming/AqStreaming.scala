@@ -62,6 +62,14 @@ object AqStreaming {
     * (driver crash mid-write) additionally needs a transactional
     * table format — with plain parquet this is at-least-once, the
     * same contract as the reference's append job.
+    *
+    * ROW-GRAIN CONTRACT: the streamed mart is per (location_id,
+    * datetime, ARRIVAL batch) — when one key's parameters arrive in
+    * different micro-batches, the mart holds multiple PARTIAL rows
+    * with complementary non-null pollutant columns (the pivot can only
+    * see its own batch). Readers that need the batch transform's
+    * one-row-per-key shape run [[mergePartialRows]] on read, or as a
+    * Maintenance-style compaction that rewrites the partition.
     */
   def streamToMart(spark: SparkSession, rawPath: String, martPath: String,
                    checkpoint: String): DataStreamWriter[Row] = {
@@ -84,5 +92,31 @@ object AqStreaming {
             .partitionBy("year", "month", "day").parquet(martPath)
         }
       }
+  }
+
+  /** Merge cross-batch PARTIAL rows back to one row per
+    * (location_id, datetime) — the read-side repair for
+    * [[streamToMart]]'s row-grain contract.
+    *
+    * Correctness lean: the upstream watermarked dedup guarantees each
+    * (location_id, datetime, parameter) reading passes the stream once,
+    * so among a key's partial rows each pollutant column is non-null
+    * in AT MOST one of them — `first(_, ignoreNulls)` is deterministic
+    * here, it merely picks the single non-null. One shuffle on the
+    * key; at scale, run per date partition (partition pruning keeps it
+    * incremental).
+    */
+  def mergePartialRows(mart: DataFrame): DataFrame = {
+    val valueCols = AqSchemas.parameters ++
+      Seq("city_name", "country_code", "latitude", "longitude")
+    val aggs = valueCols.map(c => first(col(c), ignoreNulls = true).as(c))
+    mart.groupBy(col("location_id"), col("datetime"),
+        col("year"), col("month"), col("day"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        Seq(col("location_id"), col("datetime")) ++
+          AqSchemas.parameters.map(col) ++
+          Seq(col("city_name"), col("country_code"), col("latitude"),
+            col("longitude"), col("year"), col("month"), col("day")): _*)
   }
 }

@@ -256,6 +256,31 @@ class CheckpointResumeSpec extends graft.SparkSpec {
     q3.awaitTermination(120000)
     assert(spark.read.parquet(mart).count() == 4)
   }
+
+  private def recP(param: String, v: Double) =
+    s"""{"location_id": 1, "sensor_id": 2, "datetime": "2024-01-01T10:00:00Z", "parameter": "$param", "value": $v, "unit": "u", "extracted_at": "e", "location_name": "n", "city": "c", "timezone": "tz", "country": "VN", "latitude": 1.0, "longitude": 2.0}"""
+
+  test("mergePartialRows: one key split across micro-batches compacts to a single complete row") {
+    val raw = Files.createTempDirectory("pm_raw")
+    val mart = Files.createTempDirectory("pm_mart").toString
+    val ckpt = Files.createTempDirectory("pm_ckpt").toString
+
+    // batch 1 carries pm25, batch 2 carries pm10 for the SAME key
+    Files.writeString(raw.resolve("b1.json"), recP("pm25", 5.0))
+    AqStreaming.streamToMart(spark, raw.toString, mart, ckpt).start()
+      .awaitTermination(120000)
+    Files.writeString(raw.resolve("b2.json"), recP("pm10", 7.0))
+    AqStreaming.streamToMart(spark, raw.toString, mart, ckpt).start()
+      .awaitTermination(120000)
+
+    val rows = spark.read.parquet(mart)
+    assert(rows.count() == 2, "expect two partial rows before compaction")
+    val merged = AqStreaming.mergePartialRows(rows)
+    assert(merged.count() == 1)
+    val r = merged.head()
+    assert(r.getAs[Double]("pm25") == 5.0 && r.getAs[Double]("pm10") == 7.0)
+    assert(r.getAs[String]("city_name") == "c")
+  }
 }
 
 /** Stream-stream attribution join: clicks within 30 min before a
