@@ -126,18 +126,31 @@ object Aqi {
     }
   }
 
+  /** A Scala double as a DuckDB literal that parses as DOUBLE.
+    * CRITICAL: a bare decimal literal (`0.9259259259259259`) parses as
+    * DECIMAL(17,16) in DuckDB, and its decimal→double CONVERSION can
+    * land one ulp away from the directly-parsed double (observed:
+    * 50.000000000000007 vs 50.0 at the o3 54.0 breakpoint) — flipping
+    * boundary comparisons vs Spark. E-notation (`…e0`) forces a direct
+    * double parse, bit-identical to the JVM's.
+    */
+  def sqlDouble(x: Double): String = {
+    val s = x.toString
+    if (s.contains('E') || s.contains('e')) s else s + "e0"
+  }
+
   /** [[aqiFor]] as DuckDB SQL text over an arbitrary value expression —
     * IDENTICAL arithmetic expression order to the Column form, so both
     * engines produce bit-identical IEEE doubles (the slope constant is
-    * pre-computed in Scala for both).
+    * pre-computed in Scala for both and emitted via [[sqlDouble]]).
     */
   def sqlAqiFor(v: String, bps: Breakpoints): String = {
     def seg(lo: Double, hi: Double, alo: Double, ahi: Double) =
-      s"(${(ahi - alo) / (hi - lo)}) * (($v) - $lo) + $alo"
+      s"(${sqlDouble((ahi - alo) / (hi - lo))}) * (($v) - ${sqlDouble(lo)}) + ${sqlDouble(alo)}"
     val last = bps.last
     val chain = bps.init.foldRight(seg(last._1, last._2, last._3, last._4)) {
       case ((lo, hi, alo, ahi), tail) =>
-        s"CASE WHEN ($v) <= $hi THEN ${seg(lo, hi, alo, ahi)} ELSE $tail END"
+        s"CASE WHEN ($v) <= ${sqlDouble(hi)} THEN ${seg(lo, hi, alo, ahi)} ELSE $tail END"
     }
     s"CASE WHEN ($v) IS NULL OR ($v) < 0 THEN NULL ELSE $chain END"
   }
