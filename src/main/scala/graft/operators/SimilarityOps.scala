@@ -172,6 +172,21 @@ object SimilarityOps {
         col("neighbor_id"), r4(col("cos")).as("cos"))
   }
 
+  /** Scalar int8 quantization of an embedding column — 4× smaller
+    * storage/shuffle for ANN candidate generation (the standard
+    * embedding-compression step of a training-data pipeline). Values
+    * round deterministically (the DetRound floor form) and clamp to
+    * [-127, 127]; both directions are pure codegen'd expressions and
+    * mirror exactly in SQL.
+    */
+  def quantizeInt8(vec: Column, scale: Double): Column =
+    transform(vec, x => greatest(lit(-127L), least(lit(127L),
+      floor(x.cast("double") * lit(scale) + lit(0.5) + lit(1.0e-6)).cast("long"))))
+
+  /** Inverse of [[quantizeInt8]] (up to quantization error ≤ 1/(2·scale)). */
+  def dequantizeInt8(q: Column, scale: Double): Column =
+    transform(q, x => x.cast("double") / lit(scale))
+
   /** IVF build step: per-partition centroids as elementwise means —
     * posexplode → groupBy(cell, dim) avg → re-assemble. Relational and
     * oracle-checkable; at scale this is one shuffle of n·dim scalars.
@@ -200,6 +215,44 @@ object SimilarityOps {
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cell").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("id"), col("cell").as("assigned_cell"), r4(col("cos")).as("cos"))
+  }
+
+  /** IVF coarse-quantizer TRAINING: Lloyd's k-means over the
+    * relational build blocks — deterministic hash init
+    * (cell = xxhash64(id) mod k), then `iters` rounds of
+    * centroids → re-assign. Returns the final (id, assigned_cell,
+    * cos) assignment; feed its cells into [[ivfSearch]] when no
+    * natural partitioning column exists.
+    *
+    * Scale shape per iteration: centroid build is one shuffle of
+    * n·dim scalars (partial-aggregated map-side); re-assignment is a
+    * broadcast of k·dim doubles + a per-row argmax — the corpus
+    * itself is never re-shuffled. Iteration state is cached and
+    * lineage-truncated, the driver sees no data.
+    */
+  def trainIvf(vectors: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    var assigned = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int").as("cell"))
+      .cache()
+    var result: DataFrame = null
+    for (i <- 1 to iters) {
+      val cents = centroids(assigned, "cell", "v")
+      val re = ivfAssign(assigned, "id", "v", cents)
+        .select(col("id"), col("assigned_cell"), col("cos"))
+      result = re
+      if (i < iters) {
+        val next = assigned.drop("cell")
+          .join(re.select(col("id"), col("assigned_cell").as("cell")), "id")
+          .localCheckpoint() // truncate per-iteration lineage
+        assigned.unpersist()
+        assigned = next.cache()
+      }
+    }
+    assigned.unpersist()
+    result
   }
 
   /** End-to-end IVF probe search: build centroids from a seed cell

@@ -187,6 +187,27 @@ object AqPipeline {
     df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
   }
 
+  /** K4 — time-bucketed RAW archive: land the raw NDJSON lines
+    * VERBATIM under extraction-time paths
+    * `year=/month=/day=/hour=` (the reference's raw zone,
+    * `handler.py` writes `raw/YYYY/MM/DD/HH/…`). Bytes are preserved
+    * exactly (text sink, one line per record) so any future
+    * re-processing — schema evolution, parser fixes — replays from
+    * the archive; `readRaw` accepts the archive root directly
+    * (partition dirs are transparent to the JSON scan).
+    */
+  def archiveRaw(records: DataFrame, rawCol: String, tsCol: String,
+                 path: String): Unit =
+    records.select(
+        col(rawCol).as("value"),
+        date_format(col(tsCol), "yyyy").as("year"),
+        lpad(month(col(tsCol)).cast("string"), 2, "0").as("month"),
+        lpad(dayofmonth(col(tsCol)).cast("string"), 2, "0").as("day"),
+        lpad(hour(col(tsCol)).cast("string"), 2, "0").as("hour"))
+      .write.mode("append")
+      .partitionBy("year", "month", "day", "hour")
+      .text(path)
+
   /** K5 — register the mart for the SQL surface (§3.3). */
   def registerMart(spark: SparkSession, path: String, name: String): Unit = {
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

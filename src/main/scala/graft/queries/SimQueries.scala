@@ -87,6 +87,47 @@ object SimQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  // Int8 scalar quantization roundtrip: per-vector quantized checksum
+  // (exact integer sum) + max reconstruction error — the embedding
+  // compression step, oracle-checked end to end (identical floor/
+  // clamp arithmetic, index-order folds on both engines).
+  q("ann_quantize_int8",
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_transform(embedding, x ->
+      |      greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      |        CAST(floor(CAST(x AS DOUBLE) * 64.0e0 + 0.5e0 + 1.0e-6) AS BIGINT)))) AS qv
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), qv), (a, b) -> a + b) AS qsum,
+      |  floor((list_max(list_transform(generate_series(1, len(qv)),
+      |    i -> abs(CAST(qv[i] AS DOUBLE) / 64.0e0 - CAST(embedding[i] AS DOUBLE)))))
+      |    * 1e4 + 0.5 + 1e-6) / 1e4 AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val scale = 64.0
+    val qv = SimilarityOps.quantizeInt8(col("embedding"), scale)
+    Tables.load(s, dir, "embeddings")
+      .withColumn("qv", qv)
+      .select(col("vec_id"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("qsum"),
+        r4(array_max(zip_with(col("qv"), col("embedding"),
+          (a, b) => abs(a.cast("double") / lit(scale) - b.cast("double"))))).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  // IVF training end-to-end: 3 Lloyd iterations from deterministic
+  // hash init, reported as per-cell population + mean
+  // centroid-affinity. Deterministic but iterative float avgs are not
+  // reasonably ANSI-SQL-expressible → rows-only; the k-means
+  // distortion-descent invariant is spec-asserted.
+  q("ann_ivf_train", null) { (s, dir) =>
+    SimilarityOps.trainIvf(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3)
+      .groupBy(col("assigned_cell"))
+      .agg(count(lit(1)).as("n"), r4(avg(col("cos"))).as("mean_cos"))
+      .orderBy("assigned_cell")
+  }
+
   // Embedding near-dup, FIRST-CLASS plan: banded RHP LSH candidates +
   // exact-cosine verification — equi-joins only, no
   // BroadcastNestedLoopJoin (asserted in the plan spec). 12 bands × 5

@@ -85,6 +85,32 @@ class LshRecallSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("trainIvf: centroid affinity does not degrade with more Lloyd iterations") {
+    def meanCos(iters: Int): Double =
+      SimilarityOps.trainIvf(clustered, "vec_id", "embedding", k = 10, iters = iters)
+        .agg(avg(col("cos"))).head().getDouble(0)
+    val one = meanCos(1)
+    val four = meanCos(4)
+    assert(four >= one - 1e-9, s"distortion ascent: iter1=$one iter4=$four")
+    // hash init can merge planted clusters (k cells for k clusters, no
+    // restarts) — 0.85 is the floor Lloyd's always clears on this geometry
+    assert(four > 0.85, s"tight clusters must be near their centroids, got $four")
+  }
+
+  test("quantizeInt8 roundtrip: reconstruction error bounded by half a quantization step") {
+    val scale = 16.0 // ±127/16 ≈ ±7.9 — clamp never binds on N(0,1) data
+    val out = planted.select(
+      array_max(zip_with(
+        SimilarityOps.dequantizeInt8(SimilarityOps.quantizeInt8(col("embedding"), scale), scale),
+        col("embedding"),
+        (deq, orig) => abs(deq - orig.cast("double")))).as("err"),
+      array_max(SimilarityOps.quantizeInt8(col("embedding"), scale)).as("qmax"),
+      array_min(SimilarityOps.quantizeInt8(col("embedding"), scale)).as("qmin"))
+    val rows = out.collect()
+    assert(rows.forall(_.getDouble(0) <= 0.5 / scale + 1e-6), "error exceeds half-step")
+    assert(rows.forall(r => r.getLong(1) <= 127 && r.getLong(2) >= -127), "clamp violated")
+  }
+
   test("lshTopK: banded candidates recover brute-force top-1 for clustered data") {
     val top1 = SimilarityOps.lshTopK(clustered, "vec_id", "embedding",
       dim, bands = 6, bitsPerBand = 10, k = 1)

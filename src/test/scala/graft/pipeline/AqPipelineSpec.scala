@@ -256,6 +256,35 @@ class TypedAndPruningSpec extends graft.SparkSpec {
     assert(ds.filter(_.country.contains("VN")).count() == 1)
   }
 
+  test("K4: raw archive lands verbatim lines under extraction-hour paths and replays") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("rawzone").toString
+    val first = rec.replace("\"extracted_at\": \"e\"",
+      "\"extracted_at\": \"2024-01-15 11:05:00\"")
+    val lines = Seq(
+      first,
+      first.replace("\"sensor_id\": 37", "\"sensor_id\": 38")
+        .replace("2024-01-15 11:05:00", "2024-01-15 12:30:00"))
+    import spark.implicits._
+    val records = lines.toDF("raw")
+      .withColumn("extracted_at",
+        to_timestamp(get_json_object(col("raw"), "$.extracted_at")))
+    AqPipeline.archiveRaw(records, "raw", "extracted_at", out)
+
+    // wall-clock extraction-time layout, hour grain
+    assert(Files.exists(Paths.get(s"$out/year=2024/month=01/day=15/hour=11")))
+    assert(Files.exists(Paths.get(s"$out/year=2024/month=01/day=15/hour=12")))
+    // bytes preserved verbatim
+    val back = spark.read.textFile(out).collect().sorted
+    assert(back.toSeq == lines.sorted)
+    // the archive replays straight through the standard scan + transform
+    val replay = AqPipeline.transform(AqPipeline.readRaw(spark, out))
+    assert(replay.count() == 1) // same (location, datetime) key, deduped
+    // append-only: a second archive run adds, never overwrites
+    AqPipeline.archiveRaw(records.limit(1), "raw", "extracted_at", out)
+    assert(spark.read.textFile(out).count() == 3)
+  }
+
   test("P11: year/month predicates prune hive partitions at the file level") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("prune").toString
