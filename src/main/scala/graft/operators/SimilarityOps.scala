@@ -187,6 +187,47 @@ object SimilarityOps {
   def dequantizeInt8(q: Column, scale: Double): Column =
     transform(q, x => x.cast("double") / lit(scale))
 
+  /** Two-stage retrieval over int8-quantized vectors — the standard
+    * compressed-search pattern: (1) candidate generation scans ONLY
+    * the quantized corpus (4× less data than float32; int8 products
+    * are exact in the double accumulator, so candidate ranking is
+    * deterministic), keeping `candK` per query; (2) rescoring joins
+    * the candidates — and only the candidates — back to the full-
+    * precision vectors for exact cosine top-`k`.
+    *
+    * Scale shape: queries broadcast in both stages; stage 1 streams
+    * the quantized corpus with no shuffle of vectors (per-query top
+    * candK via window over a corpus-partitioned scan); stage 2's
+    * equi-join touches q·candK rows, negligible against the corpus.
+    */
+  def twoStageTopK(queries: DataFrame, corpus: DataFrame,
+                   idCol: String, vecCol: String, scale: Double,
+                   candK: Int, k: Int): DataFrame = {
+    def quantized(df: DataFrame, id: String, qv: String): DataFrame =
+      df.select(col(idCol).as(id),
+        quantizeInt8(col(vecCol), scale).cast("array<float>").as(qv))
+    val qq = quantized(queries, "query_id", "qq")
+    val cq = quantized(corpus, "neighbor_id", "cq")
+    val stage1 = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", vecDot(col("qq"), col("cq")).cast("long"))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    val cand = stage1
+      .withColumn("crank", row_number().over(wCand))
+      .filter(col("crank") <= candK)
+      .select("query_id", "neighbor_id", "qdot")
+    val full = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val qFull = withNorm(queries, idCol, vecCol, "query_id", "zv", "zn")
+    val wFinal = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(full, "neighbor_id").join(broadcast(qFull), "query_id")
+      .withColumn("cos", vecDot(col("zv"), col("cv")) / (col("zn") * col("cn")))
+      .withColumn("rank", row_number().over(wFinal))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("qdot"), r4(col("cos")).as("cos"))
+  }
+
   /** IVF build step: per-partition centroids as elementwise means —
     * posexplode → groupBy(cell, dim) avg → re-assemble. Relational and
     * oracle-checkable; at scale this is one shuffle of n·dim scalars.

@@ -115,6 +115,60 @@ object SimQueries extends QueryPack {
       .orderBy("vec_id")
   }
 
+  // Two-stage quantized retrieval: int8 candidate scan (exact integer
+  // dot products → deterministic candidate ranking) + full-precision
+  // rescore of candidates only. Both stages mirror exactly in SQL —
+  // the whole compressed-search pipeline is oracle-checked, including
+  // the integer candidate scores.
+  q("ann_two_stage",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm,
+      |    list_transform(embedding, x ->
+      |      greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT),
+      |        CAST(floor(CAST(x AS DOUBLE) * 64.0e0 + 0.5e0 + 1.0e-6) AS BIGINT)))) AS qv
+      |  FROM embeddings),
+      |s1 AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(
+      |      list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(generate_series(1, len(q.qv)),
+      |          i -> q.qv[i] * c.qv[i])),
+      |      (a, b) -> a + b) AS qdot
+      |  FROM v q JOIN v c ON q.vec_id != c.vec_id
+      |  WHERE q.vec_id < 10),
+      |cand AS (
+      |  SELECT query_id, neighbor_id, qdot, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS crank
+      |  FROM s1),
+      |resc AS (
+      |  SELECT cand.query_id, cand.neighbor_id, cand.qdot,
+      |    list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(generate_series(1, len(a.embedding)),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+      |  FROM cand
+      |  JOIN v a ON a.vec_id = cand.query_id
+      |  JOIN v b ON b.vec_id = cand.neighbor_id
+      |  WHERE cand.crank <= 50),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, qdot, cos, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM resc)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, qdot,
+      |  floor((cos) * 1e4 + 0.5 + 1e-6) / 1e4 AS cos
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    SimilarityOps.twoStageTopK(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", scale = 64.0, candK = 50, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
   // IVF training end-to-end: 3 Lloyd iterations from deterministic
   // hash init, reported as per-cell population + mean
   // centroid-affinity. Deterministic but iterative float avgs are not

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.functions.DetRound.{r4, sqlR4}
-import graft.operators.{DedupOps, RelationalOps}
+import graft.operators.{DedupOps, QualityOps, RelationalOps}
 
 /** Text-analysis + dedup query surface over the `documents` table
   * (driver mandate: training-data pipeline operators as first-class
@@ -258,5 +258,94 @@ object TextQueries extends QueryPack {
     DedupOps.simHashPairs(Tables.load(s, dir, "documents"),
         "doc_id", "text", maxHamming = 3)
       .orderBy("id_a", "id_b")
+  }
+
+  // Benchmark decontamination: every 50th doc plays the held-out
+  // benchmark set; corpus docs sharing any 5-gram with it are flagged
+  // (the n-gram–collision test-set-leakage check run before training).
+  // Benchmark shingles broadcast; only per-doc counts shuffle.
+  q("tx_decontaminate",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ngr AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 5 THEN list_transform(
+      |      generate_series(1, len(t) - 4),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+      |    ELSE [] END) AS ng
+      |  FROM toks),
+      |bg AS (SELECT DISTINCT unnest(ng) AS g FROM ngr WHERE doc_id % 50 = 0),
+      |cg AS (SELECT doc_id, unnest(ng) AS g FROM ngr WHERE doc_id % 50 != 0),
+      |hits AS (
+      |  SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM cg JOIN bg USING (g) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  coalesce(h.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+      |  coalesce(h.n_shared, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      |WHERE d.doc_id % 50 != 0
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    QualityOps.contaminationScan(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 5)
+      .orderBy("doc_id")
+  }
+
+  // Repetition gates (the Gopher-style boilerplate filters):
+  // duplicate-token fraction + most-frequent-bigram share, with the
+  // keep/drop verdict computed on the unrounded values.
+  q("tx_repetition",
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |base AS (
+      |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS nt,
+      |    CAST(len(list_distinct(t)) AS DOUBLE) AS nd
+      |  FROM toks),
+      |ex AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN list_transform(
+      |    generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END) AS g
+      |  FROM toks),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM ex GROUP BY 1, 2),
+      |top AS (
+      |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg
+      |  FROM cnt GROUP BY 1)
+      |SELECT b.doc_id,
+      |  ${sqlR4("1.0 - nd / nt")} AS dup_token_frac,
+      |  ${sqlR4("coalesce(CAST(top_c AS DOUBLE) / n_bg, 0.0)")} AS top_bigram_frac,
+      |  (1.0 - nd / nt) <= 0.8
+      |    AND coalesce(CAST(top_c AS DOUBLE) / n_bg, 0.0) <= 0.1 AS keep
+      |FROM base b LEFT JOIN top USING (doc_id)
+      |ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    QualityOps.repetitionMetrics(Tables.load(s, dir, "documents"),
+        "doc_id", "text", maxDupTokenFrac = 0.8, maxTopBigramFrac = 0.1)
+      .select(col("doc_id"), r4(col("dup_token_frac")).as("dup_token_frac"),
+        r4(col("top_bigram_frac")).as("top_bigram_frac"), col("keep"))
+      .orderBy("doc_id")
+  }
+
+  // Domain-mixture sampling: per-source target rates (6/16 for
+  // even-numbered sources, 12/16 for odd) applied via the
+  // content-hash predicate — the deterministic re-weighting step that
+  // composes training mixes. Reported per source so the realized
+  // fractions are visible next to the targets.
+  q("tx_domain_mixture",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN substr(md5(text), 1, 1) <
+      |    CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+      |      THEN '6' ELSE 'c' END
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val thr = when(idx % 2 === 0, lit(QualityOps.nibbleChar(6)))
+      .otherwise(lit(QualityOps.nibbleChar(12)))
+    Tables.load(s, dir, "documents")
+      .withColumn("sampled", QualityOps.hashSampled(col("text"), thr))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("source")
   }
 }

@@ -111,6 +111,29 @@ class LshRecallSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(1) <= 127 && r.getLong(2) >= -127), "clamp violated")
   }
 
+  test("twoStageTopK: degenerates to exact brute force when candK covers the corpus") {
+    val queries = planted.filter(col("vec_id") < 5)
+    def key(df: DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val exact = key(SimilarityOps.bruteForceTopK(queries, planted, "vec_id", "embedding", k = 5))
+    val two = key(SimilarityOps.twoStageTopK(queries, planted, "vec_id", "embedding",
+      scale = 64.0, candK = 1000, k = 5).drop("qdot"))
+    assert(two == exact, "uncapped candidate stage must reproduce brute force exactly")
+  }
+
+  test("twoStageTopK: int8 candidates at candK=20 keep top-1 recall >= 0.95") {
+    val queries = planted.filter(col("vec_id") < 40) // each has a planted near-dup
+    def top1(df: DataFrame) = df.filter(col("rank") === 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val exact = top1(SimilarityOps.bruteForceTopK(queries, planted, "vec_id", "embedding", k = 1))
+    val two = top1(SimilarityOps.twoStageTopK(queries, planted, "vec_id", "embedding",
+      scale = 64.0, candK = 20, k = 1))
+    val hits = exact.count { case (q, n) => two.get(q).contains(n) }
+    assert(hits >= (exact.size * 0.95).floor.toInt,
+      s"top-1 recall ${hits.toDouble / exact.size} after int8 candidate stage")
+  }
+
   test("lshTopK: banded candidates recover brute-force top-1 for clustered data") {
     val top1 = SimilarityOps.lshTopK(clustered, "vec_id", "embedding",
       dim, bands = 6, bitsPerBand = 10, k = 1)
