@@ -52,6 +52,22 @@ object CatalogOps {
     spark.sql(s"MSCK REPAIR TABLE $name")
   }
 
+  /** Bucketed managed table: pays the shuffle ONCE at write time —
+    * every subsequent equi-join or aggregation on `bucketCol` between
+    * tables sharing the bucket count reads co-located buckets and
+    * plans NO exchange (spec-asserted). This is the 100 TB answer for
+    * a fact table joined on the same key every day: at 1000 executors
+    * the repeated join shuffle is the bottleneck bucketing deletes.
+    * `sortBy` additionally pre-sorts each bucket file so single-file
+    * buckets skip the merge-join sort.
+    */
+  def saveAsBucketedTable(df: DataFrame, name: String, bucketCol: String,
+                          nBuckets: Int,
+                          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(name)
+
   /** `SHOW PARTITIONS`, parsed from `k1=v1/k2=v2` strings into one
     * typed column per partition key (the reference's
     * `get_partitions`).

@@ -70,4 +70,37 @@ class CatalogOpsSpec extends SparkSpec {
     assert(selected.exists(s => s.contains("year") && s.contains("month")),
       s"expected partition filters in scan metadata: ${scans.head.metadata}")
   }
+
+  test("co-bucketed tables join with ZERO shuffle; unbucketed twin shuffles both sides") {
+    val facts = (0L until 1000L).map(i => (i % 100, i, i * 2.0))
+      .toDF("custkey", "orderkey", "amount")
+    val dims = (0L until 100L).map(i => (i, s"cust$i")).toDF("custkey", "name")
+    CatalogOps.saveAsBucketedTable(facts, "bkt_orders", "custkey", nBuckets = 8)
+    CatalogOps.saveAsBucketedTable(dims, "bkt_cust", "custkey", nBuckets = 8)
+
+    def shuffles(q: org.apache.spark.sql.DataFrame): Int = {
+      q.collect() // finalize the adaptive plan
+      // AQE hides exchanges inside materialized query stages (not plan
+      // children), so count them in the final plan's rendering
+      "Exchange hashpartitioning".r
+        .findAllIn(q.queryExecution.executedPlan.toString).length
+    }
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = spark.table("bkt_orders")
+        .join(spark.table("bkt_cust"), "custkey")
+        .groupBy("custkey").agg(max("name").as("name"), sum("amount").as("total"))
+      // join AND aggregation ride the bucket partitioning: no exchange at all
+      assert(shuffles(bucketed) == 0,
+        s"bucketed join+agg must be shuffle-free:\n${bucketed.queryExecution.executedPlan}")
+
+      val plain = facts.join(dims, "custkey")
+        .groupBy("custkey").agg(max("name").as("name"), sum("amount").as("total"))
+      assert(shuffles(plain) >= 2, "the unbucketed twin must shuffle both join sides")
+
+      assert(bucketed.collect().toSet == plain.collect().toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
