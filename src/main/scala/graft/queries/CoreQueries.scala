@@ -434,6 +434,49 @@ object CoreQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // J6 — six-table star join (the TPC-H Q5 shape): lineitem→orders→
+  // customer shuffle-join on keys, supplier/nation/region BROADCAST
+  // (dims stay small at any fact scale), date filter pushed into the
+  // orders scan. Revenue is money-safe: the per-row double product is
+  // deterministically rounded to 4 decimals, summed EXACTLY as
+  // decimal (order-independent — partial/final aggregation order
+  // can't flip a cent), then presented as a rounded double.
+  q("j6_star_join",
+    s"""SELECT n_name,
+      |  ${sqlR2("CAST(sum(CAST(" + sqlR4("l_extendedprice * (1 - l_discount)") + " AS DECIMAL(18,4))) AS DOUBLE)")} AS revenue,
+      |  count(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val region = Tables.load(s, dir, "region")
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+    val orders = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val rev = r4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,4)")
+    Tables.load(s, dir, "lineitem")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.load(s, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.load(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey") &&
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(r2(sum(rev).cast("double")).as("revenue"),
+        countDistinct("o_orderkey").as("n_orders"))
+      .orderBy("n_name")
+  }
+
   // W4 — sessionization (gap > 30 min starts a new session): the
   // canonical event-stream composite of lag + conditional + running
   // sum + re-aggregation.
