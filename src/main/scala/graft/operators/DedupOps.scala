@@ -31,6 +31,34 @@ object DedupOps {
     docs.groupBy(md5(col(textCol).cast("binary")).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The persisted fingerprint index [[incrementalExact]] dedups
+    * against: one row per distinct content digest seen so far. Write
+    * it bucketed on `fingerprint`
+    * ([[graft.io.CatalogOps.saveAsBucketedTable]]) and the daily
+    * anti-join below runs shuffle-free on the index side.
+    */
+  def fingerprintIndex(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(md5(col(textCol).cast("binary")).as("fingerprint")).distinct()
+
+  /** Incremental exact dedup — the mode a 100 TB corpus actually runs
+    * daily: dedup the new batch against the persisted fingerprint
+    * index instead of re-deduplicating the whole corpus. Returns one
+    * row per NOVEL digest (content never seen before) with the batch's
+    * surviving doc and its in-batch copy count; union the returned
+    * fingerprints into the index afterwards.
+    *
+    * Scale shape: anti-join on the 16-byte digest (both sides partial-
+    * agg'd/bucketable), never on content; the batch (days) is small
+    * against the index (years), so the exchange is bounded by the
+    * increment size plus the index's bucketed scan.
+    */
+  def incrementalExact(batch: DataFrame, idCol: String, textCol: String,
+                       seenIndex: DataFrame): DataFrame =
+    batch.withColumn("fingerprint", md5(col(textCol).cast("binary")))
+      .join(seenIndex.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Exact n-gram Jaccard similarity pairs via inverted-index self-join.
     * Output: (id_a, id_b, shared, n_a, n_b, jaccard) for jaccard ≥ minSim,
     * id_a < id_b. Complete (no false negatives): pairs sharing zero

@@ -260,6 +260,27 @@ object TextQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // Incremental exact dedup: docs < 250 play the historical corpus
+  // (as its fingerprint index), docs >= 250 the daily batch — novel
+  // content only, deduped within the batch. The daily-increment mode
+  // a 100 TB corpus runs instead of full re-deduplication.
+  q("dd_incremental",
+    """WITH hist AS (
+      |  SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 250),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id >= 250),
+      |novel AS (
+      |  SELECT b.doc_id, b.fingerprint FROM batch b
+      |  LEFT JOIN hist h USING (fingerprint) WHERE h.fingerprint IS NULL)
+      |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM novel GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    DedupOps.incrementalExact(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        DedupOps.fingerprintIndex(docs.filter(col("doc_id") < 250), "text"))
+      .orderBy("fingerprint")
+  }
+
   // Benchmark decontamination: every 50th doc plays the held-out
   // benchmark set; corpus docs sharing any 5-gram with it are flagged
   // (the n-gram–collision test-set-leakage check run before training).

@@ -84,6 +84,24 @@ class DedupOpsSpec extends SparkSpec {
     val p02 = out.filter($"id_a" === 0 && $"id_b" === 2).head()
     assert(p02.getAs[Long]("hamming") == 0L)
   }
+
+  test("incrementalExact keeps only content the index has never seen") {
+    val index = DedupOps.fingerprintIndex(docs, "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // known (doc 0)
+      (11L, "brand new content in this batch"),
+      (12L, "brand new content in this batch"),              // in-batch dup of 11
+      (13L, "another novel document right here")
+    ).toDF("doc_id", "text")
+    val out = DedupOps.incrementalExact(batch, "doc_id", "text", index)
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(out == Map(11L -> 2L, 13L -> 1L),
+      s"known content must be dropped, in-batch dups collapsed: $out")
+    // the updated index covers both old and new content
+    val updated = index.union(
+      DedupOps.fingerprintIndex(batch, "text")).distinct()
+    assert(DedupOps.incrementalExact(batch, "doc_id", "text", updated).count() == 0)
+  }
 }
 
 class TextFunctionsSpec extends SparkSpec {
