@@ -533,8 +533,9 @@ object CoreQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
-  // A11b — the sketch variant for 100TB (t-digest-style bounded
-  // memory): approx_percentile; rows-only (sketch internals differ).
+  // A11b — the sketch variant for 100TB: approx_percentile (Spark's
+  // Greenwald-Khanna quantile summary, bounded memory, mergeable);
+  // rows-only (sketch internals differ).
   // Projected to SCALAR columns (element_at) — the driver checker
   // sorts rows by every column and cannot hash array cells.
   q("a11_approx_percentiles", null) { (s, dir) =>

@@ -260,6 +260,21 @@ object TextQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // One-pass heavy hitters over the token stream (Misra-Gries k=12):
+  // the "top domains/tokens in 100 TB" answer with 12 counters per
+  // partial buffer instead of a groupBy over every distinct key.
+  // Rows-only: MG counts are partitioning-dependent lower bounds; the
+  // coverage + error-bound guarantees are spec-asserted.
+  q("tx_heavy_hitters", null) { (s, dir) =>
+    import org.apache.spark.sql.graftx.MgHeavyHitters.mgHeavyHitters
+    Tables.load(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(mgHeavyHitters(col("token"), k = 12).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.min_count").as("min_count"))
+      .orderBy(col("min_count").desc, col("item"))
+  }
+
   // Incremental exact dedup: docs < 250 play the historical corpus
   // (as its fingerprint index), docs >= 250 the daily batch — novel
   // content only, deduped within the batch. The daily-increment mode

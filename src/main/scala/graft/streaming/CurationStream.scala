@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus curation — the continuous-ingestion twin of the
+  * batch curation operators ([[graft.operators.DedupOps]] /
+  * [[graft.operators.QualityOps]]): documents arrive as a stream,
+  * are content-fingerprinted and deduplicated with WATERMARK-BOUNDED
+  * state, and quality-gated with the same pure expressions the batch
+  * path uses (per-row expressions need no state at all).
+  *
+  * Division of labor at 100 TB: the stream drops duplicates arriving
+  * within the re-delivery horizon (bounded state — one 16-byte digest
+  * per distinct doc inside the watermark window); cross-run novelty
+  * against the full historical corpus stays a batch anti-join on the
+  * persisted fingerprint index (`DedupOps.incrementalExact`), which
+  * no streaming state could hold.
+  */
+object CurationStream {
+
+  /** Fingerprint + watermarked streaming dedup: exactly one row per
+    * distinct content within the watermark horizon; digest state is
+    * evicted once the event-time watermark passes `delay`.
+    */
+  def novelDocs(stream: DataFrame, textCol: String, eventTimeCol: String,
+                delay: String): DataFrame =
+    stream
+      .withColumn("fingerprint", md5(col(textCol).cast("binary")))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Stateless per-row quality gate (the streaming-safe subset of the
+    * batch gates): token-level repetition + quality score, pure
+    * expressions — no aggregation state, any output mode.
+    */
+  def qualityGate(stream: DataFrame, textCol: String,
+                  maxDupTokenFrac: Double, minQuality: Double): DataFrame = {
+    val tok = graft.functions.TextFunctions.tokens(col(textCol))
+    stream
+      .withColumn("dup_token_frac",
+        lit(1.0) - size(array_distinct(tok)).cast("double") / size(tok))
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col(textCol)))
+      .filter(col("dup_token_frac") <= maxDupTokenFrac &&
+        col("quality") >= minQuality)
+  }
+}

@@ -325,3 +325,52 @@ class StreamJoinSpec extends graft.SparkSpec {
     assert(rows.head.getAs[Double]("e_value") == 99.0)
   }
 }
+
+/** Streaming curation: watermarked content-hash dedup emits exactly
+  * one row per distinct content arriving within the horizon — across
+  * micro-batches — and the stateless quality gate filters in-flight.
+  */
+class CurationStreamSpec extends graft.SparkSpec {
+  import java.nio.file.Files
+  import org.apache.spark.sql.functions._
+
+  private def doc(id: Long, ts: String, text: String) =
+    s"""{"doc_id": $id, "ts": "$ts", "text": "$text"}"""
+
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+
+  test("streaming dedup keeps one row per content across micro-batches; gate filters in-flight") {
+    val in = Files.createTempDirectory("cur_in")
+    val out = Files.createTempDirectory("cur_out").toString
+    val ckpt = Files.createTempDirectory("cur_ckpt").toString
+    // two micro-batches (maxFilesPerTrigger=1): the duplicate content in
+    // batch 2 must be dropped by digest state carried across batches
+    Files.writeString(in.resolve("b1.json"), Seq(
+      doc(1, "2024-01-01T10:00:00Z", "a good long document with many distinct useful tokens inside it"),
+      doc(2, "2024-01-01T10:01:00Z", "spam spam spam spam spam spam")).mkString("\n"))
+    Files.writeString(in.resolve("b2.json"), Seq(
+      doc(3, "2024-01-01T10:02:00Z", "a good long document with many distinct useful tokens inside it"),
+      doc(4, "2024-01-01T10:03:00Z", "another clean document whose tokens are varied and plentiful today")).mkString("\n"))
+
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val curated = CurationStream.qualityGate(
+      CurationStream.novelDocs(stream, "text", "ts", delay = "1 hour"),
+      "text", maxDupTokenFrac = 0.5, minQuality = 0.0)
+    val q = curated.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // 1 survives; 2 fails the dup-token gate; 3 is a cross-batch
+    // duplicate of 1; 4 survives
+    assert(ids == Set(1L, 4L), s"got $ids")
+  }
+}
