@@ -149,7 +149,7 @@ object DedupOps {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     val cand = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -188,7 +188,7 @@ object DedupOps {
     val banded = sigs.select(col("doc_id"), col("sim"), posexplode(bandArr))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_val")
     banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") && col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

@@ -129,7 +129,7 @@ object SimilarityOps {
     val banded = capBuckets(
       bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand), maxBucket)
     val cand = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
@@ -155,7 +155,7 @@ object SimilarityOps {
     val banded = capBuckets(
       bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand), maxBucket)
     val cand = banded.as("a")
-      .join(banded.as("b"),
+      .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.id") =!= col("b.id"))
