@@ -142,6 +142,25 @@ object RelationalOps {
       .groupBy(col(key), col("__salt")).agg(partial.head, partial.tail: _*)
       .groupBy(col(key)).agg(merge.head, merge.tail: _*)
 
+  /** Skew-resistant equi-join: fan each left row into one of `salts`
+    * sub-keys and replicate every right row across ALL of them, so a
+    * hot join key's rows spread over `salts` reducers instead of one.
+    * Same rows as `left.join(right, key)` (inner), with the right side
+    * paying a `salts`× replication — use when the right side is too
+    * big to broadcast but far smaller than the skewed left (the
+    * classic fact⋈mid-size-dim skew case). AQE's skew-split covers
+    * sort-merge plans adaptively; explicit salting stays for forced
+    * layouts, hash joins, and deterministic pre-AQE materializations.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salts: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val repRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedLeft.join(repRight, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Connected components by iterative min-label propagation — the
     * transitive-closure step a dedup pipeline runs on its near-dup
     * pair graph to form duplicate CLUSTERS (keep one doc per

@@ -44,4 +44,21 @@ class SkewSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("saltedJoin spreads a hot key over salts reducers with identical rows") {
+    val facts = (1 to 5000)
+      .map(i => (if (i % 10 != 0) 1L else i.toLong, i.toLong))
+      .toDF("k", "v") // 90% of rows share k=1
+    val dim = (1L to 5000L).map(k => (k, s"d$k")).toDF("k", "d")
+
+    val salted = RelationalOps.saltedJoin(facts, dim, "k", salts = 8)
+    val plain = facts.join(dim, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+
+    // the exchange must be keyed on (k, __salt), not k alone
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), s"salt must reach the join keys:\n$plan")
+  }
 }
