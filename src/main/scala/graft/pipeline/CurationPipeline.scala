@@ -3,20 +3,24 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
-import graft.operators.{DedupOps, RelationalOps}
+import graft.operators.{DedupOps, QualityOps, RelationalOps}
 
 /** End-to-end training-data curation: the composition the scale
   * operators exist for. One declarative flow over a `documents`-shaped
   * corpus (doc_id, text, lang, source):
   *
   *   1. text analysis — token counts, quality score, language ID
-  *   2. quality gate — drop short/low-quality/undetermined docs
+  *   2. gates — length/quality, repetition (dup-token + top-bigram
+  *      boilerplate filters), and optional benchmark decontamination
   *   3. exact dedup — one survivor per content digest
   *   4. near-dup clustering — MinHash-LSH candidates, exact-Jaccard
   *      verified, connected components, keep cluster minimum
-  *   5. deterministic train/test split on a content-hash bucket
+  *   5. domain-mixture downsampling (per-source content-hash rates)
+  *      and a deterministic train/test split on a content-hash bucket
   *
-  * Shuffle inventory at 100 TB: steps 1-2 are scan-local; step 3 is
+  * Shuffle inventory at 100 TB: step 1 and the length/quality gate are
+  * scan-local; the repetition gate shuffles (doc, bigram) partials;
+  * decontamination broadcasts the benchmark shingle set; step 3 is
   * one digest-keyed hash aggregate; step 4 shuffles candidate pairs
   * only (banded LSH, never O(n²)); step 5 is scan-local. Every keep/
   * drop decision is content-deterministic, so incremental re-runs
@@ -27,16 +31,23 @@ object CurationPipeline {
   case class Config(
       minTokens: Long = 10,
       minQuality: Double = 0.05,
+      maxDupTokenFrac: Double = 0.95,
+      maxTopBigramFrac: Double = 0.5,
+      decontamNgram: Int = 8,
       nearDupSim: Double = 0.5,
       shingleSize: Int = 3,
       lshBands: Int = 8,
       lshRowsPerBand: Int = 4,
+      mixtureRates16: Map[String, Int] = Map.empty, // source → keep k of 16
       trainFraction16: Int = 12) // of 16 hash buckets → train
 
-  /** Annotate + gate + dedup + split. Returns the curated corpus with
-    * lineage columns (quality, cluster, split) retained for audit.
+  /** Annotate + gate + dedup + sample + split. Returns the curated
+    * corpus with lineage columns (quality, cluster, split) retained
+    * for audit. `benchmark` (doc_id, text) enables the held-out-set
+    * decontamination gate.
     */
-  def curate(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def curate(docs: DataFrame, cfg: Config = Config(),
+             benchmark: Option[DataFrame] = None): DataFrame = {
     // 1. analysis columns (scan-local, codegen'd)
     val annotated = docs
       .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
@@ -44,9 +55,19 @@ object CurationPipeline {
       .withColumn("pred_lang", TextFunctions.langIdHeuristic(col("text")))
       .withColumn("fingerprint", md5(col("text").cast("binary")))
 
-    // 2. quality gate
-    val gated = annotated.filter(
+    // 2. gates: length/quality (scan-local), repetition (per-doc
+    // bigram partials), optional benchmark decontamination
+    val gated0 = annotated.filter(
       col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality)
+    val repetitionKeep = QualityOps.repetitionMetrics(gated0, "doc_id", "text",
+        cfg.maxDupTokenFrac, cfg.maxTopBigramFrac)
+      .filter(col("keep")).select("doc_id")
+    val gated1 = gated0.join(repetitionKeep, "doc_id")
+    val gated = benchmark.fold(gated1) { b =>
+      gated1.join(
+        QualityOps.contaminationScan(gated1, b, "doc_id", "text", cfg.decontamNgram)
+          .filter(!col("contaminated")).select("doc_id"), "doc_id")
+    }
 
     // 3. exact dedup: smallest doc_id per digest survives
     val exactKeep = gated.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
@@ -60,8 +81,18 @@ object CurationPipeline {
     val canonical = exact.join(clusters, "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
 
-    // 5. deterministic split on the content digest's first nibble
-    canonical.withColumn("split",
+    // 5. per-source mixture downsampling (content-hash deterministic;
+    // unlisted sources keep everything), then the split
+    val sampled =
+      if (cfg.mixtureRates16.isEmpty) canonical
+      else {
+        val thr = cfg.mixtureRates16.foldLeft(lit(QualityOps.nibbleChar(16))) {
+          case (acc, (src, k)) =>
+            when(col("source") === src, lit(QualityOps.nibbleChar(k))).otherwise(acc)
+        }
+        canonical.filter(QualityOps.hashSampled(col("text"), thr))
+      }
+    sampled.withColumn("split",
       when(substring(col("fingerprint"), 1, 1).isin(
         (0 until cfg.trainFraction16).map(java.lang.Integer.toHexString): _*),
         lit("train")).otherwise(lit("test")))

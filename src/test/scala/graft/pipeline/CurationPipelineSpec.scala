@@ -30,6 +30,33 @@ class CurationPipelineSpec extends SparkSpec {
     assert(split1 == split2)
   }
 
+  test("repetition gate, decontamination, and mixture sampling compose into curate") {
+    val bench = Seq((100L, "held out benchmark sentence that must never leak into training data"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (0L, longText, "en", "sA"),
+      // contains an 8-gram of the benchmark doc → decontaminated
+      (1L, "prefix held out benchmark sentence that must never leak into training data suffix", "en", "sA"),
+      // degenerate repetition → repetition gate
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam", "en", "sA"),
+      (3L, "completely different words entirely spoken here today " * 3, "en", "sB")
+    ).toDF("doc_id", "text", "lang", "source")
+
+    // doc 3 repeats a 7-token sentence 3× → dup_token_frac ≈ 0.64 (kept
+    // at 0.7); doc 2 is one token 12× → ≈ 0.92 (dropped)
+    val cfg = CurationPipeline.Config(minTokens = 5, minQuality = 0.0,
+      maxDupTokenFrac = 0.7, nearDupSim = 0.5)
+    val kept = CurationPipeline.curate(docs, cfg, Some(bench))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 3L), s"kept $kept")
+
+    // mixture: source sB sampled at 0/16 disappears, sA at 16/16 stays
+    val mixed = CurationPipeline.curate(docs,
+        cfg.copy(mixtureRates16 = Map("sB" -> 0, "sA" -> 16)), Some(bench))
+      .select("doc_id").as[Long].collect().toSet
+    assert(mixed == Set(0L), s"kept $mixed")
+  }
+
   test("audit reports consistent totals") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val curated = CurationPipeline.curate(docs)
