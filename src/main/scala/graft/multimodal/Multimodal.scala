@@ -61,4 +61,37 @@ object Multimodal {
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
       .select(col("doc_id"), col("frame_idx"))
+
+  /** STUB feature extraction: media payload → `array<float>` embedding
+    * (a real pipeline runs a vision/audio encoder here; the stub
+    * derives a deterministic unit-norm vector from rolling byte
+    * hashes). The SHAPE is the real contract: extraction runs in the
+    * partition that holds the bytes (no shuffle; one iterator pass —
+    * the `mapInPandas` batch shape), emits `(id, embedding)` rows
+    * that flow STRAIGHT into the similarity stack — near-dup
+    * ([[graft.operators.SimilarityOps.embeddingLshPairs]]),
+    * quantization (`quantizeInt8`), ANN search (`twoStageTopK` /
+    * `ivfSearch`) — closing the media → embedding → dedup/index loop.
+    */
+  def stubEmbedding(spark: SparkSession, withBytes: DataFrame, dim: Int,
+                    idCol: String = "doc_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    import spark.implicits._
+    withBytes.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val v = new Array[Float](dim)
+        var h = 1125899906842597L // deterministic seed
+        var i = 0
+        while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
+        var d = 0
+        while (d < dim) {
+          h = h * 6364136223846793005L + 1442695040888963407L // LCG step
+          v(d) = ((h >>> 40).toInt - (1 << 23)).toFloat // symmetric around 0
+          d += 1
+        }
+        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        (id, v.map(x => (x / norm).toFloat))
+      }).toDF(idCol, "embedding")
+  }
 }

@@ -28,6 +28,22 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Media near-dup end-to-end: payload → per-partition stub embedding
+  // (unit-norm, content-deterministic) → banded RHP LSH near-dup pairs.
+  // Identical payloads land at cosine 1.0, so exact-duplicate media is
+  // recovered through the EMBEDDING path — the media twin of dd_exact.
+  // Rows-only: the byte-fold embedding is not SQL-expressible.
+  q("mm_embed_neardup", null) { (s, dir) =>
+    import graft.operators.SimilarityOps
+    import graft.functions.DetRound.r4
+    val emb = Multimodal.stubEmbedding(
+      s, Multimodal.withPayload(Tables.load(s, dir, "documents")), dim = 32)
+    SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
+        dim = 32, bands = 12, bitsPerBand = 5, minSim = 0.999)
+      .withColumn("cos", r4(col("cos")))
+      .orderBy("id_a", "id_b")
+  }
+
   q("mm_frame_sample",
     """WITH m AS (
       |  SELECT doc_id,

@@ -176,6 +176,25 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(meta, everyK = 3)
     assert(frames.select("frame_idx").as[Int].collect().toSeq == Seq(0, 3, 6))
   }
+
+  test("stubEmbedding: unit-norm, deterministic, flows into the similarity stack") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "identical media bytes"), (1L, "identical media bytes"),
+      (2L, "completely different payload")).toDF("doc_id", "text")
+    val emb = Multimodal.stubEmbedding(spark, Multimodal.withPayload(docs), dim = 16)
+    // unit norm
+    val norms = emb.select(SimilarityOps.l2Norm(col("embedding"))).as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+    // same bytes → identical vectors; the cosine pair op finds exactly them
+    val pairs = SimilarityOps.cosinePairs(emb, "doc_id", "embedding", minSim = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"got $pairs")
+    // re-extraction is bit-stable (content-deterministic, like the text ops)
+    val emb2 = Multimodal.stubEmbedding(spark, Multimodal.withPayload(docs), dim = 16)
+    assert(emb.exceptAll(emb2).isEmpty)
+  }
 }
 
 class ApproxDistinctSpec extends graft.SparkSpec {
