@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.RelationalOps
@@ -475,6 +476,41 @@ object CoreQueries extends QueryPack {
       .agg(r2(sum(rev).cast("double")).as("revenue"),
         countDistinct("o_orderkey").as("n_orders"))
       .orderBy("n_name")
+  }
+
+  // W6 — ordered funnel (view → click → purchase): each step's entry
+  // time is the user's first qualifying event STRICTLY AFTER the
+  // previous step (the behavioral-analytics staple). Three partial-
+  // aggregated passes keyed on user_id — no window over the full event
+  // stream, no driver loops; per-step user counts as one summary row.
+  q("w6_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |t1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |t2 AS (
+      |  SELECT e.user_id, min(ts) AS t2 FROM e JOIN t1 USING (user_id)
+      |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+      |t3 AS (
+      |  SELECT e.user_id, min(ts) AS t3 FROM e JOIN t2 USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1)
+      |SELECT CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_view,
+      |       CAST((SELECT count(*) FROM t2) AS BIGINT) AS n_click,
+      |       CAST((SELECT count(*) FROM t3) AS BIGINT) AS n_purchase""".stripMargin) { (s, dir) =>
+    val e = Tables.load(s, dir, "events").select("user_id", "event_type", "ts")
+    def step(evType: String, prev: DataFrame, prevT: String, outT: String) =
+      e.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") > col(prevT))
+        .groupBy("user_id").agg(min("ts").as(outT))
+    val t1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val t2 = step("click", t1, "t1", "t2")
+    val t3 = step("purchase", t2, "t2", "t3")
+    t1.agg(count(lit(1)).as("n_view"))
+      .crossJoin(t2.agg(count(lit(1)).as("n_click")))
+      .crossJoin(t3.agg(count(lit(1)).as("n_purchase")))
   }
 
   // W4 — sessionization (gap > 30 min starts a new session): the
