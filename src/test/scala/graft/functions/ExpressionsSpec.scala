@@ -94,4 +94,14 @@ class ExtensionsSpec extends graft.SparkSpec {
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
     assert(r.getLong(2) >= 0L)
   }
+
+  test("extension-injected aggregate mg_heavy_hitters resolves in SQL GROUP BY") {
+    import spark.implicits._
+    Seq("a", "a", "a", "b").toDF("t").createOrReplaceTempView("mg_in")
+    val hh = spark.sql(
+      "SELECT mg_heavy_hitters(t) AS hh FROM mg_in")
+      .selectExpr("inline(hh)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a" -> 3L, "b" -> 1L))
+  }
 }

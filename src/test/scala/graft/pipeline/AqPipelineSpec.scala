@@ -285,6 +285,28 @@ class TypedAndPruningSpec extends graft.SparkSpec {
     assert(spark.read.textFile(out).count() == 3)
   }
 
+  test("K4: archived raw lines replay under an EVOLVED schema (new column arrives as null)") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("rawevolve").toString
+    import spark.implicits._
+    val records = Seq(rec.replace("\"extracted_at\": \"e\"",
+        "\"extracted_at\": \"2024-01-15 09:00:00\"")).toDF("raw")
+      .withColumn("extracted_at",
+        to_timestamp(get_json_object(col("raw"), "$.extracted_at")))
+    AqPipeline.archiveRaw(records, "raw", "extracted_at", out)
+
+    // a later schema revision adds a column the old lines never had:
+    // replay parses cleanly, the new field is null, old fields intact
+    val evolved = org.apache.spark.sql.types.StructType(
+      AqSchemas.rawMeasurement :+ org.apache.spark.sql.types.StructField(
+        "sensor_firmware", org.apache.spark.sql.types.StringType))
+    val replayed = spark.read.schema(evolved).json(out)
+    assert(replayed.count() == 1)
+    val row = replayed.head()
+    assert(row.getAs[Any]("sensor_firmware") == null)
+    assert(row.getAs[Long]("location_id") == 18L)
+  }
+
   test("P11: year/month predicates prune hive partitions at the file level") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("prune").toString
