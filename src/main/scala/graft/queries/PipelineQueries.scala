@@ -236,4 +236,44 @@ object PipelineQueries extends QueryPack {
       Aqi.dominantPollutant(byP: _*).as("dominant"))
       .orderBy("user_id", "hour")
   }
+
+  // DQ — per-day completeness: distinct hours observed / 24 (the
+  // reference's validation step as a reportable metric instead of a
+  // log line). One partial-aggregated pass; a gap day surfaces as
+  // coverage < 1.
+  q("dq_completeness",
+    s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |  CAST(count(DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |    AS hours_present,
+      |  ${sqlR4("count(DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP))) / 24.0")}
+      |    AS coverage
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(date_trunc("hour", col("ts"))).as("hours_present"),
+        r4(countDistinct(date_trunc("hour", col("ts"))) / lit(24.0)).as("coverage"))
+      .orderBy("day")
+  }
+
+  // DQ — freshness lag per event type against a fixed anchor (the
+  // oracle-able stand-in for current_timestamp): hours between each
+  // type's latest event and the anchor — the staleness alarm input.
+  q("dq_freshness",
+    """SELECT event_type,
+      |  max(CAST(ts AS TIMESTAMP)) AS latest,
+      |  CAST(floor((epoch(TIMESTAMP '2024-03-01 00:00:00')
+      |    - epoch(date_trunc('second', max(CAST(ts AS TIMESTAMP))))) / 3600)
+      |    AS BIGINT) AS lag_hours
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
+    // elapsed whole hours on truncated-to-second timestamps — the same
+    // arithmetic on both engines (unix_timestamp floors to seconds)
+    val anchor = to_timestamp(lit("2024-03-01 00:00:00"))
+    Tables.load(s, dir, "events")
+      .groupBy("event_type")
+      .agg(max(col("ts")).as("latest"))
+      .withColumn("lag_hours",
+        floor((unix_timestamp(anchor) - unix_timestamp(col("latest")))
+          .cast("double") / 3600).cast("long"))
+      .orderBy("event_type")
+  }
 }
