@@ -67,15 +67,33 @@ object Multimodal {
     * derives a deterministic unit-norm vector from rolling byte
     * hashes). The SHAPE is the real contract: extraction runs in the
     * partition that holds the bytes (no shuffle; one iterator pass —
-    * the `mapInPandas` batch shape), emits `(id, embedding)` rows
-    * that flow STRAIGHT into the similarity stack — near-dup
+    * the `mapInPandas` encoder-batch shape), emitting `(id, embedding)`
+    * rows for the similarity stack — near-dup
     * ([[graft.operators.SimilarityOps.embeddingLshPairs]]),
     * quantization (`quantizeInt8`), ANN search (`twoStageTopK` /
-    * `ivfSearch`) — closing the media → embedding → dedup/index loop.
+    * `ivfSearch`).
+    *
+    * Encoders are expensive, so MATERIALIZE the result (parquet table,
+    * or `localCheckpoint` within a job) before feeding multi-reference
+    * consumers like LSH — a pair op references the embedding column
+    * several times, and an unmaterialized plan re-runs extraction for
+    * each. (A pure-expression variant was measured SLOWER here: the
+    * normalize-transform-of-transform nests interpreted HOFs that
+    * re-evaluate per reference — same pitfall as the text ops that got
+    * native Catalyst expressions.)
     */
-  def stubEmbedding(spark: SparkSession, withBytes: DataFrame, dim: Int,
+  def stubEmbedding(withBytes: DataFrame, dim: Int,
                     idCol: String = "doc_id",
-                    payloadCol: String = "payload"): DataFrame = {
+                    payloadCol: String = "payload"): DataFrame =
+    stubEmbeddingPartitions(withBytes.sparkSession, withBytes, dim, idCol, payloadCol)
+
+  /** The partition-iterator encoder itself (see [[stubEmbedding]] for
+    * the contract). Takes the session explicitly for callers that
+    * build the plan before a DataFrame exists.
+    */
+  def stubEmbeddingPartitions(spark: SparkSession, withBytes: DataFrame, dim: Int,
+                              idCol: String = "doc_id",
+                              payloadCol: String = "payload"): DataFrame = {
     import spark.implicits._
     withBytes.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]

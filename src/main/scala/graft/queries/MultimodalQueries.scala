@@ -37,7 +37,7 @@ object MultimodalQueries extends QueryPack {
     import graft.operators.SimilarityOps
     import graft.functions.DetRound.r4
     val emb = Multimodal.stubEmbedding(
-      s, Multimodal.withPayload(Tables.load(s, dir, "documents")), dim = 32)
+      Multimodal.withPayload(Tables.load(s, dir, "documents")), dim = 32)
     SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
         dim = 32, bands = 12, bitsPerBand = 5, minSim = 0.999)
       .withColumn("cos", r4(col("cos")))

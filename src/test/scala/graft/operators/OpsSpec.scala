@@ -183,7 +183,7 @@ class MultimodalSpec extends SparkSpec {
     val docs = Seq(
       (0L, "identical media bytes"), (1L, "identical media bytes"),
       (2L, "completely different payload")).toDF("doc_id", "text")
-    val emb = Multimodal.stubEmbedding(spark, Multimodal.withPayload(docs), dim = 16)
+    val emb = Multimodal.stubEmbedding(Multimodal.withPayload(docs), dim = 16)
     // unit norm
     val norms = emb.select(SimilarityOps.l2Norm(col("embedding"))).as[Double].collect()
     assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
@@ -192,8 +192,12 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)), s"got $pairs")
     // re-extraction is bit-stable (content-deterministic, like the text ops)
-    val emb2 = Multimodal.stubEmbedding(spark, Multimodal.withPayload(docs), dim = 16)
+    val emb2 = Multimodal.stubEmbedding(Multimodal.withPayload(docs), dim = 16)
     assert(emb.exceptAll(emb2).isEmpty)
+    // the partition-iterator variant produces equally valid embeddings
+    val embP = Multimodal.stubEmbeddingPartitions(spark, Multimodal.withPayload(docs), dim = 16)
+    val normsP = embP.select(SimilarityOps.l2Norm(col("embedding"))).as[Double].collect()
+    assert(normsP.forall(n => math.abs(n - 1.0) < 1e-5))
   }
 }
 
