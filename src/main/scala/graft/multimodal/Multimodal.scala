@@ -64,10 +64,14 @@ object Multimodal {
 
   /** STUB feature extraction: media payload → `array<float>` embedding
     * (a real pipeline runs a vision/audio encoder here; the stub
-    * derives a deterministic unit-norm vector from rolling byte
-    * hashes). The SHAPE is the real contract: extraction runs in the
-    * partition that holds the bytes (no shuffle; one iterator pass —
-    * the `mapInPandas` encoder-batch shape), emitting `(id, embedding)`
+    * feature-hashes rolling byte 8-grams into `dim` signed buckets and
+    * L2-normalizes). Like a real encoder — and unlike a whole-payload
+    * hash — it is LOCALITY-SENSITIVE: payloads sharing most of their
+    * bytes land at cosine near 1, unrelated payloads near 0, so the
+    * downstream near-dup/ANN stack exercises realistic geometry. The
+    * SHAPE is the real contract: extraction runs in the partition that
+    * holds the bytes (no shuffle; one iterator pass — the
+    * `mapInPandas` encoder-batch shape), emitting `(id, embedding)`
     * rows for the similarity stack — near-dup
     * ([[graft.operators.SimilarityOps.embeddingLshPairs]]),
     * quantization (`quantizeInt8`), ANN search (`twoStageTopK` /
@@ -95,20 +99,30 @@ object Multimodal {
                               idCol: String = "doc_id",
                               payloadCol: String = "payload"): DataFrame = {
     import spark.implicits._
+    val gram = 8
+    // 31^(gram-1), for removing the outgoing byte of the rolling hash
+    val pOut = Iterator.fill(gram - 1)(31L).product
     withBytes.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val v = new Array[Float](dim)
-        var h = 1125899906842597L // deterministic seed
-        var i = 0
-        while (i < bytes.length) { h = h * 31 + bytes(i); i += 1 }
-        var d = 0
-        while (d < dim) {
-          h = h * 6364136223846793005L + 1442695040888963407L // LCG step
-          v(d) = ((h >>> 40).toInt - (1 << 23)).toFloat // symmetric around 0
-          d += 1
+        val v = new Array[Double](dim)
+        if (bytes.length >= gram) {
+          // rolling polynomial hash over byte 8-grams, O(len) total
+          var h = 0L
+          var j = 0
+          while (j < gram) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+          var i = 0
+          val last = bytes.length - gram
+          while (i <= last) {
+            val g = h * 6364136223846793005L + 1442695040888963407L // mix
+            v(((g >>> 33) % dim).toInt) += (if (((g >>> 32) & 1L) == 0L) 1.0 else -1.0)
+            if (i < last)
+              h = (h - (bytes(i) & 0xffL) * pOut) * 31L + (bytes(i + gram) & 0xffL)
+            i += 1
+          }
         }
-        val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+        val norm0 = math.sqrt(v.map(x => x * x).sum)
+        val norm = if (norm0 == 0.0) { v(0) = 1.0; 1.0 } else norm0
         (id, v.map(x => (x / norm).toFloat))
       }).toDF(idCol, "embedding")
   }

@@ -29,17 +29,18 @@ object MultimodalQueries extends QueryPack {
   }
 
   // Media near-dup end-to-end: payload → per-partition stub embedding
-  // (unit-norm, content-deterministic) → banded RHP LSH near-dup pairs.
-  // Identical payloads land at cosine 1.0, so exact-duplicate media is
-  // recovered through the EMBEDDING path — the media twin of dd_exact.
-  // Rows-only: the byte-fold embedding is not SQL-expressible.
+  // (byte-8-gram feature hashing — locality-sensitive like a real
+  // encoder, so near-identical payloads land at cosine ≈1 while
+  // unrelated ones sit ≤0.62 on this corpus) → banded RHP LSH
+  // near-dup pairs at τ=0.9 — the media twin of dd_simhash.
+  // Rows-only: the byte-gram embedding is not SQL-expressible.
   q("mm_embed_neardup", null) { (s, dir) =>
     import graft.operators.SimilarityOps
     import graft.functions.DetRound.r4
     val emb = Multimodal.stubEmbedding(
-      Multimodal.withPayload(Tables.load(s, dir, "documents")), dim = 32)
+      Multimodal.withPayload(Tables.load(s, dir, "documents")), dim = 64)
     SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
-        dim = 32, bands = 12, bitsPerBand = 5, minSim = 0.999)
+        dim = 64, bands = 12, bitsPerBand = 5, minSim = 0.9)
       .withColumn("cos", r4(col("cos")))
       .orderBy("id_a", "id_b")
   }
