@@ -196,4 +196,29 @@ object DedupOps {
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Canonical-document selection: for each duplicate cluster (from
+    * [[graft.operators.RelationalOps.connectedComponents]]) keep the
+    * member with the highest `qualityCol` (ties → lowest id); every
+    * other member is marked dropped. This is the KEEP/DROP decision a
+    * curation pipeline applies after near-dup clustering — emitted as
+    * a full audit table (one row per doc) rather than just the kept
+    * set, so the drop side is reviewable.
+    *
+    * Scale: one shuffle on `clusterCol` for the window; the quality
+    * join is key-equi on the doc id. No driver-side state.
+    */
+  def canonicalPerCluster(clusters: DataFrame, idCol: String, clusterCol: String,
+                          quality: DataFrame, qIdCol: String,
+                          qualityCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = clusters.join(
+      quality.select(col(qIdCol).as(idCol), col(qualityCol)), idCol)
+    val w = Window.partitionBy(clusterCol)
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    joined
+      .withColumn("keep_id", first(col(idCol)).over(w))
+      .withColumn("is_kept", col(idCol) === col("keep_id"))
+      .select(col(idCol), col(clusterCol), col("keep_id"), col("is_kept"))
+  }
 }

@@ -276,4 +276,105 @@ object PipelineQueries extends QueryPack {
           .cast("double") / 3600).cast("long"))
       .orderBy("event_type")
   }
+
+  /** One referential-integrity check: count child rows and how many
+    * have no parent key. The parent side is key-distinct first, so the
+    * left join can't multiply child rows; each check is a single
+    * key-equi join + one-row aggregate (AQE broadcasts small parents).
+    */
+  private def fkAudit(rel: String, child: DataFrame, ck: String,
+                      parent: DataFrame, pk: String): DataFrame =
+    child.select(col(ck).as("ck"))
+      .join(parent.select(col(pk).as("k")).distinct(), col("ck") === col("k"), "left")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .select(lit(rel).as("relationship"), col("n_rows"),
+        col("n_unmatched").cast("long").as("n_unmatched"))
+
+  // DQ — referential-integrity audit over the star schema: orphaned
+  // child keys in both fact→dim directions, plus childless parents
+  // (customers that never ordered — a real nonzero signal on TPC-H
+  // data). One row per relationship; nothing collects to the driver.
+  q("dq_referential",
+    """SELECT * FROM (
+      |  SELECT 'customer.c_custkey->orders.o_custkey' AS relationship,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+      |  FROM customer c LEFT JOIN (SELECT DISTINCT o_custkey AS k FROM orders) p
+      |    ON c.c_custkey = p.k
+      |  UNION ALL
+      |  SELECT 'events.user_id->customer.c_custkey',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+      |    ON c.user_id = p.k
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey->orders.o_orderkey',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+      |    ON c.l_orderkey = p.k
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer.c_custkey',
+      |    CAST(count(*) AS BIGINT),
+      |    CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+      |    ON c.o_custkey = p.k
+      |) ORDER BY relationship""".stripMargin) { (s, dir) =>
+    val customer = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    fkAudit("customer.c_custkey->orders.o_custkey", customer, "c_custkey",
+        orders, "o_custkey")
+      .unionAll(fkAudit("events.user_id->customer.c_custkey",
+        Tables.load(s, dir, "events"), "user_id", customer, "c_custkey"))
+      .unionAll(fkAudit("lineitem.l_orderkey->orders.o_orderkey",
+        Tables.load(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey"))
+      .unionAll(fkAudit("orders.o_custkey->customer.c_custkey",
+        orders, "o_custkey", customer, "c_custkey"))
+      .orderBy("relationship")
+  }
+
+  // Cohort retention: users grouped by the week of their first event;
+  // for each (cohort week, week offset) count distinct active users
+  // and the retained share. Two shuffles on user_id (first-touch +
+  // re-join) then one on the cohort grain — all key-equi, no windows
+  // over the whole table.
+  q("w7_retention",
+    """WITH ev AS (
+      |  SELECT user_id,
+      |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS aw
+      |  FROM events),
+      |fw AS (SELECT user_id, min(aw) AS cohort_week FROM ev GROUP BY 1),
+      |act AS (
+      |  SELECT e.user_id, f.cohort_week,
+      |    CAST(date_diff('day', f.cohort_week, e.aw) // 7 AS INTEGER) AS week_k
+      |  FROM ev e JOIN fw f USING (user_id)),
+      |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+      |  FROM fw GROUP BY 1),
+      |r AS (SELECT cohort_week, week_k,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |  FROM act GROUP BY 1, 2)
+      |SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+      |  r.week_k, r.n_active, cs.cohort_size,
+      |  """.stripMargin + sqlR4("r.n_active / cs.cohort_size") +
+    """ AS retention
+      |FROM r JOIN cs USING (cohort_week)
+      |ORDER BY cohort_week, week_k""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("aw"))
+    val firstW = ev.groupBy("user_id").agg(min("aw").as("cohort_week"))
+    val cohortSize = firstW.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(firstW, "user_id")
+      .withColumn("week_k",
+        (datediff(col("aw"), col("cohort_week")) / lit(7)).cast("int"))
+      .groupBy("cohort_week", "week_k")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(cohortSize, "cohort_week")
+      .withColumn("retention", r4(col("n_active") / col("cohort_size")))
+      // string date at the boundary: the driver compare stringifies
+      // py date vs timestamp differently (see dq_completeness)
+      .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
+      .orderBy("cohort_week", "week_k")
+  }
 }

@@ -201,11 +201,12 @@ object TextQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
-  // Duplicate clustering: connected components over the near-dup pair
-  // graph (keep-one-per-cluster is the final step of every dedup
-  // pipeline). Spark: iterative min-label propagation; oracle: a
-  // recursive-CTE transitive closure over the same exact pair set.
-  q("dd_clusters",
+  /** Shared oracle prelude: exact n-gram Jaccard pairs (capped
+    * postings) → transitive closure → per-doc min-reachable-id cluster
+    * label. `dd_clusters` selects it directly; `dd_canonical` layers
+    * the keep/drop window on top.
+    */
+  private val ClusterCte =
     s"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |ngr AS (
@@ -234,13 +235,44 @@ object TextQueries extends QueryPack {
       |reach(id, r) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id)
-      |SELECT id AS doc_id, min(r) AS cluster_id
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id),
+      |cl AS (SELECT id AS doc_id, min(r) AS cluster_id
+      |  FROM reach GROUP BY id)""".stripMargin
+
+  /** Spark side of the shared cluster stage. */
+  private def clusterDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.load(s, dir, "documents")
     val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minSim = 0.2,
       maxPosting = Some(NgramPostingCap))
-    RelationalOps.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+    (docs, RelationalOps.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b"))
+  }
+
+  // Duplicate clustering: connected components over the near-dup pair
+  // graph (keep-one-per-cluster is the final step of every dedup
+  // pipeline). Spark: iterative min-label propagation; oracle: a
+  // recursive-CTE transitive closure over the same exact pair set.
+  q("dd_clusters",
+    s"""$ClusterCte
+      |SELECT doc_id, cluster_id FROM cl ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    clusterDf(s, dir)._2.orderBy("doc_id")
+  }
+
+  // Canonical selection: per duplicate cluster keep the longest doc
+  // (n_chars; ties → lowest doc_id), mark the rest dropped — the
+  // keep/drop audit a curation pipeline acts on after clustering.
+  q("dd_canonical",
+    s"""$ClusterCte,
+      |q AS (SELECT cl.doc_id, cl.cluster_id, d.n_chars
+      |  FROM cl JOIN documents d USING (doc_id)),
+      |k AS (SELECT doc_id, cluster_id,
+      |    first_value(doc_id) OVER (
+      |      PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS keep_id
+      |  FROM q)
+      |SELECT doc_id, cluster_id, keep_id, doc_id = keep_id AS is_kept
+      |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val (docs, clusters) = clusterDf(s, dir)
+    DedupOps.canonicalPerCluster(clusters, "doc_id", "cluster_id",
+        docs, "doc_id", "n_chars")
       .orderBy("doc_id")
   }
 
@@ -383,5 +415,27 @@ object TextQueries extends QueryPack {
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
       .orderBy("source")
+  }
+
+  // Blocklist term redaction — the PII-scrubbing shape (regex scan +
+  // global replace + hit count) as one codegen'd projection, no UDFs.
+  // The synthetic corpus has no emails/phones, so the blocklist names
+  // real tokens to keep the gate signal nonzero; swapping in
+  // email/phone regexes is a constant change on both sides (both
+  // dialects are \b-compatible). Only the md5 of the redacted text is
+  // emitted — the audit row stays narrow no matter how wide the doc.
+  q("tx_redact",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\b(spark|hash|window)\b')) AS BIGINT)
+      |    AS n_hits,
+      |  md5(regexp_replace(text, '\b(spark|hash|window)\b', '<TERM>', 'g'))
+      |    AS redacted_md5
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pat = "\\b(spark|hash|window)\\b"
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(pat)).cast("long").as("n_hits"),
+        md5(regexp_replace(col("text"), pat, "<TERM>")).as("redacted_md5"))
+      .orderBy("doc_id")
   }
 }

@@ -272,6 +272,29 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
       .orderBy("id").select("cluster_id").as[Long].collect().toSeq
     assert(out == Seq(0L, 0L, 0L, 0L, 4L, 4L, 6L))
   }
+
+  test("canonicalPerCluster: best quality wins, ties to lowest id, singletons kept") {
+    import org.apache.spark.sql.functions._
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "cluster_id")
+    // cluster 0: doc 1 longest; cluster 4: tie between 4 and 5 → keep 4
+    val quality = Seq((0L, 10L), (1L, 50L), (2L, 20L), (3L, 7L), (4L, 9L), (5L, 9L))
+      .toDF("doc_id", "n_chars")
+    val out = graft.operators.DedupOps
+      .canonicalPerCluster(clusters, "doc_id", "cluster_id", quality, "doc_id", "n_chars")
+      .orderBy("doc_id")
+      .select("doc_id", "keep_id", "is_kept").as[(Long, Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq((0L, 1L, false), (1L, 1L, true), (2L, 1L, false),
+      (3L, 3L, true), (4L, 4L, true), (5L, 4L, false)))
+    // exactly one kept doc per cluster
+    val perCluster = graft.operators.DedupOps
+      .canonicalPerCluster(clusters, "doc_id", "cluster_id", quality, "doc_id", "n_chars")
+      .groupBy("cluster_id")
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("n_kept"))
+      .select("n_kept").as[Long].collect()
+    assert(perCluster.forall(_ == 1L))
+  }
 }
 
 class SaltedAggSpec extends graft.SparkSpec {
