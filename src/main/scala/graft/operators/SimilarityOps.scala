@@ -71,24 +71,34 @@ object SimilarityOps {
     * hash-derived values in [-1,1] — reproducible across runs/engines
     * with the same construction.
     */
-  def rhpSignature(vec: Column, dim: Int, nBits: Int): Column =
-    org.apache.spark.sql.graftx.GraftFunctions.rhpSignature(vec, dim, nBits)
+  def rhpSignature(vec: Column, dim: Int, nBits: Int,
+                   planeOffset: Int = 0): Column =
+    org.apache.spark.sql.graftx.GraftFunctions.rhpSignature(vec, dim, nBits, planeOffset)
 
-  /** Banded RHP signatures: ONE native signature of
-    * `bands × bitsPerBand` sign bits, sliced into `bands` independent
-    * hash tables (bit ranges use disjoint hyperplanes, so each band is
-    * an independent `bitsPerBand`-bit LSH table). Output rows are
-    * `(id, band, band_val)` — 20 bytes each, NO vector payload: band
-    * exchange volume is O(bands × 20 B/row) regardless of `dim`.
+  /** Banded RHP signatures: `bands` independent `bitsPerBand`-bit LSH
+    * hash tables over disjoint hyperplane stretches. Bands pack into
+    * native signature longs (⌊64/bits⌋ bands per word; several words
+    * when `bands × bitsPerBand > 64`, each word a disjoint
+    * `planeOffset` stretch of the same global plane sequence). Output
+    * rows are `(id, band, band_val)` — 20 bytes each, NO vector
+    * payload: band exchange volume is O(bands × 20 B/row) regardless
+    * of `dim`.
     */
   private def bandedRhp(ids: DataFrame, idCol: String, vecCol: String,
                         dim: Int, bands: Int, bitsPerBand: Int): DataFrame = {
-    require(bands * bitsPerBand <= 64, "signature must fit one long")
+    require(bitsPerBand >= 1 && bitsPerBand < 64, "band width must fit a long")
     val mask = (1L << bitsPerBand) - 1
-    val bandArr = array((0 until bands).map(b =>
-      shiftrightunsigned(col("__sig"), b * bitsPerBand).bitwiseAND(lit(mask))): _*)
-    ids.select(col(idCol).as("id"),
-        rhpSignature(col(vecCol), dim, bands * bitsPerBand).as("__sig"))
+    val perWord = 64 / bitsPerBand
+    val wordSizes = (0 until bands).grouped(perWord).map(_.size).toSeq
+    val sigCols = wordSizes.zipWithIndex.map { case (nb, w) =>
+      rhpSignature(col(vecCol), dim, nb * bitsPerBand,
+        planeOffset = w * perWord * bitsPerBand).as(s"__sig$w")
+    }
+    val bandArr = array(wordSizes.zipWithIndex.flatMap { case (nb, w) =>
+      (0 until nb).map(b =>
+        shiftrightunsigned(col(s"__sig$w"), b * bitsPerBand).bitwiseAND(lit(mask)))
+    }: _*)
+    ids.select(col(idCol).as("id") +: sigCols: _*)
       .select(col("id"), posexplode(bandArr))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_val")

@@ -37,10 +37,19 @@ object MultimodalQueries extends QueryPack {
   q("mm_embed_neardup", null) { (s, dir) =>
     import graft.operators.SimilarityOps
     import graft.functions.DetRound.r4
+    // materialize the encoder output once (the in-job stand-in for the
+    // persisted embeddings table a real pipeline writes) — the LSH pair
+    // op references its input 4×, and an unmaterialized plan would
+    // re-run extraction each time (see Multimodal.stubEmbedding docs)
     val emb = Multimodal.stubEmbedding(
       Multimodal.withPayload(Tables.load(s, dir, "documents")), dim = 64)
+      .localCheckpoint()
+    // 24 bands × 12 bits: ≥99.9% recall for pairs at cos ≥0.944 (the
+    // weakest true pair on this corpus) while buckets stay ~singleton
+    // (4096/band for 5k docs), so candidate volume ≈ true pairs — the
+    // geometry that scales: more docs → raise bitsPerBand, not buckets
     SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
-        dim = 64, bands = 12, bitsPerBand = 5, minSim = 0.9)
+        dim = 64, bands = 24, bitsPerBand = 12, minSim = 0.9)
       .withColumn("cos", r4(col("cos")))
       .orderBy("id_a", "id_b")
   }

@@ -282,17 +282,28 @@ case class RollingHash31(child: Expression)
   * order as the Column-expression form, one native O(nBits·dim) loop
   * instead of a 512-term codegen expression tree.
   */
-case class RhpSignature(child: Expression, dim: Int, nBits: Int)
+case class RhpSignature(child: Expression, dim: Int, nBits: Int,
+                        planeOffset: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "rhp_signature"
 
+  // planeOffset shifts into a disjoint stretch of the global plane
+  // sequence, so several signature words together behave as one long
+  // multi-table signature (bands × bits > 64 across words).
+  // Components come from a full-avalanche mix (splitmix64 finalizer) —
+  // a single LCG step here left consecutive planes correlated
+  // (|cos| ≈ 0.4, with periodic exact repeats), silently collapsing
+  // the effective band count and the advertised recall.
   private lazy val planes: Array[Array[Double]] =
     Array.tabulate(nBits, dim) { (b, d) =>
-      val x = (1103515245L * (b * dim + d + 12345L) + 12345L) % 2147483647L
-      (x.toDouble / 2147483647.0) * 2 - 1
+      var z = ((planeOffset + b).toLong * dim + d) * 0x9E3779B97F4A7C15L + 0x1234567L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2 - 1
     }
 
   override def nullSafeEval(input: Any): Any =
@@ -327,8 +338,9 @@ object GraftFunctions {
   def tokenNgrams(tokens: Column, n: Int): Column =
     ExpressionUtils.column(TokenNgrams(expr(tokens), n))
 
-  def rhpSignature(vec: Column, dim: Int, nBits: Int): Column =
-    ExpressionUtils.column(RhpSignature(expr(vec), dim, nBits))
+  def rhpSignature(vec: Column, dim: Int, nBits: Int,
+                   planeOffset: Int = 0): Column =
+    ExpressionUtils.column(RhpSignature(expr(vec), dim, nBits, planeOffset))
 
   def rollingHash31(s: Column): Column =
     ExpressionUtils.column(RollingHash31(expr(s)))
