@@ -111,6 +111,54 @@ object DedupOps {
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Incremental near-dup: n-gram Jaccard pairs that TOUCH the new
+    * batch — each pair's greater id is in the batch (batch-vs-history
+    * and batch-vs-batch; history-vs-history pairs were found when
+    * those docs were themselves the increment). The daily mode of
+    * [[ngramJaccardPairs]]: the posting join is (history+batch) ×
+    * batch instead of corpus², so per-shingle candidate work is
+    * f_full × f_batch, bounded by the increment — the full corpus is
+    * never self-joined. Persist the full-corpus posting table bucketed
+    * on `g` and the wide side never re-shuffles either.
+    *
+    * The stop-shingle cap is computed over the FULL corpus (identical
+    * hot set to a from-scratch run, so results are replay-consistent).
+    * Requires history ids < batch ids (monotonic doc ids — the natural
+    * ingest order), so "greater id in batch" enumerates each pair
+    * exactly once via the a.id < b.id join condition.
+    */
+  def incrementalNgramPairs(history: DataFrame, batch: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int, minSim: Double,
+                            maxPosting: Option[Int] = None): DataFrame = {
+    def postings(docs: DataFrame) = {
+      val sh = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.shingleSet(col(textCol), n).as("ng"))
+      sh.select(col("doc_id"), size(col("ng")).cast("long").as("n_ng"),
+          explode(col("ng")).as("g0"))
+        .withColumn("g", xxhash64(col("g0"))).drop("g0")
+    }
+    val batchPosting = postings(batch)
+    val fullPosting = postings(history).unionByName(batchPosting)
+    val (full, inc) = maxPosting match {
+      case Some(cap) =>
+        val hot = fullPosting.groupBy("g").count()
+          .filter(col("count") > cap).select("g")
+        (fullPosting.join(broadcast(hot), Seq("g"), "left_anti"),
+          batchPosting.join(broadcast(hot), Seq("g"), "left_anti"))
+      case None => (fullPosting, batchPosting)
+    }
+    full.as("a")
+      .join(inc.hint("SHUFFLE_HASH").as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        max(col("a.n_ng")).as("n_a"), max(col("b.n_ng")).as("n_b"))
+      .withColumn("jaccard", col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= minSim)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+  }
+
   /** MinHash signature (k permutations) of a shingle array column —
     * the native one-pass [[org.apache.spark.sql.graftx.MinHashSignature]]
     * expression (h_i(x) = (a_i·x32 + b_i) mod 2^61-1, overflow-free).

@@ -328,6 +328,46 @@ object TextQueries extends QueryPack {
       .orderBy("fingerprint")
   }
 
+  // Incremental NEAR-dup: docs ≥ 250 play the daily batch, joined
+  // against the full posting index instead of re-self-joining the
+  // corpus — pairs whose greater id is in the batch. Oracle = the
+  // full dd_ngram_jaccard result restricted to id_b ≥ 250 (identical
+  // pairs, identical cap — replay consistency of the increment mode).
+  q("dd_incremental_neardup",
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ngr AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [] END) AS ng
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ng FROM ngr),
+      |ex0 AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |ok AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= $NgramPostingCap),
+      |ex AS (SELECT ex0.doc_id, ex0.g FROM ex0 JOIN ok USING (g)),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, shared, sa.n_ng AS n_a, sb.n_ng AS n_b,
+      |  ${sqlR4("shared / (sa.n_ng + sb.n_ng - shared)")} AS jaccard
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE shared / (sa.n_ng + sb.n_ng - shared) >= 0.2
+      |  AND id_b >= 250
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    DedupOps.incrementalNgramPairs(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", n = 3, minSim = 0.2,
+        maxPosting = Some(NgramPostingCap))
+      .withColumn("jaccard", r4(col("jaccard")))
+      .orderBy("id_a", "id_b")
+  }
+
   // Benchmark decontamination: every 50th doc plays the held-out
   // benchmark set; corpus docs sharing any 5-gram with it are flagged
   // (the n-gram–collision test-set-leakage check run before training).

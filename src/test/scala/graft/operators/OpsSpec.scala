@@ -59,6 +59,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.count() == 3) // 3 distinct contents
   }
 
+  test("incrementalNgramPairs == full pairs whose greater id is in the batch") {
+    val history = docs.filter($"doc_id" < 2)
+    val batch = docs.filter($"doc_id" >= 2)
+    val full = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .filter($"id_b" >= 2)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val inc = DedupOps.incrementalNgramPairs(history, batch, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(inc == full && inc.nonEmpty)
+    // with the cap, both modes drop the same full-corpus hot shingles
+    val fullCap = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.1,
+        maxPosting = Some(2)).filter($"id_b" >= 2)
+      .select("id_a", "id_b", "shared").as[(Long, Long, Long)].collect().toSet
+    val incCap = DedupOps.incrementalNgramPairs(history, batch, "doc_id", "text",
+        3, 0.1, maxPosting = Some(2))
+      .select("id_a", "id_b", "shared").as[(Long, Long, Long)].collect().toSet
+    assert(incCap == fullCap)
+  }
+
   test("ngramJaccardPairs computes exact shingle Jaccard") {
     val out = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
     val pairs = out.select("id_a", "id_b", "jaccard").collect()
