@@ -64,4 +64,47 @@ class PropertySpec extends SparkSpec {
       filled.filter(col("s").isNull || col("d").isNull).count() == 0L
     })
   }
+
+  test("property: canonicalPerCluster keeps exactly one doc per cluster, the argmax") {
+    val memberGen = for {
+      id <- Gen.choose(0L, 30L)
+      cl <- Gen.choose(0L, 4L)
+      q <- Gen.choose(0L, 9L)
+    } yield (id, cl, q)
+    check(Prop.forAll(Gen.nonEmptyListOf(memberGen)) { rows0 =>
+      val rows = rows0.distinctBy(_._1) // one cluster/quality per doc
+      val clusters = rows.map(r => (r._1, r._2)).toDF("doc_id", "cluster_id")
+      val quality = rows.map(r => (r._1, r._3)).toDF("doc_id", "q")
+      val out = DedupOps
+        .canonicalPerCluster(clusters, "doc_id", "cluster_id", quality, "doc_id", "q")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      val byCluster = out.groupBy(_._2)
+      byCluster.forall { case (cl, members) =>
+        val expectedKeep = rows.filter(_._2 == cl).minBy(r => (-r._3, r._1))._1
+        members.count(_._4) == 1 &&
+          members.forall(_._3 == expectedKeep) &&
+          members.find(_._4).get._1 == expectedKeep
+      }
+    })
+  }
+
+  test("property: incrementalNgramPairs == full-run pairs whose greater id is in the batch") {
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val docGen = Gen.listOfN(6, Gen.oneOf(words)).map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(docGen)) { texts0 =>
+      val texts = texts0.take(8).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val split = texts.length / 2
+      val docs = texts.toDF("doc_id", "text")
+      val full = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+        .filter(col("id_b") >= split)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val inc = DedupOps.incrementalNgramPairs(
+          docs.filter(col("doc_id") < split), docs.filter(col("doc_id") >= split),
+          "doc_id", "text", 3, 0.3)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      inc == full
+    })
+  }
 }
