@@ -361,6 +361,46 @@ object CoreQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // W3b — distribution family: percent_rank/cume_dist/ntile. The
+  // fractions are rank ratios (exact integer divisions), rounded 4dp
+  // on both sides anyway per the cross-engine float rule.
+  q("w3b_distribution",
+    s"""SELECT event_id, event_type,
+      |  ${sqlR4("percent_rank() OVER w")} AS pct_rnk,
+      |  ${sqlR4("cume_dist() OVER w")} AS cume,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        r4(percent_rank().over(w)).as("pct_rnk"),
+        r4(cume_dist().over(w)).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("event_id")
+  }
+
+  // A12 — dispersion/association aggregates per group: sample stddev,
+  // Pearson correlation, sample covariance (co-moment partial aggs on
+  // both engines; 4dp absorbs merge-order noise).
+  q("a12_dispersion",
+    s"""SELECT l_returnflag,
+      |  ${sqlR4("stddev_samp(l_quantity)")} AS sd_qty,
+      |  ${sqlR4("stddev_samp(l_extendedprice)")} AS sd_price,
+      |  ${sqlR4("corr(l_quantity, l_extendedprice)")} AS corr_qty_price,
+      |  ${sqlR4("covar_samp(l_quantity, l_discount)")} AS covar_qty_disc
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r4(covar_samp(col("l_quantity"), col("l_discount"))).as("covar_qty_disc"))
+      .orderBy("l_returnflag")
+  }
+
   // A9b — ROLLUP subtotals (beyond the reference surface; Catalyst
   // expands to grouping sets in one pass).
   q("a9_rollup",
