@@ -208,4 +208,36 @@ object RelationalOps {
     p.unpersist()
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
+
+  /** Range (interval) join: left rows whose `tsCol` falls inside a
+    * right-side `[loCol, hiCol]` interval (inclusive). A naive
+    * non-equi join plans BroadcastNestedLoopJoin — O(|L|·|R|) with no
+    * shuffle key. This decomposes the range predicate into an
+    * EQUI-join on coarse time buckets: each interval explodes to the
+    * buckets it covers (⌈span/bucket⌉ rows), each left row maps to
+    * its single bucket, the bucket equi-join shuffles both sides by
+    * bucket, and the exact BETWEEN filter runs on co-located
+    * candidates only. Each (row, interval) pair meets in exactly one
+    * bucket — the left row's — so no dedup pass is needed.
+    *
+    * Pick `bucketSeconds` ≈ the typical interval span: candidates per
+    * row ≈ intervals overlapping its bucket, and the explode factor
+    * stays ~2-3×. Both sides stream through one hash exchange — the
+    * shape that survives two large inputs, where broadcast can't.
+    */
+  def rangeJoinBucketed(left: DataFrame, tsCol: String,
+                        right: DataFrame, loCol: String, hiCol: String,
+                        bucketSeconds: Long): DataFrame = {
+    val lb = left.withColumn("__bucket",
+      floor(unix_timestamp(col(tsCol)) / bucketSeconds).cast("long"))
+    // inverted intervals match nothing under BETWEEN; drop them BEFORE
+    // sequence(), which would silently generate a DESCENDING range
+    val rb = right.filter(col(loCol) <= col(hiCol)).withColumn("__bucket",
+      explode(sequence(
+        floor(unix_timestamp(col(loCol)) / bucketSeconds).cast("long"),
+        floor(unix_timestamp(col(hiCol)) / bucketSeconds).cast("long"))))
+    lb.join(rb, Seq("__bucket"))
+      .filter(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -361,6 +361,37 @@ object CoreQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // J7 — range (interval) join: per-user 2h windows anchored at the
+  // first purchase, counting ALL events (any user) inside each window.
+  // Spark side decomposes the non-equi predicate into a bucket
+  // equi-join (RelationalOps.rangeJoinBucketed — no BNLJ); the oracle
+  // states the plain BETWEEN join.
+  q("j7_range_join",
+    """WITH iv AS (
+      |  SELECT user_id AS iv_user, min(CAST(ts AS TIMESTAMP)) AS lo,
+      |    min(CAST(ts AS TIMESTAMP)) + INTERVAL 2 HOUR AS hi
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |j AS (
+      |  SELECT iv.iv_user, iv.lo, e.event_id
+      |  FROM iv JOIN events e
+      |    ON CAST(e.ts AS TIMESTAMP) >= iv.lo
+      |   AND CAST(e.ts AS TIMESTAMP) <= iv.hi)
+      |SELECT iv_user, strftime(date_trunc('second', lo), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  CAST(count(*) AS BIGINT) AS n_events
+      |FROM j GROUP BY 1, 2 ORDER BY iv_user""".stripMargin) { (s, dir) =>
+    val events = Tables.load(s, dir, "events")
+    val iv = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("iv_user"))
+      .agg(min(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + expr("INTERVAL 2 HOUR"))
+    RelationalOps.rangeJoinBucketed(
+        events.select("event_id", "ts"), "ts", iv, "lo", "hi",
+        bucketSeconds = 3600L)
+      .groupBy(col("iv_user"), date_format(col("lo"), "yyyy-MM-dd HH:mm:ss").as("window_start"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("iv_user")
+  }
+
   // W3b — distribution family: percent_rank/cume_dist/ntile. The
   // fractions are rank ratios (exact integer divisions), rounded 4dp
   // on both sides anyway per the cross-engine float rule.

@@ -294,6 +294,28 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
     assert(out == Seq(0L, 0L, 0L, 0L, 4L, 4L, 6L))
   }
 
+  test("rangeJoinBucketed == naive BETWEEN join; inclusive bounds; inverted intervals empty") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, t("2024-01-01 10:00:00")), (2L, t("2024-01-01 10:59:59")),
+      (3L, t("2024-01-01 13:00:00")), (4L, t("2024-01-01 23:30:00")),
+      (5L, t("2024-01-02 00:30:00"))).toDF("event_id", "ts")
+    val right = Seq(
+      (100L, t("2024-01-01 10:00:00"), t("2024-01-01 10:59:59")), // exact bounds
+      (200L, t("2024-01-01 09:30:00"), t("2024-01-01 14:00:00")), // spans 5 buckets
+      (300L, t("2024-01-01 23:00:00"), t("2024-01-02 01:00:00")), // crosses midnight
+      (400L, t("2024-01-01 12:00:00"), t("2024-01-01 11:00:00"))) // inverted
+      .toDF("iv_id", "lo", "hi")
+    val bucketed = RelationalOps.rangeJoinBucketed(left, "ts", right, "lo", "hi", 3600L)
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    val naive = left.join(right, col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("event_id", "iv_id").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed == Set((1L, 100L), (2L, 100L), (1L, 200L), (2L, 200L),
+      (3L, 200L), (4L, 300L), (5L, 300L)))
+  }
+
   test("canonicalPerCluster: best quality wins, ties to lowest id, singletons kept") {
     import org.apache.spark.sql.functions._
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 4L), (5L, 4L))
