@@ -62,6 +62,42 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK))))
       .select(col("doc_id"), col("frame_idx"))
 
+  /** Segment fingerprints: the payload sliced into fixed-length
+    * chunks, each chunk content-hashed — the video/audio dedup
+    * primitive (per-segment hashing finds shared runs between media
+    * files even when they diverge elsewhere; cf. chunk-level CDC
+    * dedup). Emits one `(doc_id, ck, fp)` row per FULL chunk; the
+    * trailing partial chunk is dropped so a short common suffix can't
+    * fake a match. Runs where the payload is (projection + explode,
+    * no shuffle); only 16-byte digests leave the scan.
+    */
+  def segmentFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                          chunkLen: Int): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__t"))
+      .withColumn("ck",
+        explode(sequence(lit(0), floor(length(col("__t")) / chunkLen).cast("int"))))
+      .withColumn("seg", expr(s"substring(__t, ck * $chunkLen + 1, $chunkLen)"))
+      .filter(length(col("seg")) === chunkLen)
+      .select(col("doc_id"), col("ck").cast("long").as("ck"),
+        md5(col("seg")).as("fp"))
+
+  /** Media near-dup via shared segments: pairs of docs sharing at
+    * least `minShared` identical full chunks (fingerprint equi-join —
+    * the inverted-index shape again; for web-scale corpora cap hot
+    * fingerprints exactly like [[graft.operators.DedupOps
+    * .ngramJaccardPairs]] caps stop-shingles).
+    */
+  def segmentNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          chunkLen: Int, minShared: Long): DataFrame = {
+    val fp = segmentFingerprints(docs, idCol, textCol, chunkLen)
+    fp.as("a")
+      .join(fp.hint("SHUFFLE_HASH").as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** STUB feature extraction: media payload → `array<float>` embedding
     * (a real pipeline runs a vision/audio encoder here; the stub
     * feature-hashes rolling byte 8-grams into `dim` signed buckets and

@@ -54,6 +54,27 @@ object MultimodalQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // Segment-hash media near-dup: docs sharing ≥1 identical full
+  // 64-byte chunk — the per-segment-hash technique video/audio dedup
+  // uses. Fully SQL-expressible on the stub payload, so hash-oracled.
+  q("mm_segment_neardup",
+    """WITH chunks AS (
+      |  SELECT doc_id, unnest(generate_series(0,
+      |    CAST(floor(length(text) / 64) AS INTEGER))) AS ck
+      |  FROM documents),
+      |fp AS (
+      |  SELECT c.doc_id, md5(substring(d.text, c.ck * 64 + 1, 64)) AS fp
+      |  FROM chunks c JOIN documents d USING (doc_id)
+      |  WHERE length(substring(d.text, c.ck * 64 + 1, 64)) = 64)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS shared
+      |FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    Multimodal.segmentNearDupPairs(Tables.load(s, dir, "documents"),
+        "doc_id", "text", chunkLen = 64, minShared = 1L)
+      .orderBy("id_a", "id_b")
+  }
+
   q("mm_frame_sample",
     """WITH m AS (
       |  SELECT doc_id,
