@@ -209,6 +209,30 @@ object RelationalOps {
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
+  /** MERGE-style upsert resolved relationally (the batch equivalent of
+    * `MERGE INTO`): one full-outer join on the key —
+    *  - matched → source values win column-wise (null source values
+    *    fall back to target's: null-safe update),
+    *  - target-only → kept as-is,
+    *  - source-only → inserted;
+    * tagged with an `action` column so the write side can audit. At
+    * scale this is one key exchange of each side; with both tables
+    * bucketed on the key ([[graft.io.CatalogOps.saveAsBucketedTable]])
+    * it plans zero exchanges.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keyCol: String,
+                  valueCols: Seq[String]): DataFrame = {
+    val t = target.select((keyCol +: valueCols).map(col): _*)
+    val s = source.select((keyCol +: valueCols).map(col): _*)
+    t.as("t").join(s.as("s"), col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+      .select(
+        coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
+          valueCols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)) :+
+          when(col(s"t.$keyCol").isNull, "inserted")
+            .when(col(s"s.$keyCol").isNull, "kept")
+            .otherwise("updated").as("action"): _*)
+  }
+
   /** Range (interval) join: left rows whose `tsCol` falls inside a
     * right-side `[loCol, hiCol]` interval (inclusive). A naive
     * non-equi join plans BroadcastNestedLoopJoin — O(|L|·|R|) with no

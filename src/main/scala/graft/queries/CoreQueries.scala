@@ -361,6 +361,44 @@ object CoreQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // P13 — correlated EXISTS / NOT EXISTS subqueries (Catalyst
+  // rewrites to left-semi + left-anti joins; see the plan).
+  q("p13_exists_subquery",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM events e
+      |              WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+      |  AND NOT EXISTS (SELECT 1 FROM events e2
+      |                  WHERE e2.user_id = c.c_custkey
+      |                    AND e2.event_type = 'error' AND e2.value > 90)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM events e
+      |              WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+      |  AND NOT EXISTS (SELECT 1 FROM events e2
+      |                  WHERE e2.user_id = c.c_custkey
+      |                    AND e2.event_type = 'error' AND e2.value > 90)
+      |ORDER BY c_custkey""".stripMargin)
+  }
+
+  // O3b — top-n per group: rank ≤ 3 by value inside each event_type
+  // (the window top-k; global top-k is o2's TakeOrderedAndProject).
+  q("o3_topn_per_group",
+    """SELECT event_id, event_type, value, rnk FROM (
+      |  SELECT event_id, event_type, value,
+      |    rank() OVER (PARTITION BY event_type
+      |                 ORDER BY value DESC, event_id) AS rnk
+      |  FROM events)
+      |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"),
+        rank().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= 3)
+      .orderBy("event_type", "rnk")
+  }
+
   // J7 — range (interval) join: per-user 2h windows anchored at the
   // first purchase, counting ALL events (any user) inside each window.
   // Spark side decomposes the non-equi predicate into a bucket

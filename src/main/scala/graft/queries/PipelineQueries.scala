@@ -334,6 +334,102 @@ object PipelineQueries extends QueryPack {
       .orderBy("relationship")
   }
 
+  // Time-series gap filling: per event type, a complete hourly spine
+  // from its first to last hour (sequence + explode — generated where
+  // the bounds row lives, no driver loop), hours with no events
+  // filled with 0 — what dashboards and downstream window functions
+  // need before they can trust frame offsets.
+  q("ts_gapfill",
+    """WITH hourly AS (
+      |  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+      |  FROM hourly GROUP BY 1),
+      |spine AS (SELECT event_type,
+      |    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      |  FROM bounds)
+      |SELECT s.event_type, strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  coalesce(h.n, CAST(0 AS BIGINT)) AS n
+      |FROM spine s LEFT JOIN hourly h
+      |  ON h.event_type = s.event_type AND h.hour = s.hour
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+    val hourly = ev.groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    val bounds = hourly.groupBy("event_type")
+      .agg(min("hour").as("lo"), max("hour").as("hi"))
+    val spine = bounds.select(col("event_type"),
+      explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    spine.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
+  // K7 — MERGE-style upsert: signup activity updates customer
+  // balances (matched), shifted keys exercise the insert path,
+  // untouched customers are kept — one full-outer join, audit-tagged.
+  q("k7_merge_upsert",
+    s"""WITH t AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      |src0 AS (SELECT user_id AS k, ${sqlR2("avg(value)")} AS bal
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |s AS (SELECT k, bal FROM src0
+      |  UNION ALL SELECT k + 1000000, bal FROM src0)
+      |SELECT coalesce(s.k, t.k) AS k, coalesce(s.bal, t.bal) AS bal,
+      |  CASE WHEN t.k IS NULL THEN 'inserted'
+      |       WHEN s.k IS NULL THEN 'kept' ELSE 'updated' END AS action
+      |FROM t FULL OUTER JOIN s ON t.k = s.k
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val target = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val src0 = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("k"))
+      .agg(r2(avg(col("value"))).as("bal"))
+    val source = src0.unionByName(
+      src0.select((col("k") + 1000000L).as("k"), col("bal")))
+    RelationalOps.mergeUpsert(target, source, "k", Seq("bal"))
+      .orderBy("k")
+  }
+
+  // SCD2 interval builder: per user, collapse the event stream into
+  // type-change intervals [valid_from, valid_to) with an open current
+  // row — the slowly-changing-dimension shape. Boundaries exported as
+  // epoch micros (exact integers on both engines, no format drift).
+  q("scd2_intervals",
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, event_id, event_type, ts FROM ordered
+      |  WHERE prev IS NULL OR prev <> event_type),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS vf,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      |  FROM changes)
+      |SELECT user_id, event_type, epoch_us(vf) AS valid_from_us,
+      |  coalesce(epoch_us(vt), CAST(-1 AS BIGINT)) AS valid_to_us,
+      |  (vt IS NULL) AS is_current
+      |FROM iv ORDER BY user_id, valid_from_us""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val changes = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wAll))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val wChg = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    changes
+      .withColumn("vt", lead(col("ts"), 1).over(wChg))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        coalesce(unix_micros(col("vt")), lit(-1L)).as("valid_to_us"),
+        col("vt").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from_us")
+  }
+
   // Cohort retention: users grouped by the week of their first event;
   // for each (cohort week, week offset) count distinct active users
   // and the retained share. Two shuffles on user_id (first-touch +
