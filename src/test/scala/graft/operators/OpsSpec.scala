@@ -294,6 +294,21 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
     assert(out == Seq(0L, 0L, 0L, 0L, 4L, 4L, 6L))
   }
 
+  test("mergeUpsert: matched updates, null-safe fallback, keeps, inserts") {
+    val target = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+      .toDF("k", "bal", "tag")
+    val source = Seq((2L, Some(99.0), "B"), (3L, None, "C"), (4L, Some(40.0), "d"))
+      .toDF("k", "bal", "tag")
+    val out = RelationalOps.mergeUpsert(target, source, "k", Seq("bal", "tag"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 10.0, "a", "kept"),        // untouched
+      (2L, 99.0, "B", "updated"),     // source wins
+      (3L, 30.0, "C", "updated"),     // null source bal → target's kept
+      (4L, 40.0, "d", "inserted")))   // new key
+  }
+
   test("rangeJoinBucketed == naive BETWEEN join; inclusive bounds; inverted intervals empty") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)
