@@ -457,6 +457,25 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Fuzzy entity matching: part-name pairs within edit distance 2 via
+  // q-gram count filtering + levenshtein verify (FuzzyOps) — complete,
+  // so the brute-force SQL oracle must agree pair-for-pair. The fixed
+  // key subset keeps the O(n²) oracle bounded at any sf; the Spark
+  // plan is the candidate-first shape that scales past it.
+  q("fz_edit_pairs",
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey < 500 AND b.p_partkey < 500
+      |  AND levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    import graft.operators.FuzzyOps
+    FuzzyOps.editDistancePairs(
+        Tables.load(s, dir, "part").filter(col("p_partkey") < 500),
+        "p_partkey", "p_name", maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
   // Blocklist term redaction — the PII-scrubbing shape (regex scan +
   // global replace + hit count) as one codegen'd projection, no UDFs.
   // The synthetic corpus has no emails/phones, so the blocklist names

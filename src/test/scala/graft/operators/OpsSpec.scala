@@ -294,6 +294,26 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
     assert(out == Seq(0L, 0L, 0L, 0L, 4L, 4L, 6L))
   }
 
+  test("editDistancePairs == brute-force levenshtein join (short strings, repeats)") {
+    import org.apache.spark.sql.functions._
+    val strs = Seq("red bolt", "red bolts", "blue bolt", "aaaa", "aaab", "aab",
+      "small brushed ring", "small brushed king", "large brushed ring",
+      "x", "xy", "completely unrelated phrase")
+    val df = strs.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }.toDF("id", "s")
+    val fuzzy = graft.operators.FuzzyOps.editDistancePairs(df, "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .withColumn("d", levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .filter(col("d") <= 2)
+      .select(col("a.id"), col("b.id"), col("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fuzzy == naive && naive.nonEmpty)
+    // sanity: short bucket (aaaa/aaab, red bolt/red bolts) and the
+    // gram path (ring/king) both contributed
+    assert(naive.contains((3L, 4L, 1L)) && naive.contains((0L, 1L, 1L)) &&
+      naive.contains((6L, 7L, 1L)))
+  }
+
   test("mergeUpsert: matched updates, null-safe fallback, keeps, inserts") {
     val target = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
       .toDF("k", "bal", "tag")
