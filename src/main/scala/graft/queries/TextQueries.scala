@@ -457,6 +457,37 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Context-window chunking — the training-prep op that slices long
+  // documents into overlapping token windows (size 50, stride 40 ⇒ 10
+  // tokens of overlap) before packing/tokenization. Chunk count =
+  // 1 + ceil((n-size)/stride) so the tail is covered exactly once;
+  // chunk text leaves the query as a digest, not the text itself.
+  q("tx_chunk_windows",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT doc_id, n,
+      |    unnest(generate_series(0,
+      |      CAST(greatest(0, ceil((n - 50) / 40.0)) AS INTEGER))) AS ck
+      |  FROM toks)
+      |SELECT c.doc_id, CAST(c.ck AS BIGINT) AS chunk_id,
+      |  CAST(len(t.t[c.ck*40+1 : c.ck*40+50]) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(t.t[c.ck*40+1 : c.ck*40+50], ' ')) AS chunk_md5
+      |FROM chunks c JOIN toks t USING (doc_id)
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n", size(col("t")))
+      .withColumn("ck",
+        explode(sequence(lit(0),
+          greatest(lit(0), ceil((col("n") - 50) / 40.0)).cast("int"))))
+      .select(col("doc_id"), col("ck").cast("long").as("chunk_id"),
+        size(slice(col("t"), col("ck") * 40 + 1, lit(50))).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("t"), col("ck") * 40 + 1, lit(50)), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // Fuzzy entity matching: part-name pairs within edit distance 2 via
   // q-gram count filtering + levenshtein verify (FuzzyOps) — complete,
   // so the brute-force SQL oracle must agree pair-for-pair. The fixed
