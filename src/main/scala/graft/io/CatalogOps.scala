@@ -87,4 +87,26 @@ object CatalogOps {
   /** Catalog listing (the `information_schema.tables` surface). */
   def tableNames(spark: SparkSession, db: String = "default"): Seq[String] =
     spark.catalog.listTables(db).collect().map(_.name).toSeq.sorted
+
+  /** Compute table- and column-level statistics (`ANALYZE TABLE`) —
+    * what the cost-based optimizer needs for join reordering and
+    * build-side selection on cataloged tables. At 100 TB this is the
+    * difference between a size-guessed plan and one that knows row
+    * counts and NDVs per column; run it after large writes, like the
+    * reference schedules its crawler after loads.
+    */
+  def analyzeTable(spark: SparkSession, name: String,
+                   columns: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS")
+    if (columns.nonEmpty)
+      spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR COLUMNS ${columns.mkString(", ")}")
+  }
+
+  /** The optimizer-visible statistics of a cataloged table:
+    * (sizeInBytes, rowCount if analyzed).
+    */
+  def tableStats(spark: SparkSession, name: String): (BigInt, Option[BigInt]) = {
+    val stats = spark.table(name).queryExecution.optimizedPlan.stats
+    (stats.sizeInBytes, stats.rowCount)
+  }
 }

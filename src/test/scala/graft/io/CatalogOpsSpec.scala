@@ -103,4 +103,23 @@ class CatalogOpsSpec extends SparkSpec {
       assert(bucketed.collect().toSet == plain.collect().toSet)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("ANALYZE TABLE: row-count statistics become optimizer-visible") {
+    // rowCount propagates into plan stats under the cost-based optimizer
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      CatalogOps.saveAsPartitionedTable(sampleDf, "cat_stats", Seq("year", "month"))
+      val (_, before) = CatalogOps.tableStats(spark, "cat_stats")
+      assert(before.isEmpty, s"expected no rowCount before ANALYZE, got $before")
+      CatalogOps.analyzeTable(spark, "cat_stats", columns = Seq("id", "v"))
+      val (size, after) = CatalogOps.tableStats(spark, "cat_stats")
+      assert(after.contains(BigInt(4)), s"rowCount after ANALYZE: $after")
+      assert(size > 0)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+    // column NDVs recorded (CBO join-reorder inputs)
+    val ndv = spark.sql("DESCRIBE EXTENDED cat_stats id")
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(ndv.get("distinct_count").exists(_.trim == "4"), s"got $ndv")
+  }
 }
