@@ -488,6 +488,36 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "chunk_id")
   }
 
+  // Sequence-packing plan — assign docs to ~2000-token training bins:
+  // exclusive prefix sum of token counts per source shard, bin =
+  // ⌊prefix/L⌋. One window per shard (the parallelism unit), no
+  // sequential loop; a bin can overflow by at most its last doc —
+  // the standard streaming-packing tradeoff, stated not hidden.
+  q("tx_pack_bins",
+    """WITH toks AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      |  FROM documents),
+      |pre AS (
+      |  SELECT doc_id, source, nt,
+      |    coalesce(sum(nt) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      |  FROM toks)
+      |SELECT source, CAST(floor(prefix / 2000.0) AS BIGINT) AS bin_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+      |FROM pre GROUP BY 1, 2 ORDER BY source, bin_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+      .withColumn("prefix", coalesce(sum(col("nt")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("prefix") / 2000.0).cast("long"))
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      .orderBy("source", "bin_id")
+  }
+
   // Fuzzy entity matching: part-name pairs within edit distance 2 via
   // q-gram count filtering + levenshtein verify (FuzzyOps) — complete,
   // so the brute-force SQL oracle must agree pair-for-pair. The fixed
