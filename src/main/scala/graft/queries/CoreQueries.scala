@@ -381,6 +381,25 @@ object CoreQueries extends QueryPack {
       |ORDER BY c_custkey""".stripMargin)
   }
 
+  // P14 — correlated SCALAR subquery in SELECT (Catalyst rewrites to
+  // a left-outer aggregate join; the third subquery-planning family
+  // after IN (p12) and EXISTS (p13)).
+  q("p14_scalar_subquery",
+    s"""SELECT c_custkey, c_mktsegment,
+      |  (SELECT ${sqlR2("max(o_totalprice)")} FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(s"""SELECT c_custkey, c_mktsegment,
+      |  (SELECT ${sqlR2("max(o_totalprice)")} FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_order
+      |FROM customer c
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin)
+  }
+
   // O3b — top-n per group: rank ≤ 3 by value inside each event_type
   // (the window top-k; global top-k is o2's TakeOrderedAndProject).
   q("o3_topn_per_group",
