@@ -489,6 +489,29 @@ object CoreQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // A13 — distribution-shape aggregates. Spark reports POPULATION
+  // skewness/kurtosis (g1, excess g2); DuckDB reports the SAMPLE
+  // versions (G1, G2) — the oracle inverts the bias corrections:
+  //   g1 = G1 · (n−2)/√(n(n−1))
+  //   g2 = (G2 · (n−2)(n−3)/(n−1) − 6)/(n+1)
+  // so both engines describe the same moments before rounding.
+  q("a13_shape",
+    s"""WITH g AS (
+      |  SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+      |    skewness(l_quantity) AS sk, kurtosis(l_quantity) AS ku
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  ${sqlR4("sk * (n - 2) / sqrt(n * (n - 1))")} AS skew_qty,
+      |  ${sqlR4("(ku * (n - 2) * (n - 3) / (n - 1) - 6) / (n + 1)")} AS kurt_qty
+      |FROM g ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        r4(skewness(col("l_quantity"))).as("skew_qty"),
+        r4(kurtosis(col("l_quantity"))).as("kurt_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // A9b — ROLLUP subtotals (beyond the reference surface; Catalyst
   // expands to grouping sets in one pass).
   q("a9_rollup",
