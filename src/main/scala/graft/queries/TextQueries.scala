@@ -457,6 +457,52 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Entity resolution end-to-end: fuzzy match (edit distance ≤ 1) →
+  // duplicate clusters (connected components) → one golden record per
+  // cluster (longest name, tie → lowest key). The classic
+  // match→cluster→survivorship composite, each stage an operator the
+  // engine already ships (FuzzyOps / RelationalOps / DedupOps).
+  q("er_golden_records",
+    """WITH RECURSIVE p AS (
+      |  SELECT p_partkey, p_name FROM part WHERE p_partkey < 500),
+      |pairs AS (
+      |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey
+      |  WHERE levenshtein(a.p_name, b.p_name) <= 1),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT p_partkey, p_partkey FROM p
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id),
+      |cl AS (SELECT id AS p_partkey, min(r) AS cluster_id FROM reach GROUP BY id),
+      |k AS (
+      |  SELECT cl.p_partkey, cl.cluster_id, p.p_name,
+      |    first_value(cl.p_partkey) OVER (
+      |      PARTITION BY cl.cluster_id
+      |      ORDER BY length(p.p_name) DESC, cl.p_partkey) AS keep_id
+      |  FROM cl JOIN p USING (p_partkey))
+      |SELECT cluster_id, keep_id,
+      |  CAST(count(*) AS BIGINT) AS n_members,
+      |  max(CASE WHEN p_partkey = keep_id THEN p_name END) AS golden_name
+      |FROM k GROUP BY 1, 2 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    import graft.operators.{DedupOps, FuzzyOps, RelationalOps}
+    val parts = Tables.load(s, dir, "part").filter(col("p_partkey") < 500)
+    val pairs = FuzzyOps.editDistancePairs(parts, "p_partkey", "p_name", maxDist = 1)
+    val clusters = RelationalOps.connectedComponents(
+      parts.select(col("p_partkey")), "p_partkey", pairs, "id_a", "id_b")
+    val audit = DedupOps.canonicalPerCluster(
+      clusters, "p_partkey", "cluster_id",
+      parts.select(col("p_partkey"), length(col("p_name")).as("q")),
+      "p_partkey", "q")
+    audit.join(parts.select(col("p_partkey"), col("p_name")), "p_partkey")
+      .groupBy("cluster_id", "keep_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("p_partkey") === col("keep_id"), col("p_name"))).as("golden_name"))
+      .orderBy("cluster_id")
+  }
+
   // Context-window chunking — the training-prep op that slices long
   // documents into overlapping token windows (size 50, stride 40 ⇒ 10
   // tokens of overlap) before packing/tokenization. Chunk count =
