@@ -361,6 +361,54 @@ object CoreQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // F16 — string-function family: split_part / upper / reverse /
+  // replace / strpos, one codegen'd projection.
+  q("f16_string_funcs",
+    """SELECT p_partkey,
+      |  split_part(p_name, ' ', 1) AS first_word,
+      |  upper(p_brand) AS brand_uc,
+      |  reverse(p_type) AS type_rev,
+      |  replace(p_name, ' ', '_') AS name_snake,
+      |  CAST(strpos(p_name, 'o') AS INTEGER) AS first_o
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+        upper(col("p_brand")).as("brand_uc"),
+        reverse(col("p_type")).as("type_rev"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        instr(col("p_name"), "o").cast("int").as("first_o"))
+      .orderBy("p_partkey")
+  }
+
+  // GEO — haversine distance (the reference's station-coordinate
+  // domain; synthetic tables carry no coords, so deterministic
+  // pseudo-coordinates derive from the key — identical integer
+  // arithmetic on both engines). 4dp rounding absorbs libm-vs-JVM
+  // trig ulp differences.
+  q("geo_distance",
+    s"""WITH pts AS (
+      |  SELECT c_custkey,
+      |    (c_custkey % 18000) / 100.0 - 90.0 AS lat,
+      |    ((c_custkey * 7) % 36000) / 100.0 - 180.0 AS lon
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  ${sqlR4("""2 * 6371.0088 * asin(sqrt(
+      |    pow(sin(radians(21.03 - lat) / 2), 2) +
+      |    cos(radians(lat)) * cos(radians(21.03)) *
+      |    pow(sin(radians(105.85 - lon) / 2), 2)))""")} AS dist_km
+      |FROM pts ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    import graft.functions.GeoFunctions
+    Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") % 18000) / 100.0 - 90.0).as("lat"),
+        ((col("c_custkey") * 7 % 36000) / 100.0 - 180.0).as("lon"))
+      .select(col("c_custkey"),
+        r4(GeoFunctions.haversineKm(col("lat"), col("lon"),
+          lit(21.03), lit(105.85))).as("dist_km"))
+      .orderBy("c_custkey")
+  }
+
   // P13 — correlated EXISTS / NOT EXISTS subqueries (Catalyst
   // rewrites to left-semi + left-anti joins; see the plan).
   q("p13_exists_subquery",
