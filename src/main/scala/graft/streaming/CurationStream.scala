@@ -30,6 +30,30 @@ object CurationStream {
       .withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Trending terms: Misra-Gries heavy hitters per event-time window —
+    * the mergeable-sketch aggregate
+    * ([[org.apache.spark.sql.graftx.MgHeavyHitters]]) running inside a
+    * watermarked streaming aggregation. State per (window) group is
+    * the k-counter sketch, NOT the token stream: bounded regardless of
+    * traffic, exactly why sketches exist. Windows emit once closed
+    * (append mode); the same expression runs batch-side
+    * (`tx_heavy_hitters`), so stream and batch share one sketch
+    * implementation and merge semantics.
+    */
+  def trendingTerms(stream: DataFrame, textCol: String, eventTimeCol: String,
+                    windowDur: String, delay: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftx.MgHeavyHitters.mgHeavyHitters
+    stream
+      .select(col(eventTimeCol).as("ts"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), windowDur).as("win"))
+      .agg(mgHeavyHitters(col("token"), k).as("hh"))
+      .select(col("win.start").as("window_start"), explode(col("hh")).as("e"))
+      .select(col("window_start"), col("e.item").as("item"),
+        col("e.min_count").as("min_count"))
+  }
+
   /** Stateless per-row quality gate (the streaming-safe subset of the
     * batch gates): token-level repetition + quality score, pure
     * expressions — no aggregation state, any output mode.
