@@ -178,12 +178,25 @@ object RelationalOps {
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .cache()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("label"))
+    // iterate ONLY over nodes that touch an edge: a singleton's label
+    // is its own id and never changes, so it has no business in the
+    // loop. Near-dup graphs are sparse (most of a deduped corpus is
+    // unique), so this cuts the per-iteration working set from
+    // |corpus| to |paired nodes| — the difference between iterating
+    // 100 TB and iterating the duplicate fraction.
+    // localCheckpoint (eager), NOT cache: the singleton anti-join below
+    // runs after the loop drops the edge caches, and a mere cache would
+    // let it re-derive this set through the full (expensive) pair
+    // computation on eviction — the checkpoint cuts that lineage
+    val pairedNodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
+    var labels = pairedNodes.select(col("id"), col("id").as("label"))
     // labels only ever decrease, so their (overflow-safe) sum strictly
     // decreases while anything changes — convergence is ONE scalar
     // aggregate per iteration, not a self-join diff
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // no paired nodes at all
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -204,9 +217,17 @@ object RelationalOps {
       labels = next
       iter += 1
     }
+    // singletons rejoin with their own id as the cluster label; the
+    // paired-node set (the duplicate fraction) broadcasts, so the full
+    // corpus never shuffles just to learn which rows were untouched
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(broadcast(pairedNodes), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val out = labels.unionByName(singletons)
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
     edges.unpersist()
     p.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    out
   }
 
   /** MERGE-style upsert resolved relationally (the batch equivalent of
