@@ -537,6 +537,33 @@ object CoreQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // W8 — time-based RANGE frame: per user, how many events (and how
+  // much value) landed in the TRAILING HOUR before each event — a
+  // range over event time, not a row count (w2/w5 cover ROWS frames).
+  // Both engines range over epoch seconds, so frame bounds agree
+  // exactly.
+  q("w8_range_frame",
+    s"""SELECT event_id, user_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h,
+      |  ${sqlR4("sum(value) OVER w")} AS v_trailing_1h
+      |FROM (SELECT event_id, user_id, value,
+      |        epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS es
+      |      FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("es")
+      .rangeBetween(-3600L, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("es"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        r4(sum(col("value")).over(w)).as("v_trailing_1h"))
+      .orderBy("event_id")
+  }
+
   // A13 — distribution-shape aggregates. Spark reports POPULATION
   // skewness/kurtosis (g1, excess g2); DuckDB reports the SAMPLE
   // versions (G1, G2) — the oracle inverts the bias corrections:

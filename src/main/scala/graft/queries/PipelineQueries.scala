@@ -96,6 +96,31 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // S6/K8 — CSV sink + scan roundtrip (explicit schema, header,
+  // ISO-8601 µs timestamps): the third interchange format after
+  // NDJSON and parquet; lossless ⇒ oracle is the identity query.
+  q("s6_csv_roundtrip",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val out = tmpDir("graft_csv")
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema)
+      .option("header", "true").option("timestampFormat", tsFmt)
+      .csv(out)
+      .orderBy("event_id")
+  }
+
   // K1/S2 — hive-partitioned parquet sink + partition-discovering scan
   // (SURVEY §2.1 K1/S2; process_openaq_raw.py:249-256). Partition cols
   // year/month/day derived per F2/F3; the read-back groups per
