@@ -107,4 +107,39 @@ class PropertySpec extends SparkSpec {
       inc == full
     })
   }
+
+  test("property: rangeJoinBucketed == naive BETWEEN join on random intervals") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evGen = for { id <- Gen.choose(0L, 40L); m <- Gen.choose(0, 720) } yield (id, m)
+    val ivGen = for {
+      id <- Gen.choose(100L, 120L); lo <- Gen.choose(0, 720); span <- Gen.choose(-30, 200)
+    } yield (id, lo, lo + span) // negative spans → inverted intervals
+    check(Prop.forAll(Gen.nonEmptyListOf(evGen), Gen.nonEmptyListOf(ivGen)) { (evs, ivs) =>
+      val left = evs.map { case (id, m) => (id, new Timestamp(base + m * 60000L)) }
+        .toDF("event_id", "ts")
+      val right = ivs.map { case (id, lo, hi) =>
+        (id, new Timestamp(base + lo * 60000L), new Timestamp(base + hi * 60000L)) }
+        .toDF("iv_id", "lo", "hi")
+      val bucketed = RelationalOps.rangeJoinBucketed(left, "ts", right, "lo", "hi", 3600L)
+        .select("event_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val naive = left.join(right, col("ts") >= col("lo") && col("ts") <= col("hi"))
+        .select("event_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      bucketed == naive // multiset equality: each pair exactly once per match
+    })
+  }
+
+  test("property: mergeUpsert value columns are idempotent under re-merge") {
+    val tGen = for { k <- Gen.choose(0L, 20L); v <- Gen.choose(0, 99) } yield (k, v.toDouble)
+    check(Prop.forAll(Gen.nonEmptyListOf(tGen), Gen.nonEmptyListOf(tGen)) { (ts0, ss0) =>
+      val target = ts0.distinctBy(_._1).toDF("k", "bal")
+      val source = ss0.distinctBy(_._1).toDF("k", "bal")
+      val once = RelationalOps.mergeUpsert(target, source, "k", Seq("bal"))
+      val twice = RelationalOps.mergeUpsert(once.drop("action"), source, "k", Seq("bal"))
+      once.select("k", "bal").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+        twice.select("k", "bal").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    })
+  }
 }
