@@ -5,12 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
   *
-  * Methodology: each query runs TWICE — an untimed warm run (Janino
-  * codegen compilation of the query's stages dominates first
-  * execution and would mis-attribute ~1-3s per query), then the timed
-  * steady-state run, materialized fully via a noop-format write
-  * (count() would let Catalyst prune computed columns). Queries run in
-  * sorted name order for stable attribution.
+  * Methodology: each query runs THREE times — an untimed warm run
+  * (Janino codegen compilation of the query's stages dominates first
+  * execution and would mis-attribute ~1-3s per query), then TWO timed
+  * steady-state runs of which the MINIMUM is reported (a single timed
+  * run is exposed to host-level noise: an identical binary measured 45
+  * minutes apart showed 0.8s vs 4.1s on the same sink query purely
+  * from co-tenant I/O pressure — min-of-2 absorbs one bad draw).
+  * Materialized fully via a noop-format write (count() would let
+  * Catalyst prune computed columns). Queries run in sorted name order
+  * for stable attribution.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,10 +37,13 @@ object Bench {
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       try materialize(name, sfDir) catch { case _: Throwable => } // codegen warm
-      val t0 = System.nanoTime()
-      try materialize(name, sfDir)
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val timed = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try materialize(name, sfDir)
+        catch { case _: Throwable => }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> timed.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

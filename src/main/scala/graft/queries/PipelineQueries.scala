@@ -22,8 +22,21 @@ object PipelineQueries extends QueryPack {
     */
   val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  private def tmpDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    // Bench/Verify invoke each sink query several times (warm + timed
+    // runs), each minting a fresh directory; without cleanup the host's
+    // /tmp accrues hundreds of orphaned parquet trees per round.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.util.Comparator
+      import scala.util.Try
+      Try {
+        Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+    }))
+    dir.toString
+  }
 
   /** The flagship composite — the whole reference transform chain
     * (process_openaq_raw.py:94-256 re-expressed): W1 dedup → derive
