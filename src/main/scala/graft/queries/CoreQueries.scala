@@ -601,6 +601,22 @@ object CoreQueries extends QueryPack {
       .orderBy(col("o_year").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  // A9c — CUBE (engine extra): all 2^k grouping sets in ONE pass.
+  // At 100 TB this replaces 4 separate scans+aggregations (by year, by
+  // status, by both, grand total) with a single Expand+partial-agg —
+  // the scan is the dominant cost and it happens once.
+  q("a9_cube",
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+      |  count(*) AS n, ${sqlR2("sum(o_totalprice)")} AS sum_price
+      |FROM orders
+      |GROUP BY CUBE(1, 2)
+      |ORDER BY o_year NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .cube(year(col("o_orderdate")).as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_year").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+  }
+
   // Set ops (SURVEY §2.7): INTERSECT twin of set_except.
   q("set_intersect",
     """SELECT c_nationkey AS nationkey FROM customer
@@ -702,6 +718,51 @@ object CoreQueries extends QueryPack {
       .agg(r2(sum(rev).cast("double")).as("revenue"),
         countDistinct("o_orderkey").as("n_orders"))
       .orderBy("n_name")
+  }
+
+  // J8 — runtime BLOOM-FILTER join pruning (engine extra): for a
+  // shuffle join whose build side is selectively filtered, Catalyst
+  // injects a bloom filter built from the filtered orders keys into
+  // the lineitem scan side, discarding non-joining fact rows BEFORE
+  // the shuffle — at 100 TB that's the difference between shuffling
+  // the whole fact table and shuffling the ~20% that can match.
+  // Thresholds are lowered here so the rewrite fires at test scale
+  // (defaults gate on 10 GB application-side scans); BloomJoinSpec
+  // asserts the might_contain expression lands in the plan.
+  q("j8_bloom_join",
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+      |  ${sqlR2("sum(l_extendedprice)")} AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    // the injector only fires for joins that cannot broadcast by size
+    // (a broadcast join needs no runtime filter) — disabling auto-
+    // broadcast reproduces the 100 TB build-side shape at test scale
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val urgent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      // eager localCheckpoint materializes UNDER these confs — plans
+      // resolve lazily, so restoring first would undo the injection
+      Tables.load(s, dir, "lineitem")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          r2(sum("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint()
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
   }
 
   // W6 — ordered funnel (view → click → purchase): each step's entry

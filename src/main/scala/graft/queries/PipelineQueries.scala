@@ -206,6 +206,76 @@ object PipelineQueries extends QueryPack {
         |ORDER BY year, month""".stripMargin)
   }
 
+  // K9 — DYNAMIC partition pruning (engine extra; the 100 TB join
+  // discipline): fact written hive-partitioned on the join key, dim
+  // side filtered at runtime. Catalyst injects a dynamicpruning#
+  // subquery into the fact scan's PartitionFilters, so only the
+  // partitions whose keys survive the dim filter are ever listed or
+  // read — on a 1000-partition fact with a 5-nation region that is a
+  // 200× scan reduction with zero user-side changes. Plan shape is
+  // asserted in DppSpec; here the driver checks the answer.
+  q("k9_dpp",
+    s"""SELECT n_name, count(*) AS n_suppliers,
+      |  ${sqlR2("sum(s_acctbal)")} AS sum_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'EUROPE'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_dpp")
+    val supplier = Tables.load(s, dir, "supplier")
+    supplier.write.mode("overwrite").partitionBy("s_nationkey").parquet(out)
+    // explicit schema pins the partition column's type (no string
+    // inference), which keeps the join key usable for pruning
+    val fact = s.read.schema(supplier.schema).parquet(out)
+    val dim = Tables.load(s, dir, "nation")
+      .join(Tables.load(s, dir, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+    fact.join(dim, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        r2(sum("s_acctbal")).as("sum_acctbal"))
+      .orderBy("n_name")
+  }
+
+  // S7 — schema evolution (engine extra): a table whose later batches
+  // grew a column — the normal state of any long-lived 100 TB dataset.
+  // Batch 1 lands without `o_orderpriority`; batch 2 adds it. A
+  // mergeSchema=true scan unions the file schemas (missing columns
+  // read as NULL) so ONE query serves the whole history without
+  // rewriting old files. The oracle replays the same evolution with
+  // UNION ALL + NULL.
+  q("s7_schema_evolution",
+    s"""WITH evolved AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT o_orderstatus, count(*) AS n,
+      |  count(o_orderpriority) AS n_with_priority,
+      |  ${sqlR2("sum(o_totalprice)")} AS sum_price
+      |FROM evolved
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_evo")
+    val orders = Tables.load(s, dir, "orders")
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$out/batch=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$out/batch=2")
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   // AQI (SURVEY §2.10) — EPA piecewise-linear interpolation as pure
   // codegen'd Column expressions (no UDF), applied to events.value as
   // a pm2.5-like concentration; identical CASE chain in the oracle.
