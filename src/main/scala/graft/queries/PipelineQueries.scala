@@ -276,6 +276,28 @@ object PipelineQueries extends QueryPack {
       .orderBy("o_orderstatus")
   }
 
+  // K10 — Z-ORDER layout rewrite (engine extra): events re-clustered
+  // on (user_id, value) via bit-interleaved Z-addresses, then read
+  // back. The oracle checks the rewrite is content-preserving; the
+  // multi-dimension pruning win it buys (point/range predicates on
+  // EITHER clustered column skip most files) is measured in
+  // LayoutSpec via per-file min/max footer ranges.
+  q("k10_zorder_layout",
+    s"""SELECT event_type, count(*) AS n,
+      |  ${sqlR2("sum(value)")} AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_zorder")
+    graft.io.Layout.writeZOrdered(
+      Tables.load(s, dir, "events"), out, numFiles = 8,
+      clusterCols = Seq("user_id", "value"), bits = 12)
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // AQI (SURVEY §2.10) — EPA piecewise-linear interpolation as pure
   // codegen'd Column expressions (no UDF), applied to events.value as
   // a pm2.5-like concentration; identical CASE chain in the oracle.

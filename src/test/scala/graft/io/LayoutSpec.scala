@@ -39,4 +39,37 @@ class LayoutSpec extends SparkSpec {
       .select(input_file_name()).distinct().count()
     assert(touched <= 2)
   }
+
+  test("writeZOrdered: BOTH clustered dimensions prune; linear clustering only one") {
+    val dir = Files.createTempDirectory("layout_z").toFile
+    // 2-D uniform grid, shuffled insert order
+    val grid = scala.util.Random.shuffle(
+      (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)).toList)
+      .toDF("x", "y")
+
+    val zPath = s"$dir/zordered"
+    Layout.writeZOrdered(grid, zPath, numFiles = 16,
+      clusterCols = Seq("x", "y"), bits = 8)
+    val linPath = s"$dir/linear"
+    Layout.writeRangeClustered(grid, linPath, numFiles = 16,
+      clusterCols = Seq("x"))
+
+    // the Z-address column is layout-only — not in the written schema
+    assert(spark.read.parquet(zPath).columns.sorted.sameElements(Array("x", "y")))
+    assert(spark.read.parquet(zPath).count() == 256L * 256L)
+
+    // a narrow x-slice: both layouts prune (z less tightly — its files
+    // are squares, not x-stripes)
+    val zx = Layout.touchedFileFraction(spark, zPath, "x", lit(60L), lit(70L))
+    val lx = Layout.touchedFileFraction(spark, linPath, "x", lit(60L), lit(70L))
+    assert(lx <= 2.0 / 16.0, s"linear x fraction $lx")
+    assert(zx <= 10.0 / 16.0, s"zorder x fraction $zx")
+
+    // a narrow y-slice: the linear layout reads EVERYTHING (every
+    // x-stripe spans all y); the Z-order layout skips most files
+    val zy = Layout.touchedFileFraction(spark, zPath, "y", lit(60L), lit(70L))
+    val ly = Layout.touchedFileFraction(spark, linPath, "y", lit(60L), lit(70L))
+    assert(ly == 1.0, s"linear y fraction $ly")
+    assert(zy <= 10.0 / 16.0, s"zorder y fraction $zy")
+  }
 }
