@@ -381,6 +381,26 @@ object CoreQueries extends QueryPack {
       .orderBy("p_partkey")
   }
 
+  // F17 — regex family: extract / count / match as one codegen'd
+  // projection. Patterns stay in the class-and-anchor subset that
+  // Java regex (Spark) and RE2-style engines (DuckDB) interpret
+  // identically — the portability rule for cross-engine regex.
+  q("f17_regex_extract",
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+      |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+      |  CASE WHEN regexp_matches(p_name, '^a') THEN 1 ELSE 0 END AS starts_a
+      |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "part")
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("int").as("n_vowels"),
+        when(col("p_name").rlike("^a"), 1).otherwise(0).as("starts_a"))
+      .orderBy("p_partkey")
+  }
+
   // GEO — haversine distance (the reference's station-coordinate
   // domain; synthetic tables carry no coords, so deterministic
   // pseudo-coordinates derive from the key — identical integer

@@ -298,6 +298,40 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  // K11 — BUCKETED co-located join (engine extra): both sides written
+  // bucketed+sorted on the join key, registered as external tables,
+  // then joined. Bucketing is the write-once layout that deletes the
+  // per-query shuffle: each task merges bucket i of both tables
+  // locally — at 100 TB the recurring fact⋈fact join goes from a
+  // full-network exchange to zero join-side exchanges (plan asserted
+  // in BucketingSpec; here the driver checks the answer through the
+  // bucketed write+catalog+read path).
+  q("k11_bucketed_join",
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+      |  ${sqlR2("sum(o_totalprice)")} AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_bkt")
+    Tables.load(s, dir, "orders")
+      .write.mode("overwrite").option("path", s"$out/orders_b")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed")
+    Tables.load(s, dir, "customer")
+      .write.mode("overwrite").option("path", s"$out/customer_b")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_bucketed")
+    // merge hints pin the sort-merge shape the bucket layout serves
+    // (broadcast would also work at test scale but proves nothing)
+    s.table("orders_bucketed").hint("merge")
+      .join(s.table("customer_bucketed").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
   // AQI (SURVEY §2.10) — EPA piecewise-linear interpolation as pure
   // codegen'd Column expressions (no UDF), applied to events.value as
   // a pm2.5-like concentration; identical CASE chain in the oracle.
