@@ -109,6 +109,35 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "term")
   }
 
+  // Corpus-trained unigram log-probability — the relational core of
+  // an LM-based fluency/quality gate (KenLM-style scoring with the
+  // n-gram order dialed to 1): train = one aggregation over the
+  // corpus' own token counts, score = per-doc mean log P(token).
+  // Low scores flag rare-token-dense (garbled/boilerplate) docs.
+  // Train and score ride the SAME exploded token relation, so the
+  // whole thing is two shuffles (term count, doc regroup); the
+  // frequency table joins by term (NOT broadcast — at 100 TB a
+  // vocabulary does not fit an executor), the 1-row total broadcasts.
+  q("tx_unigram_logprob",
+    s"""WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |freq AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM freq)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  ${sqlR4("avg(ln(cnt / n))")} AS avg_logprob
+      |FROM toks JOIN freq USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").cast("double").as("n"))
+    toks.join(freq, "term").join(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        r4(avg(log(col("cnt") / col("n")))).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   // Deterministic content-hash train/test split (the reproducible
   // alternative to rand() sampling — split survives re-runs, joins,
   // and engine changes because it keys on content, not randomness):
