@@ -785,6 +785,31 @@ object CoreQueries extends QueryPack {
     }
   }
 
+  // J9 — salted skew join (engine extra): the forced-layout answer to
+  // a hot join key (AQE's skew split covers sort-merge plans; salting
+  // covers hash joins and pre-AQE materializations). Left rows fan
+  // into `salts` sub-keys, the right side replicates across all of
+  // them, so one hot key's rows land on `salts` reducers instead of
+  // one. Same multiset as the plain inner join — which is exactly
+  // what the oracle checks.
+  q("j9_salted_join",
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+      |  ${sqlR2("sum(l_quantity)")} AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    val facts = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k"), col("l_quantity"))
+    val dim = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")))
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    RelationalOps.saltedJoin(facts, dim, "k", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), r2(sum("l_quantity")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
   // W6 — ordered funnel (view → click → purchase): each step's entry
   // time is the user's first qualifying event STRICTLY AFTER the
   // previous step (the behavioral-analytics staple). Three partial-
