@@ -441,6 +441,60 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  // DQ — distribution drift (PSI) between two time windows: the
+  // monitor a training-data pipeline runs before trusting a new batch.
+  // Fixed-width buckets from the GLOBAL min/max (a broadcast 1-row
+  // stats join, never a driver collect), Laplace-smoothed shares per
+  // window (zero-count buckets stay finite), per-bucket contribution
+  // (p−q)·ln(p/q) and its running total; PSI > 0.2 is the usual
+  // retrain/alert line. One scan builds the counts; the bucket spine
+  // is generated, not scanned.
+  q("dq_drift",
+    s"""WITH stats AS (
+      |  SELECT min(value) AS lo, max(value) AS hi FROM events),
+      |bucketed AS (
+      |  SELECT CAST(least(9, floor((value - lo) / ((hi - lo) / 10))) AS BIGINT) AS bucket,
+      |    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+      |      THEN 'ref' ELSE 'cur' END AS win
+      |  FROM events CROSS JOIN stats),
+      |counts AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(sum(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      |  FROM bucketed GROUP BY bucket),
+      |spine AS (
+      |  SELECT unnest(generate_series(0, 9)) AS bucket),
+      |shares AS (
+      |  SELECT s.bucket,
+      |    (coalesce(n_ref, 0) + 1) / CAST((SELECT sum(n_ref) FROM counts) + 10 AS DOUBLE) AS p,
+      |    (coalesce(n_cur, 0) + 1) / CAST((SELECT sum(n_cur) FROM counts) + 10 AS DOUBLE) AS q
+      |  FROM spine s LEFT JOIN counts c ON s.bucket = c.bucket)
+      |SELECT CAST(bucket AS BIGINT) AS bucket,
+      |  ${sqlR4("p")} AS p_ref, ${sqlR4("q")} AS p_cur,
+      |  ${sqlR4("(p - q) * ln(p / q)")} AS psi_contrib
+      |FROM shares ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val stats = ev.agg(min("value").as("lo"), max("value").as("hi"))
+    val bucketed = ev.crossJoin(broadcast(stats))
+      .select(
+        least(lit(9), floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / 10)))
+          .cast("long").as("bucket"),
+        when(col("ts") < to_timestamp(lit("2024-01-16 00:00:00")), "ref")
+          .otherwise("cur").as("win"))
+    val counts = bucketed.groupBy("bucket").agg(
+      sum(when(col("win") === "ref", 1L).otherwise(0L)).as("n_ref"),
+      sum(when(col("win") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum("n_ref").as("t_ref"), sum("n_cur").as("t_cur"))
+    val spine = s.range(0, 10).select(col("id").as("bucket"))
+    spine.join(counts, Seq("bucket"), "left").crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        ((coalesce(col("n_ref"), lit(0L)) + 1) / (col("t_ref") + 10).cast("double")).as("p"),
+        ((coalesce(col("n_cur"), lit(0L)) + 1) / (col("t_cur") + 10).cast("double")).as("q"))
+      .select(col("bucket"), r4(col("p")).as("p_ref"), r4(col("q")).as("p_cur"),
+        r4((col("p") - col("q")) * log(col("p") / col("q"))).as("psi_contrib"))
+      .orderBy("bucket")
+  }
+
   /** One referential-integrity check: count child rows and how many
     * have no parent key. The parent side is key-distinct first, so the
     * left join can't multiply child rows; each check is a single

@@ -138,6 +138,46 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Second-order twin of [[tx_unigram_logprob]]: bigram conditional
+  // log-likelihood, MLE P(w2|w1) = c(w1 w2) / c(w1 ·) with both count
+  // tables trained on the corpus itself. The same two-shuffle shape —
+  // bigram relation → counts → rejoin — just keyed on (w1, w2); docs
+  // shorter than 2 tokens have no bigrams and drop out (mirrored in
+  // the oracle).
+  q("tx_bigram_logprob",
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |big AS (
+      |  SELECT x.doc_id, t.t[x.i] AS w1, t.t[x.i + 1] AS w2
+      |  FROM (SELECT doc_id, unnest(generate_series(1, n - 1)) AS i
+      |        FROM toks WHERE n >= 2) x
+      |  JOIN toks t USING (doc_id)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM big GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  ${sqlR4("avg(ln(c2 / CAST(c1 AS DOUBLE)))")} AS avg_logprob
+      |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") >= 2)
+    val big = toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), col("n") - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r4(avg(log(col("c2") / col("c1").cast("double")))).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   // Deterministic content-hash train/test split (the reproducible
   // alternative to rand() sampling — split survives re-runs, joins,
   // and engine changes because it keys on content, not randomness):
