@@ -54,6 +54,49 @@ object CurationStream {
         col("e.min_count").as("min_count"))
   }
 
+  /** Streaming half of the PSI drift monitor (batch twin: `dq_drift`):
+    * per event-time window bucket histogram of a value column with
+    * FIXED bounds — a global min/max is unknowable on an unbounded
+    * stream, so production bounds come from the reference window.
+    * State per window is ≤ `nBuckets` counters; each closed window
+    * emits its compact histogram, and PSI between any two windows is
+    * then a join over histograms ([[psi]]), never over the event
+    * stream itself.
+    */
+  def bucketHistogram(stream: DataFrame, valueCol: String,
+                      eventTimeCol: String, lo: Double, hi: Double,
+                      nBuckets: Int, windowDur: String,
+                      delay: String): DataFrame =
+    stream.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowDur).as("win"),
+        least(lit(nBuckets - 1),
+          floor((col(valueCol) - lo) / ((hi - lo) / nBuckets)))
+          .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("window_start"), col("bucket"), col("n"))
+
+  /** Population stability index between two bucket histograms
+    * (`(bucket, n)` rows, as [[bucketHistogram]] emits per window):
+    * Laplace-smoothed shares over the full generated spine, one
+    * scalar row out. Runs over the compact histograms — at any corpus
+    * scale this is a ≤ `nBuckets`-row computation.
+    */
+  def psi(histRef: DataFrame, histCur: DataFrame, nBuckets: Int): DataFrame = {
+    val spark = histRef.sparkSession
+    val spine = spark.range(0, nBuckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(histRef.select(col("bucket"), col("n").as("n_ref")), Seq("bucket"), "left")
+      .join(histCur.select(col("bucket"), col("n").as("n_cur")), Seq("bucket"), "left")
+    val totals = joined.agg(
+      sum(coalesce(col("n_ref"), lit(0L))).as("t_ref"),
+      sum(coalesce(col("n_cur"), lit(0L))).as("t_cur"))
+    joined.crossJoin(broadcast(totals))
+      .select(
+        ((coalesce(col("n_ref"), lit(0L)) + 1) / (col("t_ref") + nBuckets).cast("double")).as("p"),
+        ((coalesce(col("n_cur"), lit(0L)) + 1) / (col("t_cur") + nBuckets).cast("double")).as("q"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"))
+  }
+
   /** Stateless per-row quality gate (the streaming-safe subset of the
     * batch gates): token-level repetition + quality score, pure
     * expressions — no aggregation state, any output mode.
