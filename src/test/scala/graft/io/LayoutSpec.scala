@@ -72,4 +72,26 @@ class LayoutSpec extends SparkSpec {
     assert(ly == 1.0, s"linear y fraction $ly")
     assert(zy <= 10.0 / 16.0, s"zorder y fraction $zy")
   }
+
+  test("zAddress: bounded, deterministic, constant-column and negative-value safe") {
+    // adversarial domains: negatives, a constant column (hi == lo must
+    // not divide by zero), values at both bounds (no ANSI overflow on
+    // the cast — the bucket is clamped BEFORE casting)
+    val df = Seq((-50L, 7.5), (0L, 7.5), (999L, 7.5), (-50L, 7.5))
+      .toDF("a", "b")
+    val z = Layout.zAddress(df, Seq("a", "b"), bits = 10)
+      .select(col("a"), col("b"), col(Layout.ZCol))
+      .as[(Long, Double, Long)].collect()
+    val max = 1L << (2 * 10)
+    z.foreach { case (_, _, addr) =>
+      assert(addr >= 0 && addr < max, s"address $addr out of [0, $max)")
+    }
+    // same input row → same address (the layout must be reproducible)
+    val byRow = z.groupBy(r => (r._1, r._2)).values
+    byRow.foreach(g => assert(g.map(_._3).distinct.length == 1))
+    // extremes land at opposite ends of the curve
+    val lo = z.find(_._1 == -50L).get._3
+    val hi = z.find(_._1 == 999L).get._3
+    assert(lo < hi)
+  }
 }
