@@ -170,7 +170,9 @@ object TextQueries extends QueryPack {
         element_at(col("t"), col("i")).as("w1"),
         element_at(col("t"), col("i") + 1).as("w2"))
     val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = big.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // context counts roll up from the (tiny) bigram-count table, not
+    // from a third derivation of the corpus-sized exploded relation
+    val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
     big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
