@@ -332,6 +332,27 @@ object PipelineQueries extends QueryPack {
       .orderBy("c_mktsegment")
   }
 
+  // K12 — small-file compaction through the gate: a 64-fragment write
+  // (the per-hour incremental-ingest pathology, SURVEY §7.4-7) is
+  // rewritten toward target-size files by Maintenance.compact, and
+  // the compacted table must serve the identical content. File-count
+  // and atomic-swap behavior are spec'd in MaintenanceSpec.
+  q("k12_compaction",
+    s"""SELECT event_type, count(*) AS n,
+      |  ${sqlR2("sum(value)")} AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_compact") + "/t"
+    Tables.load(s, dir, "events").repartition(64)
+      .write.mode("overwrite").parquet(out)
+    graft.io.Maintenance.compact(s, out, Nil, targetBytes = 16L * 1024 * 1024)
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   // AQI (SURVEY §2.10) — EPA piecewise-linear interpolation as pure
   // codegen'd Column expressions (no UDF), applied to events.value as
   // a pm2.5-like concentration; identical CASE chain in the oracle.

@@ -180,6 +180,28 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Per-source document cap — the mixture-control curation step ("at
+  // most k docs per domain") as a deterministic window: rank within
+  // source by content hash (reproducible across runs/engines — no
+  // rand()), keep rank ≤ k. One shuffle on source; at 100 TB the
+  // hot-source partitions are exactly what AQE skew-split handles.
+  q("tx_cap_per_source",
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source FROM ranked WHERE rn <= 50
+      |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select("doc_id", "source")
+      .orderBy("source", "doc_id")
+  }
+
   // Deterministic content-hash train/test split (the reproducible
   // alternative to rand() sampling — split survives re-runs, joins,
   // and engine changes because it keys on content, not randomness):
