@@ -157,17 +157,31 @@ object SimilarityOps {
     * tables (multi-table, not single-probe — no recall cliff), buckets
     * are skew-capped, and vectors are joined back only for the
     * candidate pairs. Bucket = shuffle key: the 100 TB path.
+    *
+    * `multiprobe` (radius-1, on by default): each query additionally
+    * visits the `bitsPerBand` single-bit-flip neighbor buckets in
+    * every table — per-table hit probability rises from p^b to
+    * p^b + b·p^(b-1)(1-p) (a large factor at the mid-cosine
+    * similarities where banded RHP is weakest) while the INDEX stays
+    * one bucket per (vector, table); only the probe side fans out.
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               dim: Int, bands: Int, bitsPerBand: Int, k: Int,
-              maxBucket: Option[Int] = Some(1000)): DataFrame = {
+              maxBucket: Option[Int] = Some(1000),
+              multiprobe: Boolean = true): DataFrame = {
     val base = withNorm(vectors, idCol, vecCol, "id", "v", "n")
     val banded = capBuckets(
       bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand), maxBucket)
-    val cand = banded.as("a")
+    val probes =
+      if (!multiprobe) banded.withColumn("probe_val", col("band_val"))
+      else banded.select(col("id"), col("band"), col("band_val"),
+          explode(array((lit(0L) +:
+            (0 until bitsPerBand).map(j => lit(1L << j))): _*)).as("__flip"))
+        .withColumn("probe_val", col("band_val").bitwiseXOR(col("__flip")))
+    val cand = probes.as("a")
       .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
+          col("a.probe_val") === col("b.band_val") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")

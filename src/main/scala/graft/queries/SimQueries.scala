@@ -70,14 +70,14 @@ object SimQueries extends QueryPack {
   // Deterministic random-hyperplane construction, but not
   // ANSI-SQL-expressible → rows-only check.
   q("ann_lsh_topk", null) { (s, dir) =>
-    // 16 tables × 5 bits (multi-word signatures): measured 0.74 recall
-    // vs brute force on this corpus while scanning ~half of it — the
-    // honest ceiling for banded RHP when neighbors sit at mid-cosine
-    // (high-cosine near-dup is where LSH shines, see dd_embedding_lsh /
-    // mm_embed_neardup; for mid-cosine ANN the production path is IVF
-    // probe search, ann_ivf_search: ≥0.9 recall probing ~10%).
+    // 8 tables × 5 bits WITH radius-1 multiprobe: measured 0.966-0.969
+    // recall vs brute force on this corpus (single-probe 16×5 managed
+    // only 0.73 — mid-cosine neighbors rarely agree on all 5 bits, but
+    // almost always sit within one bit-flip). Half the index of the
+    // old geometry, 6 probe buckets per (query, table). IVF probe
+    // search (ann_ivf_search) remains the other scale path.
     SimilarityOps.lshTopK(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, bands = 16, bitsPerBand = 5, k = 5)
+        "vec_id", "embedding", dim = 64, bands = 8, bitsPerBand = 5, k = 5)
       .orderBy("query_id", "rank")
   }
 

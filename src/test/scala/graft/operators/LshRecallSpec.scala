@@ -145,16 +145,17 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"top-1 recall $recall")
   }
 
-  test("lshTopK corpus recall: the shipped 16x5 geometry holds ≥0.65 on real embeddings") {
+  test("lshTopK corpus recall: shipped 8x5 radius-1 multiprobe holds ≥0.9 on real embeddings") {
     // pins the measured operating point documented on ann_lsh_topk
-    // (0.73 on sf0.001, 0.74 on sf0.01) against silent geometry drift
+    // (0.966 on sf0.001, 0.969 on sf0.01 at 8×5 multiprobe; the old
+    // single-probe 16×5 managed 0.73) against silent geometry drift
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lsh = SimilarityOps.lshTopK(emb, "vec_id", "embedding",
-        dim = 64, bands = 16, bitsPerBand = 5, k = 5)
+        dim = 64, bands = 8, bitsPerBand = 5, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (lsh & exact).size.toDouble / exact.size
-    assert(recall >= 0.65, s"corpus recall $recall")
+    assert(recall >= 0.9, s"corpus recall $recall")
   }
 }
