@@ -119,6 +119,17 @@ object SimilarityOps {
       case None => banded
     }
 
+  /** Radius-1 multiprobe expansion: each row additionally carries the
+    * `bitsPerBand` single-bit-flip neighbors of its bucket value in
+    * `probe_val`. Collision-within-Hamming-1 is symmetric, so probing
+    * from one side of a pair join suffices.
+    */
+  private def radius1Probes(banded: DataFrame, bitsPerBand: Int): DataFrame =
+    banded.select(col("id"), col("band"), col("band_val"),
+        explode(array((lit(0L) +:
+          (0 until bitsPerBand).map(j => lit(1L << j))): _*)).as("__flip"))
+      .withColumn("probe_val", col("band_val").bitwiseXOR(col("__flip")))
+
   /** Embedding near-duplicate pairs via banded RHP LSH + exact-cosine
     * verification — the FIRST-CLASS plan for near-dup at scale (the
     * all-pairs [[cosinePairs]] stays as its small-n oracle twin, the
@@ -127,21 +138,26 @@ object SimilarityOps {
     * Plan shape: equi-joins only (band bucket join, then two hash
     * joins back to the vector table for verification) — NO
     * BroadcastNestedLoopJoin, no cartesian. Cost is O(candidates), and
-    * candidates are pairs agreeing on ≥1 of `bands` `bitsPerBand`-bit
-    * tables. With (12, 5) the hit probability at cos 0.8 is ≈0.99 and
-    * falls off steeply below.
+    * candidates are pairs within Hamming distance 1 on ≥1 of `bands`
+    * `bitsPerBand`-bit tables (radius-1 multiprobe — one side of the
+    * pair join fans out `bitsPerBand`+1 probe values, the index side
+    * stays one bucket per vector per table).
     */
   def embeddingLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
                         dim: Int, bands: Int, bitsPerBand: Int,
                         minSim: Double,
-                        maxBucket: Option[Int] = Some(1000)): DataFrame = {
+                        maxBucket: Option[Int] = Some(1000),
+                        multiprobe: Boolean = true): DataFrame = {
     val base = withNorm(vectors, idCol, vecCol, "id", "v", "n")
     val banded = capBuckets(
       bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand), maxBucket)
-    val cand = banded.as("a")
+    val probes =
+      if (multiprobe) radius1Probes(banded, bitsPerBand)
+      else banded.withColumn("probe_val", col("band_val"))
+    val cand = probes.as("a")
       .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_val") === col("b.band_val") &&
+          col("a.probe_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -173,11 +189,8 @@ object SimilarityOps {
     val banded = capBuckets(
       bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand), maxBucket)
     val probes =
-      if (!multiprobe) banded.withColumn("probe_val", col("band_val"))
-      else banded.select(col("id"), col("band"), col("band_val"),
-          explode(array((lit(0L) +:
-            (0 until bitsPerBand).map(j => lit(1L << j))): _*)).as("__flip"))
-        .withColumn("probe_val", col("band_val").bitwiseXOR(col("__flip")))
+      if (multiprobe) radius1Probes(banded, bitsPerBand)
+      else banded.withColumn("probe_val", col("band_val"))
     val cand = probes.as("a")
       .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") &&

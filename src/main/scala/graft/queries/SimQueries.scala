@@ -188,15 +188,17 @@ object SimQueries extends QueryPack {
       .orderBy("assigned_cell")
   }
 
-  // Embedding near-dup, FIRST-CLASS plan: banded RHP LSH candidates +
-  // exact-cosine verification — equi-joins only, no
-  // BroadcastNestedLoopJoin (asserted in the plan spec). 12 bands × 5
-  // bits ⇒ ≥1-band hit probability ≈0.99 at cos 0.8. Rows-only check;
-  // recall vs the exact twin is spec-asserted.
+  // Embedding near-dup, FIRST-CLASS plan: banded RHP LSH candidates
+  // (radius-1 multiprobe) + exact-cosine verification — equi-joins
+  // only, no BroadcastNestedLoopJoin (asserted in the plan spec).
+  // Threshold 0.45 sits where this corpus actually HAS pairs (its
+  // strongest pair is cos≈0.51), so the check returns rows instead of
+  // vacuously matching on empty; recall vs the exact twin is
+  // spec-asserted on planted geometry.
   q("dd_embedding_lsh", null) { (s, dir) =>
     SimilarityOps.embeddingLshPairs(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", dim = 64, bands = 12, bitsPerBand = 5,
-        minSim = 0.8)
+        minSim = 0.45)
       .orderBy("id_a", "id_b")
   }
 
@@ -222,10 +224,10 @@ object SimQueries extends QueryPack {
       |    list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(generate_series(1, len(a.embedding)),
       |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
-      |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.8
+      |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     SimilarityOps.cosinePairs(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", minSim = 0.8)
+        "vec_id", "embedding", minSim = 0.45)
       .orderBy("id_a", "id_b")
   }
 }
