@@ -109,6 +109,80 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id", "term")
   }
 
+  // PIPE_CURATE — the curation FLAGSHIP composite (the LLM-pipeline
+  // counterpart of pipe_mart): annotate (tokens, quality) → gates
+  // (length, quality, repetition) → exact dedup (min doc_id per
+  // content digest) → deterministic train/test split → per-(source,
+  // split) corpus report. Every stage is the library operator the
+  // standalone queries check one-by-one; here the oracle checks their
+  // COMPOSITION end-to-end. The quality gate compares det-rounded
+  // values on both engines (raw-double thresholding at a boundary is
+  // the one place ulp drift could flip a row). Near-dup clustering
+  // stays out of this (sketch-based — not SQL-expressible); its
+  // composition is spec-checked in CurationPipelineSpec.
+  q("pipe_curate",
+    s"""WITH t AS (
+      |  SELECT doc_id, text, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS nt,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stop_hits,
+      |    CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / length(text) AS punct_ratio,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd,
+      |    md5(text) AS fingerprint
+      |  FROM documents),
+      |sc AS (
+      |  SELECT *, least(1.0, nt / 100.0) * (1.0 - stop_hits / nt)
+      |    * (1.0 - punct_ratio) AS quality FROM t),
+      |bg AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+      |    THEN list_transform(generate_series(1, len(string_split(text, ' ')) - 1),
+      |      i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+      |    ELSE [] END) AS g
+      |  FROM documents),
+      |rep AS (
+      |  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg FROM (
+      |    SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1),
+      |gated AS (
+      |  SELECT sc.* FROM sc LEFT JOIN rep USING (doc_id)
+      |  WHERE n_tokens >= 10
+      |    AND ${sqlR4("quality")} >= 0.05
+      |    AND (1.0 - nd / nt) <= 0.8
+      |    AND coalesce(CAST(top_c AS DOUBLE) / n_bg, 0.0) <= 0.1),
+      |keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM gated GROUP BY 1),
+      |dedup AS (SELECT g.* FROM gated g JOIN keep USING (fingerprint, doc_id)),
+      |sp AS (
+      |  SELECT *, CASE WHEN substr(fingerprint, 1, 1) IN
+      |    ('0','1','2','3','4','5','6','7','8','9','a','b')
+      |  THEN 'train' ELSE 'test' END AS split FROM dedup)
+      |SELECT source, split, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  ${sqlR4("avg(quality)")} AS mean_quality
+      |FROM sp GROUP BY 1, 2 ORDER BY source, split""".stripMargin) { (s, dir) =>
+    val annotated = Tables.load(s, dir, "documents")
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("fingerprint", md5(col("text").cast("binary")))
+    val gated0 = annotated.filter(
+      col("n_tokens") >= 10 && r4(col("quality")) >= 0.05)
+    val repKeep = QualityOps.repetitionMetrics(gated0, "doc_id", "text",
+        maxDupTokenFrac = 0.8, maxTopBigramFrac = 0.1)
+      .filter(col("keep")).select("doc_id")
+    val gated = gated0.join(repKeep, "doc_id")
+    val exactKeep = gated.groupBy("fingerprint").agg(min("doc_id").as("doc_id"))
+    val dedup = gated.join(exactKeep, Seq("fingerprint", "doc_id"))
+    dedup.withColumn("split",
+        when(substring(col("fingerprint"), 1, 1).isin(
+          "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"),
+          lit("train")).otherwise(lit("test")))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        r4(avg("quality")).as("mean_quality"))
+      .orderBy("source", "split")
+  }
+
   // Corpus-trained unigram log-probability — the relational core of
   // an LM-based fluency/quality gate (KenLM-style scoring with the
   // n-gram order dialed to 1): train = one aggregation over the
