@@ -276,6 +276,57 @@ object TextQueries extends QueryPack {
       .orderBy("source", "doc_id")
   }
 
+  // LM quality GATE in its production shape: the model is trained on
+  // a REFERENCE corpus (even doc_ids) and scores an INCOMING batch
+  // (odd doc_ids) — unlike the self-scoring twins above, the batch
+  // contains tokens the model never saw, so probabilities are
+  // Laplace-smoothed over the trained vocabulary (+1 OOV class):
+  // seen w → (c(w)+1)/(N+V+1), unseen → 1/(N+V+1). Gate = mean log P
+  // under threshold ⇒ flag. The incoming batch left-joins the trained
+  // frequency table (vocab never broadcasts at corpus scale).
+  q("tx_lm_gate",
+    s"""WITH train AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |  WHERE doc_id % 2 = 0),
+      |freq AS (SELECT term, count(*) AS cnt FROM train GROUP BY 1),
+      |nv AS (
+      |  SELECT CAST(sum(cnt) AS DOUBLE) AS n,
+      |    CAST(count(*) AS DOUBLE) AS v FROM freq),
+      |incoming AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |  WHERE doc_id % 2 = 1),
+      |scored AS (
+      |  SELECT i.doc_id,
+      |    ln((coalesce(f.cnt, 0) + 1) / (n + v + 1)) AS logp,
+      |    CASE WHEN f.term IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM incoming i LEFT JOIN freq f USING (term) CROSS JOIN nv)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(oov) AS BIGINT) AS n_oov,
+      |  ${sqlR4("avg(logp)")} AS avg_logprob,
+      |  ${sqlR4("avg(logp)")} < -9.2 AS flagged
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val train = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(tokens(col("text"))).as("term"))
+    val freq = train.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val nv = freq.agg(sum("cnt").cast("double").as("n"),
+      count(lit(1)).cast("double").as("v"))
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    incoming.join(freq.withColumnRenamed("term", "f_term"),
+        col("term") === col("f_term"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        log((coalesce(col("cnt"), lit(0L)) + 1) / (col("n") + col("v") + 1)).as("logp"),
+        when(col("f_term").isNull, 1).otherwise(0).as("oov"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("oov").cast("long").as("n_oov"),
+        r4(avg("logp")).as("avg_logprob"),
+        (r4(avg("logp")) < -9.2).as("flagged"))
+      .orderBy("doc_id")
+  }
+
   // Deterministic content-hash train/test split (the reproducible
   // alternative to rand() sampling — split survives re-runs, joins,
   // and engine changes because it keys on content, not randomness):
