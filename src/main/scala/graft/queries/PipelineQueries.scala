@@ -462,6 +462,57 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  // DQ — key-uniqueness audit: the primary-key checks a mart contract
+  // declares, one row per key with duplicate counts. count vs
+  // count(DISTINCT) per key — one partial-agg pass per table.
+  q("dq_uniqueness",
+    """SELECT * FROM (
+      |  SELECT 'events.event_id' AS key_name,
+      |    CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+      |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dups
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey',
+      |    CAST(count(*) AS BIGINT), CAST(count(DISTINCT o_orderkey) AS BIGINT),
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders)
+      |ORDER BY key_name""".stripMargin) { (s, dir) =>
+    def check(table: String, key: String): DataFrame =
+      Tables.load(s, dir, table).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(key)).as("n_distinct"))
+        .select(lit(s"$table.$key").as("key_name"), col("n_rows"),
+          col("n_distinct"),
+          (col("n_rows") - col("n_distinct")).as("n_dups"))
+    check("events", "event_id").unionByName(check("orders", "o_orderkey"))
+      .orderBy("key_name")
+  }
+
+  // DQ — accepted-values (domain) audit: categorical columns must stay
+  // within their declared domain; violations surface with counts
+  // instead of silently flowing downstream. One conditional-agg pass.
+  q("dq_domain",
+    """SELECT 'events.event_type' AS col_name,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN event_type IN
+      |    ('click','error','purchase','signup','view')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+      |  CAST(count(DISTINCT CASE WHEN event_type NOT IN
+      |    ('click','error','purchase','signup','view')
+      |    THEN event_type END) AS BIGINT) AS n_bad_values
+      |FROM events""".stripMargin) { (s, dir) =>
+    val domain = eventTypes
+    Tables.load(s, dir, "events").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("event_type").isin(domain: _*), 0L).otherwise(1L))
+          .as("n_violations"),
+        countDistinct(when(!col("event_type").isin(domain: _*),
+          col("event_type"))).as("n_bad_values"))
+      .select(lit("events.event_type").as("col_name"),
+        col("n_rows"), col("n_violations"), col("n_bad_values"))
+  }
+
   // DQ — distribution drift (PSI) between two time windows: the
   // monitor a training-data pipeline runs before trusting a new batch.
   // Fixed-width buckets from the GLOBAL min/max (a broadcast 1-row
