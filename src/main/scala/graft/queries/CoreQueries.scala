@@ -1018,6 +1018,109 @@ object CoreQueries extends QueryPack {
       .orderBy("local_day")
   }
 
+  // Set ops (SURVEY §2.7): distinct UNION completes the family
+  // (except/intersect already checked). Catalyst plans union+distinct
+  // as one hash-aggregate over the concatenated children — a single
+  // shuffle on the key, no join.
+  q("set_union",
+    """SELECT c_nationkey AS nationkey FROM customer
+      |UNION
+      |SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+      .distinct()
+      .orderBy("nationkey")
+  }
+
+  // A9d — explicit GROUPING SETS (engine extra): arbitrary subtotal
+  // combinations in ONE Expand+aggregate pass over a single scan —
+  // the generalization of ROLLUP/CUBE. At 100 TB the scan dominates;
+  // three separate GROUP BY jobs would read the fact table three times.
+  q("a9_grouping_sets",
+    s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+       |  ${sqlR2("sum(o_totalprice)")} AS sum_price
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+       |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+            Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+  }
+
+  // A14 — deterministic per-group mode (most frequent value; ties →
+  // smallest value). Built-in mode() leaves ties engine-defined, so the
+  // checked form is the explicit count + row_number argmax — two
+  // partial-agg passes, both map-side combinable.
+  q("a14_mode",
+    """WITH c AS (
+      |  SELECT l_returnflag, l_quantity, count(*) AS n
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag, l_quantity AS mode_qty, n
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY l_returnflag ORDER BY n DESC, l_quantity) AS rn
+      |      FROM c)
+      |WHERE rn = 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("n").desc, col("l_quantity"))
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // F17 — higher-order array functions over the embedding column
+  // (SURVEY scale mandate: vectors are first-class): transform /
+  // filter / aggregate (sequential left fold — same addition order as
+  // DuckDB's list_sum) / array_max, all codegen'd, no UDF. This is the
+  // building block the ANN stack's dot products are made of.
+  q("f17_array_hof",
+    s"""SELECT vec_id,
+       |  len(embedding) AS dim,
+       |  ${sqlR4("list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))")} AS norm2,
+       |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       |  ${sqlR4("CAST(list_max(embedding) AS DOUBLE)")} AS max_elem
+       |FROM embeddings
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "embeddings").select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      r4(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))).as("norm2"),
+      size(filter(col("embedding"), _ > 0f)).as("n_pos"),
+      r4(array_max(col("embedding")).cast("double")).as("max_elem"))
+      .orderBy("vec_id")
+  }
+
+  // F18 — calendar bucketing family (engine extra): ISO-week and month
+  // date_trunc + quarter, the partitions a time-partitioned 100 TB
+  // table is laid out on. Both engines truncate weeks to Monday.
+  q("f18_date_trunc",
+    """SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS month_start,
+      |  CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week_start,
+      |  CAST(quarter(CAST(ts AS TIMESTAMP)) AS INTEGER) AS qtr,
+      |  count(*) AS n
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY month_start, week_start""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(
+        date_trunc("month", col("ts")).as("month_start"),
+        date_trunc("week", col("ts")).as("week_start"),
+        quarter(col("ts")).as("qtr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("month_start", "week_start")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",

@@ -134,6 +134,21 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // S8/K11 — ORC roundtrip (engine extra): the fourth interchange
+  // format (NDJSON, parquet, CSV, ORC), built into Spark — columnar
+  // with footer stats like parquet, so the same pushdown/pruning
+  // machinery applies. Lossless for this schema ⇒ oracle is the
+  // identity query over the parquet source.
+  q("s8_orc_roundtrip",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_orc")
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy("event_id")
+  }
+
   // K1/S2 — hive-partitioned parquet sink + partition-discovering scan
   // (SURVEY §2.1 K1/S2; process_openaq_raw.py:249-256). Partition cols
   // year/month/day derived per F2/F3; the read-back groups per

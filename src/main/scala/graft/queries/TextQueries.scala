@@ -675,6 +675,33 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Weight-proportional deterministic sampling (engine extra): each doc
+  // kept with probability ∝ its length, no rand() — the uniformizer is
+  // a Knuth multiplicative hash of the key, selection is pure integer
+  // arithmetic (exact on both engines). The continuous-weight
+  // complement of tx_domain_mixture's per-source rates: longer docs
+  // oversampled, replayable batch-to-batch.
+  q("tx_weighted_sample",
+    """WITH u AS (
+      |  SELECT source, n_chars,
+      |    (doc_id * 2654435761) % 1000003 AS h
+      |  FROM documents)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_total,
+      |  CAST(sum(CASE WHEN h * 4000 < n_chars * 1000003 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN h * 4000 < n_chars * 1000003 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      |FROM u GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val h = (col("doc_id") * lit(2654435761L)) % lit(1000003L)
+    val kept = h * lit(4000L) < col("n_chars") * lit(1000003L)
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("n_chars"), kept.as("kept"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_chars")).otherwise(0L)).as("kept_chars"))
+      .orderBy("source")
+  }
+
   // Entity resolution end-to-end: fuzzy match (edit distance ≤ 1) →
   // duplicate clusters (connected components) → one golden record per
   // cluster (longest name, tie → lowest key). The classic
