@@ -149,6 +149,53 @@ object PipelineQueries extends QueryPack {
     s.read.orc(out).orderBy("event_id")
   }
 
+  // K13 — snapshot time travel (engine extra, io.Snapshots): two
+  // commits land, the query reads the FIRST version back and
+  // aggregates it — proving an overwrite doesn't destroy history
+  // (the reference's crawler-over-prefix design has no such
+  // guarantee). Oracle reconstructs v1's content from the source.
+  q("k13_time_travel",
+    s"""SELECT o_orderstatus, count(*) AS n, ${sqlR2("sum(o_totalprice)")} AS sum_price
+       |FROM orders WHERE month(o_orderdate) <= 6
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.io.Snapshots
+    val tbl = tmpDir("graft_snap_tt")
+    val orders = Tables.load(s, dir, "orders")
+    val v1 = Snapshots.commit(orders.filter(month(col("o_orderdate")) <= 6), tbl)
+    Snapshots.commit(orders, tbl) // v2 overwrites; v1 must survive
+    Snapshots.read(s, tbl, Some(v1))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  // K14 — snapshot diff / CDC between versions (engine extra): rows
+  // that left and rows that arrived between v1 (months 1–6) and v2
+  // (months 4–12), tagged and counted. The multiset diff is two
+  // hash anti-joins; at real scale the manifests narrow it to
+  // non-shared files first (see Snapshots scaladoc).
+  q("k14_snapshot_diff",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderstatus, month(o_orderdate) AS m FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'deleted' AS change, o_orderstatus, count(*) AS n
+      |  FROM o WHERE m BETWEEN 1 AND 3 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'inserted' AS change, o_orderstatus, count(*) AS n
+      |  FROM o WHERE m BETWEEN 7 AND 12 GROUP BY 2)
+      |ORDER BY change, o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.io.Snapshots
+    val tbl = tmpDir("graft_snap_diff")
+    val o = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        month(col("o_orderdate")).as("m"))
+    val v1 = Snapshots.commit(o.filter(col("m").between(1, 6)), tbl)
+    val v2 = Snapshots.commit(o.filter(col("m").between(4, 12)), tbl)
+    Snapshots.diff(s, tbl, v1, v2)
+      .groupBy("change", "o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("change", "o_orderstatus")
+  }
+
   // K1/S2 — hive-partitioned parquet sink + partition-discovering scan
   // (SURVEY §2.1 K1/S2; process_openaq_raw.py:249-256). Partition cols
   // year/month/day derived per F2/F3; the read-back groups per
