@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as DataFrame dataflow (the family
+  * [[RelationalOps.connectedComponents]] opened; no GraphX, no RDDs).
+  *
+  * Scale notes: ranks live partitioned by node id; one iteration is one
+  * equi-join (ranks ⋈ edges on src) plus one hash aggregation (sum by
+  * dst) — both shuffle on graph keys, both map-side combinable. The
+  * dangling-mass term is a single-row aggregate broadcast back into the
+  * update (no driver-side collect inside the loop), and lineage is
+  * truncated every few iterations so deep runs don't re-analyze an
+  * O(iterations) plan tree.
+  */
+object GraphOps {
+
+  /** Weighted PageRank with uniform teleport and dangling-mass
+    * redistribution.
+    *
+    * rank'(v) = (1-d)/N + d * (Σ_{(u,v)∈E} rank(u)·w(u,v)/outW(u)
+    *                           + danglingMass/N)
+    *
+    * `nNodes` is passed in (one count() before the loop) so the loop
+    * itself launches no actions.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+               nNodes: Long, damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w")).cache()
+    val outW = e.groupBy("src").agg(sum("w").as("tot")).cache()
+    val nodes = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct().cache()
+
+    var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
+    for (i <- 1 to iters) {
+      val withOut = ranks.join(outW, ranks("n") === outW("src"), "left")
+        .select(col("n"), col("rank"), col("tot"))
+      // rank mass sitting on nodes with no out-edges, as a 1-row DF
+      val dangling = withOut.filter(col("tot").isNull)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contribs = withOut.filter(col("tot").isNotNull)
+        .join(e, col("n") === e("src"))
+        .select(col("dst"), (col("rank") * col("w") / col("tot")).as("c"))
+        .groupBy("dst").agg(sum("c").as("inc"))
+      val next = nodes.crossJoin(broadcast(dangling))
+        .join(contribs, nodes("n") === contribs("dst"), "left")
+        .select(nodes("n"),
+          (lit((1 - damping) / nNodes) +
+            lit(damping) * (coalesce(col("inc"), lit(0.0)) + col("dm") / nNodes))
+            .as("rank"))
+      ranks = if (i % 4 == 0) next.localCheckpoint() else next
+    }
+    ranks
+  }
+}

@@ -1121,6 +1121,64 @@ object CoreQueries extends QueryPack {
       .orderBy("month_start", "week_start")
   }
 
+  // GR1 — weighted PageRank over the customer-nation → supplier-nation
+  // trade graph (engine extra; the iterative-analytics family member
+  // next to connected components). Edge weights = lineitem counts
+  // through the star schema; 5 fixed iterations with uniform teleport
+  // and dangling-mass redistribution. The oracle UNROLLS the loop into
+  // pr0..pr5 CTEs — same dataflow, no recursion needed — so every
+  // iteration's arithmetic is checked, not just the fixpoint shape.
+  private val prIters = 5
+  private def prOracle: String = {
+    val base = """WITH e AS (
+      |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |    CAST(count(*) AS DOUBLE) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2),
+      |ow AS (SELECT src, sum(w) AS tot FROM e GROUP BY src),
+      |nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+      |pr0 AS (SELECT n, 1.0 / n_nodes AS rank FROM nodes CROSS JOIN nn)""".stripMargin
+    val iters = (1 to prIters).map { k =>
+      s""",
+         |pr$k AS (
+         |  SELECT nodes.n,
+         |    0.15 / nn.n_nodes + 0.85 * (COALESCE(inc.c, 0) + dm.d / nn.n_nodes) AS rank
+         |  FROM nodes CROSS JOIN nn CROSS JOIN (
+         |    SELECT COALESCE(sum(p.rank), 0) AS d
+         |    FROM pr${k - 1} p LEFT JOIN ow ON p.n = ow.src
+         |    WHERE ow.src IS NULL) dm
+         |  LEFT JOIN (
+         |    SELECT e.dst AS n2, sum(p.rank * e.w / ow.tot) AS c
+         |    FROM pr${k - 1} p JOIN ow ON p.n = ow.src JOIN e ON p.n = e.src
+         |    GROUP BY e.dst) inc ON nodes.n = inc.n2)""".stripMargin
+    }.mkString
+    base + iters +
+      s"\nSELECT n AS nationkey, ${sqlR4("rank")} AS pagerank FROM pr$prIters ORDER BY nationkey"
+  }
+
+  q("gr_pagerank", prOracle) { (s, dir) =>
+    import graft.operators.GraphOps
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+      .cache()
+    val nNodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct().count()
+    GraphOps.pageRank(edges, "src", "dst", "w", nNodes, damping = 0.85, iters = prIters)
+      .select(col("n").as("nationkey"), r4(col("rank")).as("pagerank"))
+      .orderBy("nationkey")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",

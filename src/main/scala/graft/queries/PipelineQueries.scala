@@ -720,6 +720,52 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_type", "hour")
   }
 
+  // Time-series LOCF (last observation carried forward): error events
+  // carry no usable reading, so each user's series fills them with the
+  // most recent non-null value — the standard sensor-feed repair, one
+  // window pass, values carried bit-exact (no arithmetic).
+  q("ts_locf",
+    """SELECT event_id, user_id,
+      |  last_value(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
+      .orderBy("event_id")
+  }
+
+  // DQ — order-independent content digest per group: each row hashes
+  // to a 32-bit integer (md5 prefix) and the group digest is their
+  // exact integer SUM — commutative, so partitioning/ordering can't
+  // change it. This is how two engines (or two replicas of a 100 TB
+  // table) reconcile content without shipping rows: compare digests
+  // per group, drill into mismatched groups only.
+  q("dq_table_digest",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CAST('0x' || substr(md5(
+      |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)
+      |      || '|' || l_linestatus), 1, 8) AS BIGINT)) AS BIGINT) AS digest
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val rowStr = concat_ws("|", col("l_orderkey").cast("string"),
+      col("l_linenumber").cast("string"), col("l_linestatus"))
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long")).as("digest"))
+      .orderBy("l_returnflag")
+  }
+
   // K7 — MERGE-style upsert: signup activity updates customer
   // balances (matched), shifted keys exercise the insert path,
   // untouched customers are kept — one full-outer join, audit-tagged.

@@ -33,4 +33,32 @@ object StreamJoins {
       .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
         col("c_value"), col("e_value"))
   }
+
+  /** LEFT OUTER attribution join: like [[attributionJoin]], but causes
+    * that never see an in-window effect are still emitted (effect side
+    * null) — the "which clicks converted, which didn't" question asked
+    * as one streaming query.
+    *
+    * Semantics to know: an unmatched cause row can only be emitted once
+    * the WATERMARK has passed its join window (before that, a matching
+    * effect could still arrive), so outer rows trail the inner ones by
+    * the watermark delay + window — correctness over latency, and the
+    * reason both sides' watermarks are mandatory here while the inner
+    * variant could in principle run without state eviction.
+    */
+  def attributionJoinLeftOuter(causes: DataFrame, effects: DataFrame,
+                               windowMinutes: Int,
+                               watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = causes.selectExpr("user_id AS c_user", "ts AS c_ts", "value AS c_value")
+      .withWatermark("c_ts", watermarkDelay)
+    val e = effects.selectExpr("user_id AS e_user", "ts AS e_ts", "value AS e_value")
+      .withWatermark("e_ts", watermarkDelay)
+    c.join(e,
+      col("c_user") === col("e_user") &&
+        col("c_ts") <= col("e_ts") &&
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
+        col("c_value"), col("e_value"))
+  }
 }

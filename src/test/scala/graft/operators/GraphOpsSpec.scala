@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Int, Int, Double)], iters: Int): Map[Int, Double] = {
+    val df = edges.toDF("src", "dst", "w")
+    val n = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+    GraphOps.pageRank(df, "src", "dst", "w", n, damping = 0.85, iters = iters)
+      .as[(Int, Double)].collect().toMap
+  }
+
+  /** Driver-side reference implementation (plain maps) for comparison. */
+  private def refRanks(edges: Seq[(Int, Int, Double)], iters: Int): Map[Int, Double] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val n = nodes.size
+    val outW = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val dm = nodes.filterNot(outW.contains).map(r).sum
+      val inc = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _, w) => r(s) * w / outW(s) }.sum).toMap
+      r = nodes.map(v =>
+        v -> (0.15 / n + 0.85 * (inc.getOrElse(v, 0.0) + dm / n))).toMap
+    }
+    r
+  }
+
+  test("3-cycle is the uniform fixpoint") {
+    val r = ranks(Seq((1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)), iters = 4)
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("dangling node mass is redistributed (matches reference impl)") {
+    // 1→2, 3→2; node 2 has no out-edges
+    val es = Seq((1, 2, 1.0), (3, 2, 2.0))
+    val got = ranks(es, iters = 5)
+    val want = refRanks(es, iters = 5)
+    want.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"node $k") }
+  }
+
+  test("weighted edges skew rank toward the heavy target; mass conserved") {
+    // hub 1 links out 9:1 — node 2 must outrank node 3
+    val es = Seq((1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0))
+    val r = ranks(es, iters = 8)
+    assert(r(2) > r(3))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9) // teleport + dangling conserve mass
+    val want = refRanks(es, iters = 8)
+    want.foreach { case (k, v) => assert(math.abs(r(k) - v) < 1e-12, s"node $k") }
+  }
+}

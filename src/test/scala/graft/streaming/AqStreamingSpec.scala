@@ -324,6 +324,49 @@ class StreamJoinSpec extends graft.SparkSpec {
     assert(rows.head.getAs[Double]("c_value") == 1.0)
     assert(rows.head.getAs[Double]("e_value") == 99.0)
   }
+
+  test("left-outer join emits unmatched causes once the watermark closes their window") {
+    val clicksDir = Files.createTempDirectory("sjo_clicks")
+    val purchasesDir = Files.createTempDirectory("sjo_purch")
+    val out = Files.createTempDirectory("sjo_out").toString
+    val ckpt = Files.createTempDirectory("sjo_ckpt").toString
+    // batch 1: one converting click, one that never converts
+    Files.writeString(clicksDir.resolve("a_b1.json"), Seq(
+      rec(1, "2024-01-01T10:00:00Z", 1.0),
+      rec(3, "2024-01-01T10:02:00Z", 7.0)).mkString("\n"))
+    Files.writeString(purchasesDir.resolve("a_b1.json"),
+      rec(1, "2024-01-01T10:20:00Z", 99.0))
+    // batch 2: far-future heartbeats push the watermark past 10:02's
+    // window (+30 min join window +10 min delay) so the unmatched
+    // click's state can be finalized and emitted with a null effect
+    Files.writeString(clicksDir.resolve("b_b2.json"),
+      rec(999, "2024-01-01T12:00:00Z", 0.0))
+    Files.writeString(purchasesDir.resolve("b_b2.json"),
+      rec(999, "2024-01-01T12:00:00Z", 0.0))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    def read(d: java.nio.file.Path) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(d.toString)
+
+    val joined = StreamJoins.attributionJoinLeftOuter(
+      read(clicksDir), read(purchasesDir), windowMinutes = 30)
+    joined.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination(120000)
+
+    val rows = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("user_id") < 100).collect()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(rows.length == 2, s"got ${rows.toSeq}")
+    assert(byUser(1).getAs[Double]("e_value") == 99.0)        // matched pair
+    assert(byUser(3).isNullAt(byUser(3).fieldIndex("e_ts")))  // outer row, null effect
+  }
 }
 
 /** Streaming curation: watermarked content-hash dedup emits exactly
