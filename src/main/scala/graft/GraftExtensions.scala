@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("mg_heavy_hitters",
         "_FUNC_(col) - 16-counter Misra-Gries heavy-hitters summary as array<struct<item,min_count>>"),
       (es: Seq[Expression]) => MgHeavyHitters(es.head, 16).toAggregateExpression()))
+
+    // conf-gated plan rewrite: COUNT(DISTINCT x) → HLL++ sketch
+    // (see graft.plans.ApproxDistinctRewrite; off unless
+    // spark.graft.approxDistinct=true)
+    ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite.apply)
   }
 }
 

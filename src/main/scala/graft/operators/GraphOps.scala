@@ -29,29 +29,47 @@ object GraphOps {
                nNodes: Long, damping: Double = 0.85, iters: Int = 5): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("double").as("w")).cache()
-    val outW = e.groupBy("src").agg(sum("w").as("tot")).cache()
+    val outW = e.groupBy("src").agg(sum("w").as("tot"))
+    // static (node, out-weight) frame, built ONCE: rank rows carry
+    // `tot` through the loop so no iteration re-joins the static side
+    // (an iteration is then exactly one join + one aggregation on
+    // graph keys, plus the 1-row dangling broadcast)
     val nodes = e.select(col("src").as("n"))
-      .union(e.select(col("dst").as("n"))).distinct().cache()
+      .union(e.select(col("dst").as("n"))).distinct()
+    val base = nodes.join(outW, nodes("n") === outW("src"), "left")
+      .select(col("n"), col("tot")).cache()
 
-    var ranks = nodes.withColumn("rank", lit(1.0 / nNodes))
+    // One up-front check, not one per iteration: a graph with no
+    // dangling nodes has an identically-zero redistribution term, so
+    // the per-iteration 1-row aggregate + broadcast job (a fixed
+    // ~100ms of scheduling each round, and a barrier) is provably
+    // dead code for it. Most real link graphs DO have danglings —
+    // the term stays for them.
+    val hasDangling = !base.filter(col("tot").isNull).isEmpty
+
+    var ranks = base.withColumn("rank", lit(1.0 / nNodes))
     for (i <- 1 to iters) {
-      val withOut = ranks.join(outW, ranks("n") === outW("src"), "left")
-        .select(col("n"), col("rank"), col("tot"))
       // rank mass sitting on nodes with no out-edges, as a 1-row DF
-      val dangling = withOut.filter(col("tot").isNull)
+      val dangling = ranks.filter(col("tot").isNull)
         .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-      val contribs = withOut.filter(col("tot").isNotNull)
+      val contribs = ranks.filter(col("tot").isNotNull)
         .join(e, col("n") === e("src"))
         .select(col("dst"), (col("rank") * col("w") / col("tot")).as("c"))
         .groupBy("dst").agg(sum("c").as("inc"))
-      val next = nodes.crossJoin(broadcast(dangling))
-        .join(contribs, nodes("n") === contribs("dst"), "left")
-        .select(nodes("n"),
+      val withDm =
+        if (hasDangling) base.crossJoin(broadcast(dangling))
+        else base.withColumn("dm", lit(0.0))
+      val next = withDm
+        .join(contribs, base("n") === contribs("dst"), "left")
+        .select(base("n"), base("tot"),
           (lit((1 - damping) / nNodes) +
             lit(damping) * (coalesce(col("inc"), lit(0.0)) + col("dm") / nNodes))
             .as("rank"))
-      ranks = if (i % 4 == 0) next.localCheckpoint() else next
+      // each iteration reads `ranks` twice (dangling mass and
+      // contributions): without a cache per level the lineage
+      // re-evaluates 2^iters times — cache makes it linear
+      ranks = if (i % 4 == 0) next.localCheckpoint() else next.cache()
     }
-    ranks
+    ranks.select(col("n"), col("rank"))
   }
 }

@@ -1121,6 +1121,25 @@ object CoreQueries extends QueryPack {
       .orderBy("month_start", "week_start")
   }
 
+  // A15 — equi-width histogram (engine extra): fixed-width price bins
+  // in ONE scan — integer bin arithmetic (identical IEEE ops on both
+  // engines), count + bounds per bin. The profile-a-column primitive
+  // behind dq_drift's buckets, exposed standalone.
+  q("a15_histogram",
+    s"""SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bin,
+       |  count(*) AS n,
+       |  ${sqlR2("min(l_extendedprice)")} AS lo,
+       |  ${sqlR2("max(l_extendedprice)")} AS hi
+       |FROM lineitem
+       |GROUP BY 1 ORDER BY bin""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        r2(min("l_extendedprice")).as("lo"),
+        r2(max("l_extendedprice")).as("hi"))
+      .orderBy("bin")
+  }
+
   // GR1 — weighted PageRank over the customer-nation → supplier-nation
   // trade graph (engine extra; the iterative-analytics family member
   // next to connected components). Edge weights = lineitem counts

@@ -675,6 +675,27 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Generator/UDTF surface: POSITIONAL explode — each token with its
+  // 1-based offset (what chunkers and positional n-gram features
+  // consume). DuckDB twin: unnest + generate_subscripts expand in
+  // lockstep. Restricted to the first 5 positions to keep the checked
+  // result focused on offset correctness.
+  q("tx_token_positions",
+    """SELECT * FROM (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos,
+      |    unnest(string_split(text, ' ')) AS token
+      |  FROM documents)
+      |WHERE pos <= 5
+      |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("token"))
+      .filter(col("pos") <= 5)
+      .orderBy("doc_id", "pos")
+  }
+
   // Weight-proportional deterministic sampling (engine extra): each doc
   // kept with probability ∝ its length, no rand() — the uniformizer is
   // a Knuth multiplicative hash of the key, selection is pure integer
