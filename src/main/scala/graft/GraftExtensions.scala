@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (see graft.plans.ApproxDistinctRewrite; off unless
     // spark.graft.approxDistinct=true)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite.apply)
+
+    // whole-operator extension: TopKPerGroup logical node → two-stage
+    // bounded-heap physical plan (graftx.TopKStrategy)
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftx.TopKStrategy)
   }
 }
 

@@ -322,6 +322,33 @@ object CoreQueries extends QueryPack {
       .orderBy("hour", "event_type")
   }
 
+  // T2 — HOPPING (sliding) windows, batch twin of
+  // window(ts, '1 hour', '30 minutes'): each event lands in exactly
+  // two overlapping hour windows on the 30-min grid. The oracle
+  // expands the two memberships explicitly (UNION ALL of the two
+  // slide offsets) — same multiset, no window() builtin needed.
+  q("t2_hopping",
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |    to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800 AS BIGINT)) AS slot,
+       |    value
+       |  FROM events),
+       |w AS (
+       |  SELECT event_type, slot AS wstart, value FROM g
+       |  UNION ALL
+       |  SELECT event_type, slot - INTERVAL 30 MINUTE, value FROM g)
+       |SELECT event_type, CAST(wstart AS TIMESTAMP) AS window_start,
+       |  count(*) AS n, ${sqlR4("avg(value)")} AS avg_value
+       |FROM w GROUP BY 1, 2
+       |ORDER BY event_type, window_start""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"),
+        window(col("ts"), "1 hour", "30 minutes")
+          .getField("start").as("window_start"))
+      .agg(count(lit(1)).as("n"), r4(avg("value")).as("avg_value"))
+      .orderBy("event_type", "window_start")
+  }
+
   // W2 — analytic windows beyond the reference's row_number (SURVEY
   // §2.5 "available in Spark when needed"): lag/lead + running frame.
   q("w2_lag_lead_frame",
@@ -484,6 +511,28 @@ object CoreQueries extends QueryPack {
         rank().over(w).cast("long").as("rnk"))
       .filter(col("rnk") <= 3)
       .orderBy("event_type", "rnk")
+  }
+
+  // O3b — the same top-n-per-group answer through the CUSTOM PHYSICAL
+  // OPERATOR (graftx.TopKPerGroup → TopKPerGroupExec): bounded
+  // k-element heaps instead of the window formulation's full
+  // per-group sort; partial stage caps shuffle volume at k rows per
+  // (group, partition). Strict row_number semantics (total order via
+  // the event_id tie-break). Plan shape asserted in TopKPerGroupSpec.
+  q("o3b_topn_heap",
+    """SELECT event_id, event_type, value FROM (
+      |  SELECT event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 3 ORDER BY event_type, value DESC, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graftx.GraftPlans
+    val ev = Tables.load(s, dir, "events")
+      .select("event_id", "event_type", "value")
+    GraftPlans.topKPerGroup(ev,
+      groupCols = Seq("event_type"),
+      order = Seq("value" -> false, "event_id" -> true), k = 3)
+      .orderBy(col("event_type"), col("value").desc, col("event_id"))
   }
 
   // J7 — range (interval) join: per-user 2h windows anchored at the
@@ -668,6 +717,24 @@ object CoreQueries extends QueryPack {
       .agg(org.apache.spark.sql.graftx.KmvDistinctSketch
         .kmvDistinct(col("o_custkey"), k = 256).as("kmv_customers"))
       .orderBy("o_orderpriority")
+  }
+
+  // A16 — Count-Min-Sketch frequency estimates (completing the sketch
+  // family: HLL/KMV distinct, MG heavy hitters, GK quantiles, CMS
+  // frequencies). The few-KB mergeable sketch is the only thing that
+  // leaves the executors; probe items are estimated against it on the
+  // driver — the serve-frequencies-without-a-groupBy pattern.
+  // Hash-layout-specific bytes → rows-only; CmsFreqSpec bounds the
+  // overestimate at eps·N and checks the one-sided guarantee.
+  q("a16_cms_freq", null) { (s, dir) =>
+    import s.implicits._
+    val bytes = Tables.load(s, dir, "events")
+      .select(count_min_sketch(col("event_type"), lit(0.001), lit(0.99), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    PipelineQueries.eventTypes.map(t => (t, cms.estimateCount(t)))
+      .toDF("event_type", "est_count").orderBy("event_type")
   }
 
   // J5 — as-of join (engine extra; the classic event-to-dimension-

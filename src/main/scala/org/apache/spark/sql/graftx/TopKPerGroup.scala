@@ -1,0 +1,118 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.util.BoundedPriorityQueue
+
+/** Whole-operator Catalyst extension (SURVEY §7.3 path (c)): top-k
+  * rows per group WITHOUT sorting.
+  *
+  * The window-function formulation (`row_number() OVER (PARTITION BY g
+  * ORDER BY v) <= k`) forces a full sort of every group's rows — at
+  * 100 TB that's a sort (and likely a spill) of the whole table to
+  * keep k rows per group. This operator keeps a bounded k-element
+  * heap per group instead:
+  *
+  *  - partial stage (pre-shuffle): each input partition reduces to at
+  *    most k rows per group it has seen — the top-k analog of map-side
+  *    combine; shuffle volume is ≤ k·groups·partitions, independent of
+  *    input rows;
+  *  - final stage (post-shuffle, clustered on the group key): heaps
+  *    merge candidates to the exact global top-k per group.
+  *
+  * O(n log k) work, O(groups·k) memory, no sort, no spill. Planned via
+  * [[TopKStrategy]] (SparkSessionExtensions.injectPlannerStrategy);
+  * both stages are the same physical node, differing only in their
+  * required child distribution — EnsureRequirements inserts the
+  * exchange between them.
+  */
+case class TopKPerGroup(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
+                        k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroup(g, o, k, child) =>
+      val partialStage = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, partialStage) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
+                            k: Int, partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val groupE = groupExprs
+    val orderE = ordering
+    val kk = k
+    child.execute().mapPartitionsInternal { iter =>
+      val keyProj = UnsafeProjection.create(groupE, schema)
+      val rowOrd = new LazilyGeneratedOrdering(orderE, schema)
+      // BoundedPriorityQueue keeps the maxSize LARGEST under its
+      // Ordering; we want the rows that sort FIRST → feed the reverse
+      val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, BoundedPriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElse(key, null) match {
+          case null =>
+            val h = new BoundedPriorityQueue[InternalRow](kk)(rowOrd.reverse)
+            heaps.put(key.copy(), h) // iterator reuses the key buffer — copy
+            h
+          case h => h
+        }
+        heap += row.copy() // same for the row buffer
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Dataset-level entry point. */
+object GraftPlans {
+  /** Exact top-k rows per group under `order` — (column, ascending?)
+    * pairs, resolved by name against `df` (row_number semantics: make
+    * the order total, e.g. end with a unique tie-break column, for
+    * deterministic results).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+                   order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // self-register the strategy so plain sessions (no
+    // GraftExtensions wiring) can still plan the node
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val child = df.queryExecution.analyzed
+    def attr(n: String): Attribute = child.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name)}"))
+    val sortOrders = order.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      TopKPerGroup(groupCols.map(attr), sortOrders, k, child))
+  }
+}
