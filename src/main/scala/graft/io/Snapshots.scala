@@ -64,11 +64,26 @@ object Snapshots {
     walk(dir)
   }
 
+  private def claimFile(tableDir: String, v: Int) =
+    new File(manifestDir(tableDir), f"v$v%05d.claim")
+
   private def publish(tableDir: String, files: Seq[String]): Int = {
-    val v = versions(tableDir).lastOption.getOrElse(0) + 1
+    manifestDir(tableDir).mkdirs()
+    // Version allocation must be race-free: POSIX rename() silently
+    // REPLACES an existing target, so two concurrent committers that
+    // both compute "next = 7" would clobber each other's manifest.
+    // Claiming the number first via createFile (atomic-exclusive on
+    // POSIX) makes the loser advance to the next number instead.
+    // A crashed claimer leaves a gap in the version sequence, never a
+    // torn table — readers only ever see published manifests.
+    var v = versions(tableDir).lastOption.getOrElse(0) + 1
+    var claimed = false
+    while (!claimed) {
+      try { Files.createFile(claimFile(tableDir, v).toPath); claimed = true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => v += 1 }
+    }
     val json = files.map(f => "\"" + esc(f) + "\"")
       .mkString(s"""{"version":$v,"files":[""", ",", "]}")
-    manifestDir(tableDir).mkdirs()
     // temp-write + atomic rename: readers never observe a half manifest
     val tmp = Paths.get(manifestDir(tableDir).getPath, s".v$v.${UUID.randomUUID()}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
@@ -127,7 +142,10 @@ object Snapshots {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     val live = keep.flatMap(files(tableDir, _)).toSet
     val dead = drop.flatMap(files(tableDir, _)).filterNot(live)
-    drop.foreach(v => manifestFile(tableDir, v).delete())
+    drop.foreach { v =>
+      manifestFile(tableDir, v).delete()
+      claimFile(tableDir, v).delete()
+    }
     dead.foreach(p => new File(p).delete())
     // reap now-empty commit dirs
     val dataDir = new File(tableDir, "data")

@@ -59,6 +59,18 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Snapshots.read(spark, dir, Some(2)))
   }
 
+  test("a competing claim on the next version is skipped, never clobbered") {
+    val dir = tbl()
+    Snapshots.commit(Seq((1, "a")).toDF("id", "s"), dir)
+    // another committer has claimed v2 but not yet published
+    val stolen = new File(dir, "_manifests/v00002.claim")
+    java.nio.file.Files.createFile(stolen.toPath)
+    val v = Snapshots.commit(Seq((2, "b")).toDF("id", "s"), dir)
+    assert(v == 3, "loser of the claim race must advance past the taken number")
+    assert(Snapshots.versions(dir) == Seq(1, 3)) // gap where the claim sits
+    assert(Snapshots.read(spark, dir).as[(Int, String)].head() == ((2, "b")))
+  }
+
   test("read@version plans pushdown like any parquet scan") {
     val dir = tbl()
     Snapshots.commit((1 to 100).map(i => (i, i % 7)).toDF("id", "grp"), dir)
