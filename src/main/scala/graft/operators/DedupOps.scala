@@ -111,6 +111,48 @@ object DedupOps {
       .select("id_a", "id_b", "shared", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric shingle CONTAINMENT: for each query-side document,
+    * corpus documents that contain ≥ `minContain` of its shingles —
+    * the quote/subset-detection direction Jaccard can't see (a short
+    * fragment fully inside a long doc has low Jaccard but containment
+    * ≈ 1). This is the fraction-grade sibling of the decontamination
+    * scan: query side is the small relation (benchmark prompts, doc
+    * prefixes, suspected quotes), corpus side is the big one.
+    *
+    * Scale shape: inverted-index equi-join on hashed shingles — the
+    * corpus is never self-joined; per-shingle work is f_query ×
+    * f_corpus. The skew cap drops corpus-hot shingles via a broadcast
+    * LEFT ANTI (same guard as [[ngramJaccardPairs]]); `n_q` stays the
+    * full query-set size so capped shingles only LOWER containment
+    * (no false positives from the cap).
+    */
+  def containmentPairs(queryDocs: DataFrame, qIdCol: String, qTextCol: String,
+                       corpus: DataFrame, cIdCol: String, cTextCol: String,
+                       n: Int, minContain: Double,
+                       maxPosting: Option[Int] = None): DataFrame = {
+    def postings(df: DataFrame, id: String, text: String, outId: String) =
+      df.select(col(id).as(outId), TextFunctions.shingleSet(col(text), n).as("ng"))
+        .select(col(outId), size(col("ng")).cast("long").as("n_set"),
+          explode(col("ng")).as("g0"))
+        .withColumn("g", xxhash64(col("g0"))).drop("g0")
+    val qPost = postings(queryDocs, qIdCol, qTextCol, "q_id")
+      .withColumnRenamed("n_set", "n_q")
+    val cPost0 = postings(corpus, cIdCol, cTextCol, "c_id").drop("n_set")
+    val cPost = maxPosting match {
+      case Some(cap) =>
+        val hot = cPost0.groupBy("g").count().filter(col("count") > cap).select("g")
+        cPost0.join(broadcast(hot), Seq("g"), "left_anti")
+      case None => cPost0
+    }
+    qPost.join(cPost, "g")
+      .filter(col("q_id") =!= col("c_id"))
+      .groupBy("q_id", "c_id")
+      .agg(count(lit(1)).as("shared"), max(col("n_q")).as("n_q"))
+      .withColumn("containment", col("shared") / col("n_q"))
+      .filter(col("containment") >= minContain)
+      .select("q_id", "c_id", "shared", "n_q", "containment")
+  }
+
   /** Incremental near-dup: n-gram Jaccard pairs that TOUCH the new
     * batch — each pair's greater id is in the batch (batch-vs-history
     * and batch-vs-batch; history-vs-history pairs were found when

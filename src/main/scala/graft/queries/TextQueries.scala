@@ -675,6 +675,49 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Asymmetric containment (quote/subset detection): each document's
+  // 30-token PREFIX probed against the full corpus — a fragment fully
+  // inside a longer doc scores containment ≈ 1 where Jaccard stays
+  // low (the direction dd_ngram_jaccard can't see). Query side is the
+  // small relation; corpus-hot shingles capped like the Jaccard path
+  // (cap only LOWERS containment — no false positives).
+  q("dd_containment",
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |frag AS (SELECT doc_id, t[1:30] AS t FROM toks WHERE len(t) >= 33),
+      |fngr AS (SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, len(t) - 2),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ng FROM frag),
+      |cngr AS (SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [] END) AS ng FROM toks),
+      |fsz AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_q FROM fngr),
+      |fex AS (SELECT doc_id AS q_id, unnest(ng) AS g FROM fngr),
+      |cex0 AS (SELECT doc_id AS c_id, unnest(ng) AS g FROM cngr),
+      |ok AS (SELECT g FROM cex0 GROUP BY g HAVING count(*) <= $NgramPostingCap),
+      |cex AS (SELECT cex0.c_id, cex0.g FROM cex0 JOIN ok USING (g)),
+      |shared AS (
+      |  SELECT q_id, c_id, count(*) AS shared FROM fex JOIN cex USING (g)
+      |  WHERE q_id <> c_id GROUP BY 1, 2)
+      |SELECT q_id, c_id, shared, fsz.n_q AS n_q,
+      |  ${sqlR4("shared / fsz.n_q")} AS containment
+      |FROM shared JOIN fsz ON fsz.doc_id = q_id
+      |WHERE shared / fsz.n_q >= 0.8
+      |ORDER BY q_id, c_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val fragments = docs
+      .filter(size(split(col("text"), " ")) >= 33)
+      .select(col("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+    DedupOps.containmentPairs(fragments, "doc_id", "text",
+        docs, "doc_id", "text", n = 3, minContain = 0.8,
+        maxPosting = Some(NgramPostingCap))
+      .withColumn("containment", r4(col("containment")))
+      .orderBy("q_id", "c_id")
+  }
+
   // Generator/UDTF surface: POSITIONAL explode — each token with its
   // 1-based offset (what chunkers and positional n-gram features
   // consume). DuckDB twin: unnest + generate_subscripts expand in
