@@ -719,6 +719,27 @@ object CoreQueries extends QueryPack {
       .orderBy("o_orderpriority")
   }
 
+  // A6d — audience-overlap estimate from MATERIALIZED KMV sketches:
+  // per-segment sketches built in one pass, then inclusion–exclusion
+  // (|A|+|B|−|A∪B|) over the unioned sketches — the cross-segment
+  // overlap question answered from per-segment summaries without ever
+  // re-scanning or joining the raw membership sets. Deterministic but
+  // hash-specific → rows-only; KmvOverlapSpec bounds the error.
+  q("a6_kmv_overlap", null) { (s, dir) =>
+    import org.apache.spark.sql.graftx.KmvDistinctSketch.{kmvDistinct, kmvSketch, kmvUnionEstimate}
+    val perType = Tables.load(s, dir, "events")
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(kmvSketch(col("user_id")).as("sk"),
+        kmvDistinct(col("user_id")).as("est"))
+    perType.agg(
+      max(when(col("event_type") === "click", col("est"))).as("est_click"),
+      max(when(col("event_type") === "purchase", col("est"))).as("est_purchase"),
+      kmvUnionEstimate(col("sk")).as("est_union"))
+      .select(col("est_click"), col("est_purchase"), col("est_union"),
+        (col("est_click") + col("est_purchase") - col("est_union")).as("est_overlap"))
+  }
+
   // A16 — Count-Min-Sketch frequency estimates (completing the sketch
   // family: HLL/KMV distinct, MG heavy hitters, GK quantiles, CMS
   // frequencies). The few-KB mergeable sketch is the only thing that
