@@ -142,4 +142,45 @@ class PropertySpec extends SparkSpec {
         twice.select("k", "bal").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
     })
   }
+
+  test("property: custom TopKPerGroupExec == window row_number formulation") {
+    import org.apache.spark.sql.graftx.GraftPlans
+    val rGen = for {
+      id <- Gen.choose(1L, 500L)   // duplicate ids possible → extend order by grp? keep unique below
+      g <- Gen.choose(0, 4)
+      v <- Gen.choose(0, 30).map(_.toDouble) // narrow domain → many ties
+    } yield (id, g, v)
+    check(Prop.forAll(Gen.nonEmptyListOf(rGen), Gen.choose(1, 4)) { (rows0, k) =>
+      // unique id per row → (v desc, id asc) is a total order
+      val rows = rows0.zipWithIndex.map { case ((_, g, v), i) => (i.toLong, g, v) }
+      val df = rows.toDF("id", "grp", "v")
+      val got = GraftPlans.topKPerGroup(df, Seq("grp"), Seq("v" -> false, "id" -> true), k)
+        .select("id").as[Long].collect().toSet
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("grp").orderBy(col("v").desc, col("id"))
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select("id").as[Long].collect().toSet
+      got == want
+    })
+  }
+
+  test("property: containment posting cap only LOWERS containment (no false positives)") {
+    val docGen = for {
+      n <- Gen.choose(4, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield toks.mkString(" ")
+    check(Prop.forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong + 1000, t) }
+        .toDF("doc_id", "text")
+      val q = docs.limit(3)
+      def pairs(cap: Option[Int]) =
+        DedupOps.containmentPairs(q, "doc_id", "text", docs, "doc_id", "text",
+            n = 3, minContain = 0.0, maxPosting = cap)
+          .select("q_id", "c_id", "containment").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val capped = pairs(Some(2))
+      val full = pairs(None)
+      capped.forall { case (pair, c) => full.get(pair).exists(c <= _ + 1e-9) }
+    })
+  }
 }
