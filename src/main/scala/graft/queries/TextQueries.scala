@@ -675,6 +675,32 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // F19 — array SET algebra (intersect/union/except), the token-set
+  // operations vocabulary filters and tag systems are built from.
+  // Results are sorted and string-joined: the driver's row comparator
+  // can't hash raw arrays, and sorting normalizes the engines'
+  // differing element orders.
+  q("f19_array_set_ops",
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS t,
+      |    ['spark', 'vector', 'data', 'dup'] AS probe
+      |  FROM documents)
+      |SELECT doc_id,
+      |  coalesce(array_to_string(list_sort(list_distinct(list_intersect(t, probe))), ','), '') AS present,
+      |  coalesce(array_to_string(list_sort(list_distinct(t || probe)), ','), '') AS vocab,
+      |  coalesce(array_to_string(list_sort(list_distinct(
+      |    list_filter(probe, x -> NOT list_contains(t, x)))), ','), '') AS missing
+      |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val toks = array_distinct(split(col("text"), " "))
+    val probe = array(lit("spark"), lit("vector"), lit("data"), lit("dup"))
+    Tables.load(s, dir, "documents").select(
+      col("doc_id"),
+      array_join(array_sort(array_intersect(toks, probe)), ",").as("present"),
+      array_join(array_sort(array_union(toks, probe)), ",").as("vocab"),
+      array_join(array_sort(array_except(probe, toks)), ",").as("missing"))
+      .orderBy("doc_id")
+  }
+
   // Asymmetric containment (quote/subset detection): each document's
   // 30-token PREFIX probed against the full corpus — a fragment fully
   // inside a longer doc scores containment ≈ 1 where Jaccard stays
