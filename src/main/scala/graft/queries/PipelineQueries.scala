@@ -720,6 +720,51 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_type", "hour")
   }
 
+  // The INCREMENTAL PRODUCTION LOOP end-to-end: batch 1 exact-dedups
+  // internally and commits to a snapshot table; batch 2 dedups
+  // against the snapshot's fingerprint history (never re-reading
+  // batch 1's raw input — the 100 TB property: daily work is bounded
+  // by the increment plus the digest index), commits as the next
+  // version; the serving query reads the LATEST snapshot. Dedup
+  // priority: earlier batch wins, then lowest doc_id — mirrored in
+  // the oracle's window.
+  q("pipe_incremental",
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |      ORDER BY doc_id % 2, doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM ranked WHERE rn = 1
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    import graft.io.Snapshots
+    import graft.operators.DedupOps
+    val docs = Tables.load(s, dir, "documents")
+      .select("doc_id", "text", "source", "n_chars")
+    val tbl = tmpDir("graft_incr")
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    // day 1: in-batch exact dedup (keep min id), commit v1
+    val keep1 = DedupOps.incrementalExact(b1, "doc_id", "text",
+        seenIndex = b1.limit(0).select(md5(col("text").cast("binary")).as("fingerprint")))
+      .select(col("keep_id").as("doc_id"))
+    Snapshots.commit(b1.join(keep1, "doc_id"), tbl)
+    // day 2: dedup against HISTORY = the snapshot's fingerprints
+    val history = Snapshots.read(s, tbl)
+    val keep2 = DedupOps.incrementalExact(b2, "doc_id", "text",
+        seenIndex = DedupOps.fingerprintIndex(history, "text"))
+      .select(col("keep_id").as("doc_id"))
+    Snapshots.commit(history.unionByName(b2.join(keep2, "doc_id")), tbl)
+    // serve from the latest version
+    Snapshots.read(s, tbl)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source")
+  }
+
   // Time-series LOCF (last observation carried forward): error events
   // carry no usable reading, so each user's series fills them with the
   // most recent non-null value — the standard sensor-feed repair, one
