@@ -933,6 +933,36 @@ object CoreQueries extends QueryPack {
       .crossJoin(t3.agg(count(lit(1)).as("n_purchase")))
   }
 
+  // T3 — the BUILT-IN session_window operator (the one the streaming
+  // engine shares), batch-twinned: sessions merge while consecutive
+  // gaps are STRICTLY under 30 min (a gap of exactly 30:00 starts a
+  // new session — note the >= in the oracle, vs w4's > semantics),
+  // and window end = last event + gap.
+  q("t3_session_window",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, CAST(sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seq
+      |  FROM g)
+      |SELECT user_id, min(ts) AS w_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS w_end, count(*) AS n
+      |FROM s GROUP BY user_id, seq
+      |ORDER BY user_id, w_start""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("w_start"),
+        col("sw.end").as("w_end"), col("n"))
+      .orderBy("user_id", "w_start")
+  }
+
   // W4 — sessionization (gap > 30 min starts a new session): the
   // canonical event-stream composite of lag + conditional + running
   // sum + re-aggregation.
