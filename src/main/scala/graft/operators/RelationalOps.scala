@@ -254,6 +254,26 @@ object RelationalOps {
             .otherwise("updated").as("action"): _*)
   }
 
+  /** CDC apply — [[mergeUpsert]] extended with DELETE semantics: the
+    * source carries an op column ('D' deletes the key, anything else
+    * upserts). One full-outer key join; a matched delete drops the
+    * joined row (removing the target row), an unmatched delete is a
+    * no-op. Same bucketed-zero-exchange property as mergeUpsert.
+    */
+  def mergeApplyCdc(target: DataFrame, source: DataFrame, keyCol: String,
+                    valueCols: Seq[String], opCol: String): DataFrame = {
+    val t = target.select((keyCol +: valueCols).map(col): _*)
+    val s = source.select((keyCol +: opCol +: valueCols).map(col): _*)
+    t.as("t").join(s.as("s"), col(s"t.$keyCol") === col(s"s.$keyCol"), "full_outer")
+      .filter(col(s"s.$opCol").isNull || col(s"s.$opCol") =!= "D")
+      .select(
+        coalesce(col(s"s.$keyCol"), col(s"t.$keyCol")).as(keyCol) +:
+          valueCols.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)) :+
+          when(col(s"t.$keyCol").isNull, "inserted")
+            .when(col(s"s.$keyCol").isNull, "kept")
+            .otherwise("updated").as("action"): _*)
+  }
+
   /** Range (interval) join: left rows whose `tsCol` falls inside a
     * right-side `[loCol, hiCol]` interval (inclusive). A naive
     * non-equi join plans BroadcastNestedLoopJoin — O(|L|·|R|) with no

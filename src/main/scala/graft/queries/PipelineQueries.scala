@@ -837,6 +837,62 @@ object PipelineQueries extends QueryPack {
       .orderBy("k")
   }
 
+  // K7b — CDC apply (MERGE with DELETE): error-active users are
+  // deleted from the balance table, signup activity upserts, with
+  // delete-wins priority when a key has both ops. One full-outer key
+  // join; a matched delete drops the row, an unmatched delete no-ops.
+  q("k7b_merge_cdc",
+    s"""WITH t AS (SELECT c_custkey AS k, c_acctbal AS bal FROM customer),
+      |d AS (SELECT DISTINCT user_id AS k FROM events WHERE event_type = 'error'),
+      |u0 AS (SELECT user_id AS k, ${sqlR2("avg(value)")} AS bal
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |u AS (SELECT u0.k, u0.bal FROM u0 LEFT JOIN d ON u0.k = d.k
+      |  WHERE d.k IS NULL),
+      |s AS (SELECT k, 'U' AS op, bal FROM u
+      |  UNION ALL SELECT k, 'D', CAST(NULL AS DOUBLE) FROM d)
+      |SELECT coalesce(s.k, t.k) AS k, coalesce(s.bal, t.bal) AS bal,
+      |  CASE WHEN t.k IS NULL THEN 'inserted'
+      |       WHEN s.k IS NULL THEN 'kept' ELSE 'updated' END AS action
+      |FROM t FULL OUTER JOIN s ON t.k = s.k
+      |WHERE s.op IS NULL OR s.op <> 'D'
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val target = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+    val ev = Tables.load(s, dir, "events")
+    val dels = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("k")).distinct()
+    val ups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id").as("k"))
+      .agg(r2(avg(col("value"))).as("bal"))
+      .join(dels, Seq("k"), "left_anti") // delete wins on op conflict
+    val source = ups.withColumn("op", lit("U"))
+      .unionByName(dels.select(col("k"), lit("D").as("op"),
+        lit(null).cast("double").as("bal")))
+    RelationalOps.mergeApplyCdc(target, source, "k", Seq("bal"), "op")
+      .orderBy("k")
+  }
+
+  // W9 — lag IGNORE NULLS: each reading paired with the PREVIOUS
+  // non-null reading (ts_locf's sibling — previous instead of
+  // current-carry), one window pass.
+  q("w9_lag_ignore_nulls",
+    """SELECT event_id, user_id,
+      |  lag(v IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS prev_v
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      .select(col("event_id"), col("user_id"),
+        lag(col("v"), 1, null, ignoreNulls = true).over(w).as("prev_v"))
+      .orderBy("event_id")
+  }
+
   // SCD2 interval builder: per user, collapse the event stream into
   // type-change intervals [valid_from, valid_to) with an open current
   // row — the slowly-changing-dimension shape. Boundaries exported as
