@@ -675,6 +675,26 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Classifier-based quality gate (the FineWeb-style curation step):
+  // a logistic model trained with WEAK labels (heuristic quality ≥ τ)
+  // on the even-id half of the corpus gates the odd-id half. Features
+  // are scan-stage Column expressions; scoring is a broadcast-model
+  // projection (no shuffle — plan-spec'd in MlGateSpec). Learned
+  // coefficients aren't SQL-oracle-able → rows-only; MlGateSpec
+  // checks separation and generalization.
+  q("tx_ml_gate", null) { (s, dir) =>
+    import graft.operators.MlGate
+    val docs = Tables.load(s, dir, "documents")
+    val reference = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val model = MlGate.train(reference, "text", tau = 0.1)
+    MlGate.score(model, incoming, "text")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("prediction") === 1.0, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   // F19 — array SET algebra (intersect/union/except), the token-set
   // operations vocabulary filters and tag systems are built from.
   // Results are sorted and string-joined: the driver's row comparator
