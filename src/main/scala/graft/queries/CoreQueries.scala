@@ -1329,4 +1329,102 @@ object CoreQueries extends QueryPack {
       .agg(count(lit(1)).as("n"))
       .orderBy("k")
   }
+
+  // W10 — running COUNT(DISTINCT) over a window. Spark has no native
+  // distinct window aggregate; the engine expresses it as
+  // size(collect_set() OVER w) — same semantics, and the set is bounded
+  // by the attribute's cardinality (5 event types), not the frame
+  // length, so state stays O(distinct) per partition at any scale.
+  q("w10_count_distinct_window",
+    """SELECT event_id, user_id,
+      |  count(DISTINCT event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS types_so_far
+      |FROM (SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        size(collect_set(col("event_type")).over(w)).cast("long").as("types_so_far"))
+      .orderBy("event_id")
+  }
+
+  // A18 — linear-regression aggregates (regr_slope/intercept/r2), the
+  // closed-form least-squares fit as a single distributed aggregation
+  // pass: no iteration, no driver math, partial-aggregable moments.
+  // x = day-of-month keeps slope magnitudes away from float-format
+  // hazards (epoch-seconds x gives 1e-6 slopes).
+  q("a18_regression",
+    s"""SELECT event_type,
+       |  CAST(regr_count(value, x) AS BIGINT) AS n,
+       |  ${sqlR4("regr_slope(value, x)")} AS slope,
+       |  ${sqlR4("regr_intercept(value, x)")} AS intercept,
+       |  ${sqlR4("regr_r2(value, x)")} AS r2
+       |FROM (SELECT event_type, value,
+       |        CAST(EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS DOUBLE) AS x
+       |      FROM events)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value"),
+        dayofmonth(col("ts")).cast("double").as("x"))
+      .groupBy("event_type")
+      .agg(
+        regr_count(col("value"), col("x")).as("n"),
+        r4(regr_slope(col("value"), col("x"))).as("slope"),
+        r4(regr_intercept(col("value"), col("x"))).as("intercept"),
+        r4(regr_r2(col("value"), col("x"))).as("r2"))
+      .orderBy("event_type")
+  }
+
+  // A17 — ordered string aggregation (listagg). Built-in collect_set
+  // is unordered; deterministic output = array_sort before the join,
+  // which also makes the result partitioning-independent (the 100 TB
+  // requirement: any agg whose value depends on row arrival order is
+  // broken under shuffle).
+  q("a17_string_agg",
+    """SELECT user_id,
+      |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types_csv"))
+      .orderBy("user_id")
+  }
+
+  // W11 — gaps-and-islands: maximal runs of equal event_type per user
+  // in time order. The classic two-window formulation (change flag →
+  // running sum = island id) — one shuffle on user_id shared by both
+  // windows and the final aggregate, no self-join.
+  q("w11_islands",
+    """WITH s AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER
+      |        (PARTITION BY user_id ORDER BY ts, event_id) = event_type
+      |      THEN 0 ELSE 1 END AS chg FROM s),
+      |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM c)
+      |SELECT user_id, CAST(island AS BIGINT) AS island,
+      |  min(event_type) AS event_type,
+      |  CAST(count(*) AS BIGINT) AS island_len,
+      |  min(ts) AS first_ts, max(ts) AS last_ts
+      |FROM i GROUP BY user_id, island
+      |ORDER BY user_id, island""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("event_type")).as("event_type"),
+        count(lit(1)).as("island_len"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .orderBy("user_id", "island")
+  }
 }
