@@ -311,4 +311,36 @@ object DedupOps {
       .withColumn("is_kept", col(idCol) === col("keep_id"))
       .select(col(idCol), col(clusterCol), col("keep_id"), col("is_kept"))
   }
+
+  /** Chunk-level global dedup (the C4 "repeated line" rule adapted to
+    * unstructured token streams, RefinedWeb/MassiveText-style): split
+    * each document into consecutive `chunkTokens`-token chunks (tail
+    * chunk may be short), keep each distinct chunk only at its FIRST
+    * corpus occurrence — (doc id, chunk index) lexicographic — and
+    * report per-document retention.
+    *
+    * Scale: chunk digests are computed inside the scan projection via
+    * array ops (split → slice → md5 per chunk, no UDF), so the exploded
+    * relation — and therefore the one shuffle, on the digest — carries
+    * (id, chunkIdx, 32-char digest) rows, never token arrays or text.
+    * First-occurrence choice is a window rank over the digest
+    * partition; per-doc rollup is a map-side-combinable count.
+    */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val nChunks = floor((size(toks) - 1) / chunkTokens).cast("int")
+    val digests = transform(sequence(lit(0), nChunks), i =>
+      md5(array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " ")
+        .cast("binary")))
+    val exploded = docs
+      .select(col(idCol), posexplode(digests).as(Seq("chunk_idx", "digest")))
+    val w = Window.partitionBy("digest").orderBy(col(idCol), col("chunk_idx"))
+    exploded
+      .withColumn("rn", row_number().over(w))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"))
+  }
 }

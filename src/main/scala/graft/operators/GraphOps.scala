@@ -72,4 +72,51 @@ object GraphOps {
     }
     ranks.select(col("n"), col("rank"))
   }
+
+  /** Per-node triangle participation counts, degree-ordered.
+    *
+    * The classic distributed formulation (Suri & Vassilvitskii, WWW'11
+    * "Counting Triangles and the Curse of the Last Reducer"): orient
+    * every undirected edge from its lower-(degree, id) endpoint to the
+    * higher one, build wedges by joining oriented edges head-to-tail,
+    * and close each wedge against the oriented edge set. Orientation
+    * bounds each node's out-degree by O(√m) on any graph, so the wedge
+    * join — the quadratic term — is O(m^1.5) total work instead of
+    * Σ deg² (which a hub node makes quadratic), and every triangle is
+    * produced exactly once (its three vertices are totally ordered).
+    * All three steps are equi-joins/aggregations on node keys: no
+    * cartesian, map-side combinable, AQE-splittable.
+    *
+    * Input may be directed/weighted/multi — it is canonicalized to
+    * distinct undirected edges with self-loops dropped.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orient by (degree, id): lo endpoint -> hi endpoint
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+    val o1 = oriented.select(col("lo").as("a"), col("hi").as("b"))
+    val o2 = oriented.select(col("lo").as("b"), col("hi").as("c"))
+    val o3 = oriented.select(col("lo").as("a2"), col("hi").as("c2"))
+    val wedges = o1.join(o2, "b") // a->b, b->c
+    val tris = wedges.join(o3,
+      wedges("a") === o3("a2") && wedges("c") === o3("c2"))
+      .select("a", "b", "c")
+    tris.select(col("a").as("n"))
+      .unionAll(tris.select(col("b").as("n")))
+      .unionAll(tris.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -1316,6 +1316,44 @@ object CoreQueries extends QueryPack {
       .orderBy("nationkey")
   }
 
+  // GR2 — triangle counting over the same trade graph (the clustering/
+  // community primitive next to PageRank). Spark side runs the
+  // degree-ordered orientation (Suri-Vassilvitskii: wedge join bounded
+  // by O(m^1.5) total work, every triangle emitted once); the oracle
+  // counts canonical u<v<w triangles directly — identical triangle
+  // sets, so the per-node participation counts must hash-match.
+  q("gr_triangles",
+    """WITH e0 AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      |        FROM e0 WHERE src <> dst),
+      |tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+      |        FROM und a
+      |        JOIN und b ON b.u = a.v
+      |        JOIN und c ON c.u = a.u AND c.v = b.v)
+      |SELECT n AS nationkey, CAST(count(*) AS BIGINT) AS n_triangles
+      |FROM (SELECT x AS n FROM tri
+      |      UNION ALL SELECT y FROM tri
+      |      UNION ALL SELECT z FROM tri)
+      |GROUP BY n ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    import graft.operators.GraphOps
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+    GraphOps.triangleCount(edges, "src", "dst")
+      .select(col("n").cast("long").as("nationkey"), col("n_triangles"))
+      .orderBy("nationkey")
+  }
+
   // JSON extraction in-query (SURVEY §2.8 boundary note → kept as a
   // first-class op: events.props carries a JSON payload).
   q("f13_json_extract",

@@ -959,4 +959,53 @@ object TextQueries extends QueryPack {
         md5(regexp_replace(col("text"), pat, "<TERM>")).as("redacted_md5"))
       .orderBy("doc_id")
   }
+
+  // Chunk-level global dedup (C4's repeated-line rule on token streams,
+  // RefinedWeb-style): every 10-token chunk kept only at its first
+  // corpus occurrence; per-doc retention audit. The oracle replays the
+  // identical chunking (list slices in lockstep with Spark's `slice`)
+  // and the identical first-occurrence rank.
+  q("dd_chunk_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |e AS (SELECT doc_id, toks,
+      |        unnest(generate_series(0,
+      |          CAST(floor((len(toks) - 1) / 10) AS BIGINT))) AS i
+      |      FROM t),
+      |c AS (SELECT doc_id, i AS chunk_idx,
+      |        md5(array_to_string(toks[(i*10+1):(i*10+10)], ' ')) AS digest
+      |      FROM e),
+      |r AS (SELECT *, row_number() OVER (
+      |        PARTITION BY digest ORDER BY doc_id, chunk_idx) AS rn FROM c)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    DedupOps.chunkDedup(Tables.load(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 10)
+      .orderBy("doc_id")
+  }
+
+  // Deterministic global shuffle + shard assignment — the
+  // training-data writer's last step. NO global sort/row_number (a
+  // single-partition window is the classic 100 TB deadend): the shard
+  // is a pure content-hash mod, and position-within-shard is a window
+  // over the shard partition — both fully parallel, both replayable
+  // (content-keyed, no rand()).
+  q("tx_shard_shuffle",
+    """SELECT doc_id,
+      |  CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 16 AS shard,
+      |  row_number() OVER (
+      |    PARTITION BY CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 16
+      |    ORDER BY md5(text), doc_id) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("shard")
+      .orderBy(md5(col("text").cast("binary")), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("shard", h % 16)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("doc_id", "shard", "pos")
+      .orderBy("doc_id")
+  }
 }

@@ -51,4 +51,29 @@ class GraphOpsSpec extends SparkSpec {
     val want = refRanks(es, iters = 8)
     want.foreach { case (k, v) => assert(math.abs(r(k) - v) < 1e-12, s"node $k") }
   }
+
+  private def tris(edges: Seq[(Int, Int)]): Map[Int, Long] =
+    GraphOps.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Int, Long)].collect().toMap
+
+  test("triangleCount: K4 has 3 triangles per node; path has none") {
+    // complete graph on 4 nodes: C(3,2)=3 triangles through each node
+    val k4 = for (i <- 1 to 4; j <- 1 to 4 if i < j) yield (i, j)
+    assert(tris(k4) == Map(1 -> 3L, 2 -> 3L, 3 -> 3L, 4 -> 3L))
+    assert(tris(Seq((1, 2), (2, 3), (3, 4))).isEmpty) // path: no triangles
+  }
+
+  test("triangleCount: direction, duplicates, and self-loops are canonicalized") {
+    // one triangle declared messily: reversed edges, dupes, a self-loop
+    val es = Seq((1, 2), (2, 1), (3, 2), (1, 3), (1, 3), (2, 2))
+    assert(tris(es) == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("triangleCount: hub wedge without closing edge counts nothing") {
+    // star K1,3 has 3 wedges through the hub but zero triangles
+    assert(tris(Seq((0, 1), (0, 2), (0, 3))).isEmpty)
+    // closing one pair creates exactly one triangle, hub in it
+    assert(tris(Seq((0, 1), (0, 2), (0, 3), (1, 2))) ==
+      Map(0 -> 1L, 1 -> 1L, 2 -> 1L))
+  }
 }

@@ -59,6 +59,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.count() == 3) // 3 distinct contents
   }
 
+  test("chunkDedup: repeated chunks kept only at first (doc, idx) occurrence") {
+    // 4-token chunks; doc 10's two chunks reappear in doc 11 (one of
+    // them twice) and doc 12 repeats its own first chunk
+    val d = Seq(
+      (10L, "a b c d e f g h"),          // chunks [a b c d][e f g h] — both first
+      (11L, "e f g h x y z w a b c d"),  // [e f g h] dup, [x y z w] new, [a b c d] dup
+      (12L, "p q r s p q r s")           // [p q r s] new, then self-dup
+    ).toDF("doc_id", "text")
+    val got = DedupOps.chunkDedup(d, "doc_id", "text", chunkTokens = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(10L) == ((2L, 2L)))
+    assert(got(11L) == ((3L, 1L)))
+    assert(got(12L) == ((2L, 1L)))
+  }
+
+  test("chunkDedup: short tail chunk is its own unit, not merged or dropped") {
+    // 5 tokens at chunk size 4 → chunks [a b c d][e]; the 1-token tail
+    // of doc 20 matches nothing, doc 21's full text IS that tail chunk
+    val d = Seq((20L, "a b c d e"), (21L, "e")).toDF("doc_id", "text")
+    val got = DedupOps.chunkDedup(d, "doc_id", "text", chunkTokens = 4)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got(20L) == ((2L, 2L))) // tail [e] first seen in doc 20
+    assert(got(21L) == ((1L, 0L))) // doc 21's only chunk is a dup of the tail
+  }
+
   test("incrementalNgramPairs == full pairs whose greater id is in the batch") {
     val history = docs.filter($"doc_id" < 2)
     val batch = docs.filter($"doc_id" >= 2)
