@@ -305,4 +305,39 @@ object RelationalOps {
       .filter(col(tsCol) >= col(loCol) && col(tsCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval × interval overlap join, decomposed into a bucket
+    * equi-join (the interval sibling of [[rangeJoinBucketed]]; no
+    * BroadcastNestedLoopJoin at any size).
+    *
+    * Unlike the point-in-interval case, an overlapping pair can share
+    * MANY buckets; instead of a dedup pass, each pair is kept only in
+    * the FIRST bucket both intervals cover —
+    * `max(floor(aLo/bs), floor(bLo/bs))` — which any overlapping pair
+    * shares exactly once (the later-starting interval's first bucket:
+    * its start is ≤ the other's end, so the other interval covers that
+    * bucket too). Column names must be disjoint across the two inputs.
+    *
+    * Scale: the shuffle key is the bucket id; per-row fan-out is
+    * interval-length/bucketSeconds (bounded by construction for
+    * sessions/incident windows); the overlap predicate and the
+    * first-bucket filter run post-join as codegen'd comparisons.
+    */
+  def intervalOverlapJoinBucketed(a: DataFrame, aLo: String, aHi: String,
+                                  b: DataFrame, bLo: String, bHi: String,
+                                  bucketSeconds: Long): DataFrame = {
+    def buckets(lo: String, hi: String) = sequence(
+      floor(unix_timestamp(col(lo)) / bucketSeconds).cast("long"),
+      floor(unix_timestamp(col(hi)) / bucketSeconds).cast("long"))
+    val ab = a.filter(col(aLo) <= col(aHi))
+      .withColumn("__bucket", explode(buckets(aLo, aHi)))
+    val bb = b.filter(col(bLo) <= col(bHi))
+      .withColumn("__bucket", explode(buckets(bLo, bHi)))
+    ab.join(bb, Seq("__bucket"))
+      .filter(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .filter(col("__bucket") === greatest(
+        floor(unix_timestamp(col(aLo)) / bucketSeconds).cast("long"),
+        floor(unix_timestamp(col(bLo)) / bucketSeconds).cast("long")))
+      .drop("__bucket")
+  }
 }

@@ -566,6 +566,98 @@ object CoreQueries extends QueryPack {
       .orderBy("iv_user")
   }
 
+  // J10 — interval × interval overlap join: user sessions (30-min gap,
+  // the w4 derivation) against error-incident windows [ts, ts+30min].
+  // Spark runs the bucketed decomposition (equi-join on hour buckets,
+  // pair kept only in the first shared bucket — no BNLJ, no dedup
+  // pass); the oracle is the plain non-equi overlap join. Overlap
+  // durations summed in integer µs — no float drift.
+  q("j10_interval_overlap",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_seq, min(ts) AS lo_a, max(ts) AS hi_a
+      |  FROM s GROUP BY 1, 2),
+      |inc AS (
+      |  SELECT event_id AS inc_id, CAST(ts AS TIMESTAMP) AS lo_b,
+      |    CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS hi_b
+      |  FROM events WHERE event_type = 'error'),
+      |p AS (
+      |  SELECT sess.user_id,
+      |    epoch_us(least(hi_a, hi_b)) - epoch_us(greatest(lo_a, lo_b)) AS ov_us
+      |  FROM sess JOIN inc ON lo_a <= hi_b AND lo_b <= hi_a)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_overlaps,
+      |  CAST(sum(ov_us) AS BIGINT) AS overlap_us
+      |FROM p GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.load(s, dir, "events")
+    val sess = ev.select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("new_s",
+        when(lag("ts", 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum("new_s").over(wRun))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("lo_a"), max("ts").as("hi_a"))
+    val inc = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("inc_id"), col("ts").as("lo_b"),
+        (col("ts") + expr("INTERVAL 30 MINUTE")).as("hi_b"))
+    RelationalOps.intervalOverlapJoinBucketed(
+        sess, "lo_a", "hi_a", inc, "lo_b", "hi_b", bucketSeconds = 3600L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(unix_micros(least(col("hi_a"), col("hi_b"))) -
+          unix_micros(greatest(col("lo_a"), col("lo_b")))).as("overlap_us"))
+      .orderBy("user_id")
+  }
+
+  // ML feature discretization — quantile binning: per-group exact
+  // quartile thresholds (one aggregate, broadcast back) bucket every
+  // row 1..4. Integer-valued quantities keep the interpolated
+  // thresholds bit-identical across engines (f ∈ {0,.25,.5,.75} and
+  // integer endpoints are all exact in binary), so threshold
+  // comparisons can't flip.
+  q("ml_quantile_bucket",
+    """WITH q AS (
+      |  SELECT l_returnflag,
+      |    quantile_cont(l_quantity, 0.25) AS q1,
+      |    quantile_cont(l_quantity, 0.50) AS q2,
+      |    quantile_cont(l_quantity, 0.75) AS q3
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag,
+      |  CAST(1 + CAST(l.l_quantity > q.q1 AS INT)
+      |         + CAST(l.l_quantity > q.q2 AS INT)
+      |         + CAST(l.l_quantity > q.q3 AS INT) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows
+      |FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem")
+    val qs = li.groupBy("l_returnflag").agg(
+      expr("percentile(l_quantity, 0.25)").as("q1"),
+      expr("percentile(l_quantity, 0.50)").as("q2"),
+      expr("percentile(l_quantity, 0.75)").as("q3"))
+    li.join(broadcast(qs), "l_returnflag")
+      .withColumn("bucket",
+        (lit(1) + (col("l_quantity") > col("q1")).cast("int")
+          + (col("l_quantity") > col("q2")).cast("int")
+          + (col("l_quantity") > col("q3")).cast("int")).cast("long"))
+      .groupBy("l_returnflag", "bucket")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "bucket")
+  }
+
   // W3b — distribution family: percent_rank/cume_dist/ntile. The
   // fractions are rank ratios (exact integer divisions), rounded 4dp
   // on both sides anyway per the cross-engine float rule.

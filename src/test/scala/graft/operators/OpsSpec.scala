@@ -40,6 +40,34 @@ class RelationalOpsSpec extends SparkSpec {
     val out = RelationalOps.topK(df, 3, col("m").desc)
     assert(out.select("id").as[Int].collect().toSeq == Seq(100, 99, 98))
   }
+
+  test("intervalOverlapJoinBucketed == naive non-equi overlap join, each pair once") {
+    // intervals spanning 1 bucket, many buckets, touching endpoints,
+    // disjoint, nested, and an inverted (dropped) one — tiny bucket
+    // size (60s) forces multi-bucket overlap, the dedup-free case
+    def iv(rows: Seq[(Int, String, String)], id: String, lo: String, hi: String) =
+      rows.toDF(id, "l", "h")
+        .select(col(id), to_timestamp(col("l")).as(lo), to_timestamp(col("h")).as(hi))
+    val a = iv(Seq(
+      (1, "2024-01-01 00:00:00", "2024-01-01 00:30:00"), // spans 31 buckets
+      (2, "2024-01-01 01:00:00", "2024-01-01 01:00:30"),
+      (3, "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+      (4, "2024-01-01 05:00:00", "2024-01-01 04:00:00")  // inverted: no matches
+    ), "a_id", "a_lo", "a_hi")
+    val b = iv(Seq(
+      (10, "2024-01-01 00:10:00", "2024-01-01 00:40:00"), // long overlap with 1
+      (11, "2024-01-01 00:30:00", "2024-01-01 00:35:00"), // touches 1's endpoint
+      (12, "2024-01-01 02:10:00", "2024-01-01 02:20:00"), // nested in 3
+      (13, "2024-01-01 04:30:00", "2024-01-01 04:40:00")  // inside 4's inverted span
+    ), "b_id", "b_lo", "b_hi")
+    val got = RelationalOps.intervalOverlapJoinBucketed(
+        a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketSeconds = 60L)
+      .select("a_id", "b_id").as[(Int, Int)].collect().sorted.toSeq
+    val want = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("a_id", "b_id").as[(Int, Int)].collect().sorted.toSeq
+    assert(got == want)
+    assert(got == Seq((1, 10), (1, 11), (3, 12))) // and exactly once each
+  }
 }
 
 class DedupOpsSpec extends SparkSpec {
