@@ -99,6 +99,11 @@ object GraphOps {
     val deg = und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     // orient by (degree, id): lo endpoint -> hi endpoint
+    // oriented is referenced three times below; without materializing
+    // it here each reference INLINES the whole edge build (the
+    // analyzed plan grows combinatorially — 460 exchanges observed on
+    // the trade graph). localCheckpoint truncates lineage so the
+    // wedge join plans against a leaf.
     val oriented = und
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du"), "u")
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv"), "v")
@@ -107,6 +112,7 @@ object GraphOps {
           .otherwise(col("v")).as("lo"),
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
           .otherwise(col("u")).as("hi"))
+      .localCheckpoint()
     val o1 = oriented.select(col("lo").as("a"), col("hi").as("b"))
     val o2 = oriented.select(col("lo").as("b"), col("hi").as("c"))
     val o3 = oriented.select(col("lo").as("a2"), col("hi").as("c2"))

@@ -1091,6 +1091,59 @@ object CoreQueries extends QueryPack {
       .orderBy("user_id", "session_seq")
   }
 
+  // W12 — ordered sequence-pattern match (MATCH_RECOGNIZE-lite):
+  // view → click → purchase per user, each step within 24h of the
+  // next, attributed to the LATEST qualifying predecessor. Nested
+  // last-non-null carries make this ONE shuffle + two window passes:
+  // the view timestamp rides inside the struct carried by the click
+  // LOCF, so the purchase row sees (click ts, view-as-of-that-click)
+  // without any self-join — the funnel-attribution shape that
+  // otherwise costs two range joins.
+  q("w12_seq_pattern",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |a AS (
+      |  SELECT *, last_value(CASE WHEN event_type = 'view' THEN ts END
+      |      IGNORE NULLS) OVER w AS lv
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT *, last_value(CASE WHEN event_type = 'click'
+      |      THEN struct_pack(cts := ts, vts := lv) END IGNORE NULLS)
+      |    OVER w AS lc
+      |  FROM a WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT event_id AS purchase_id, user_id,
+      |  epoch_us(lc.cts) AS click_us, epoch_us(lc.vts) AS view_us
+      |FROM b
+      |WHERE event_type = 'purchase' AND lc IS NOT NULL AND lc.vts IS NOT NULL
+      |  AND epoch_us(ts) - epoch_us(lc.cts) <= 86400000000
+      |  AND epoch_us(lc.cts) - epoch_us(lc.vts) <= 86400000000
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dayUs = 86400000000L
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("lv",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true)
+          .over(w))
+      .withColumn("lc",
+        last(when(col("event_type") === "click",
+          struct(col("ts").as("cts"), col("lv").as("vts"))), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("lc").isNotNull && col("lc.vts").isNotNull &&
+        unix_micros(col("ts")) - unix_micros(col("lc.cts")) <= dayUs &&
+        unix_micros(col("lc.cts")) - unix_micros(col("lc.vts")) <= dayUs)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("lc.cts")).as("click_us"),
+        unix_micros(col("lc.vts")).as("view_us"))
+      .orderBy("purchase_id")
+  }
+
   // A11 — exact percentiles (engine extra): both engines sort the
   // group and linearly interpolate; integer-valued quantities keep the
   // arithmetic exact.

@@ -789,6 +789,76 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // TS — peak session concurrency per day, sweep-line as a TWO-LEVEL
+  // prefix sum. The naive form is a running sum over one global order
+  // — a single-partition window, the classic 100 TB deadend. Here the
+  // global prefix decomposes: boundary deltas net per timestamp →
+  // within-DAY running sums (parallel, partitioned by day) + a
+  // day-level cumulative offset (one window over ~#days rows,
+  // broadcast back). The oracle runs the naive global sweep — the
+  // decomposition must reproduce it exactly.
+  q("ts_concurrency",
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_seq, min(ts) AS lo, max(ts) AS hi
+      |  FROM s GROUP BY 1, 2),
+      |b AS (
+      |  SELECT lo AS bts, 1 AS d FROM sess
+      |  UNION ALL SELECT hi, -1 FROM sess),
+      |n AS (SELECT bts, CAST(sum(d) AS BIGINT) AS net FROM b GROUP BY bts),
+      |r AS (
+      |  SELECT bts, sum(net) OVER (ORDER BY bts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      |  FROM n)
+      |SELECT CAST(bts AS DATE) AS day, CAST(max(conc) AS BIGINT) AS max_concurrent
+      |FROM r GROUP BY 1 ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("new_s",
+        when(lag("ts", 1).over(w).isNull ||
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum("new_s").over(wRun))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+    // both boundary rows come out of ONE pass over sessions (explode,
+    // not a self-union that would rebuild the windows twice); nets
+    // feeds both the within-day windows and the day offsets, so
+    // materialize it — it's two small columns per distinct boundary
+    val nets = sess
+      .select(explode(array(
+        struct(col("lo").as("bts"), lit(1L).as("d")),
+        struct(col("hi").as("bts"), lit(-1L).as("d")))).as("b"))
+      .groupBy(col("b.bts").as("bts")).agg(sum(col("b.d")).as("net"))
+      .withColumn("day", to_date(col("bts")))
+      .localCheckpoint()
+    val wDay = Window.partitionBy("day").orderBy("bts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // day-level offsets: one tiny window over #days rows, broadcast back
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = nets.groupBy("day").agg(sum("net").as("day_net"))
+      .withColumn("offset", coalesce(sum("day_net").over(wDays), lit(0L)))
+      .select("day", "offset")
+    nets.withColumn("run_in_day", sum("net").over(wDay))
+      .join(broadcast(offsets), "day")
+      .groupBy("day")
+      .agg(max(col("offset") + col("run_in_day")).as("max_concurrent"))
+      .orderBy("day")
+  }
+
   // DQ — order-independent content digest per group: each row hashes
   // to a 32-bit integer (md5 prefix) and the group digest is their
   // exact integer SUM — commutative, so partitioning/ordering can't

@@ -112,4 +112,53 @@ class PlanShapeSpec extends SparkSpec {
         s"band exchange must not carry embeddings: ${e.output.map(a => s"${a.name}:${a.dataType.simpleString}")}")
     }
   }
+
+  // Queries whose NON-equi join is the point: deliberate small-n
+  // brute-force baselines that oracle-check a bucketed scale path.
+  // Everything else must plan equi-joins only.
+  private val quadraticByDesign = Set(
+    "dd_embedding_cosine", // all-pairs cosine — oracle twin of dd_embedding_lsh
+    "ann_bruteforce_topk", // exact top-k baseline — oracle twin of ann_lsh_topk
+    "ann_two_stage",       // rescore stage compares vs the brute-force baseline
+    "fz_edit_pairs",       // short-string bucket brute-forced (q-gram bound vacuous there)
+    // IVF assignment is vectors × the k-row broadcast centroid table —
+    // O(n·k) with k ≪ n bounded by construction; the BNLJ build side
+    // is the centroid aggregate (grouped, so not scalar-detectable)
+    "ann_ivf_search", "ann_ivf_train"
+  )
+
+  test("engine-wide sweep: no accidental cartesian/nested-loop join in ANY query") {
+    // plan construction only (sf0.001 keeps the sink/iterative queries
+    // cheap); catches a non-equi join slipping into a production path.
+    // A BNLJ whose BUILD side is a global (ungrouped) aggregate is the
+    // legitimate scalar-broadcast pattern — crossJoin(broadcast(1-row
+    // totals)) — and allowed; everything else nested-loop/cartesian
+    // is an accident.
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    def scalarSubtree(p: SparkPlan): Boolean = p.collectFirst {
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty => ()
+      case h: ObjectHashAggregateExec if h.groupingExpressions.isEmpty => ()
+      case h: SortAggregateExec if h.groupingExpressions.isEmpty => ()
+    }.nonEmpty
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(quadraticByDesign)
+      .flatMap { name =>
+        try {
+          val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+            .queryExecution.executedPlan
+          val bad = collectAll(p) {
+            case c: CartesianProductExec => s"CartesianProduct: ${c.simpleString(1)}"
+            case b: BroadcastNestedLoopJoinExec
+              if !scalarSubtree(b.buildSide match {
+                case BuildLeft => b.left; case BuildRight => b.right
+              }) => s"non-scalar BNLJ: ${b.simpleString(1)}"
+          }
+          bad.headOption.map(name -> _)
+        } catch { case e: Throwable => Some(name -> s"BUILD FAILED: ${e.getMessage}") }
+      }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, s) => s"$n: $s" }.mkString("\n"))
+  }
 }
