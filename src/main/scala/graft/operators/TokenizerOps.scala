@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer training as relational dataflow.
+  *
+  * BPE (byte-pair encoding) merge learning — the step that produces a
+  * tokenizer's merge table — expressed entirely in DataFrame ops:
+  * no UDFs, no driver-side token loops.
+  *
+  * Scale shape: ONE pass over the corpus builds the word-frequency
+  * table (the standard word-level pre-tokenization); every iteration
+  * after that runs on the VOCAB — orders of magnitude smaller than
+  * the corpus — so 100 TB of text costs one scan + k tiny iterations.
+  * Pair counting is a map-side-combinable sum over word frequencies;
+  * the winning merge is an UNGROUPED min(struct(-cnt, pa, pb))
+  * aggregate (count desc, pair asc tie-break) broadcast back as a
+  * 1-row scalar — no LIMIT-1 single-partition sort, no collect.
+  *
+  * Merge application uses a left-to-right literal replace over
+  * double-space-joined symbol strings: symbols never contain spaces,
+  * so the pattern ' A  B ' anchors exact symbol boundaries, and
+  * sequential non-overlapping replacement is precisely BPE's
+  * greedy-left rule ("a a a" + merge(a,a) → "aa a").
+  */
+object TokenizerOps {
+
+  /** Learn `iters` BPE merges from whitespace-pre-tokenized text.
+    * Returns one row per iteration: (iter, pa, pb, cnt) — the merged
+    * symbol pair and its pair count at selection time.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    // vocab state: freq + padded double-space-joined symbol string
+    var corpus = words.select(col("freq"),
+      concat(lit(" "), array_join(split(col("word"), ""), "  "), lit(" ")).as("s"))
+      .localCheckpoint()
+    val merges = (1 to iters).map { i =>
+      val pairs = corpus
+        .select(col("freq"), split(trim(col("s")), "  ").as("sym"))
+        .filter(size(col("sym")) >= 2) // sequence(1,0) would DESCEND
+        .select(col("freq"), col("sym"),
+          explode(sequence(lit(1), size(col("sym")) - 1)).as("i"))
+        .groupBy(element_at(col("sym"), col("i")).as("pa"),
+          element_at(col("sym"), col("i") + 1).as("pb"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs
+        .agg(min(struct((-col("cnt")).as("nc"), col("pa"), col("pb"))).as("m"))
+        .select(col("m.pa").as("pa"), col("m.pb").as("pb"),
+          (-col("m.nc")).as("cnt"))
+        .localCheckpoint() // referenced twice: merge row + corpus update
+      corpus = corpus.crossJoin(broadcast(top))
+        .select(col("freq"),
+          expr("replace(s, ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')")
+            .as("s"))
+        .localCheckpoint() // truncate per-iteration lineage
+      top.select(lit(i).as("iter"), col("pa"), col("pb"), col("cnt"))
+    }
+    merges.reduce(_ unionAll _)
+  }
+}

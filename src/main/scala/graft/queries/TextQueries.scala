@@ -960,6 +960,48 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // BPE merge training — the tokenizer-training op, fully relational.
+  // One corpus pass builds the word-frequency table (the standard
+  // word-level pre-tokenization); each of 5 iterations then runs on
+  // the VOCAB, not the corpus: adjacent-symbol pair counts
+  // (map-side-combinable sum over word frequencies) → the top merge as
+  // an UNGROUPED min(struct(-cnt, pair)) scalar broadcast back (count
+  // desc, pair asc tie-break) → merge applied with a plain
+  // left-to-right replace over double-space-joined symbol strings
+  // (symbols are space-free, so ' A  B ' anchors exact symbol
+  // boundaries; sequential replace IS the BPE greedy-left rule).
+  // The oracle unrolls all 5 iterations into CTEs — every iteration's
+  // counts, tie-break, and merge application are checked.
+  q("tx_bpe_train", {
+    val iters = (1 to 5).map { m =>
+      s""",
+         |e$m AS (SELECT freq, string_split(trim(s), '  ') AS sym FROM c${m - 1}),
+         |x$m AS (SELECT freq, sym, unnest(generate_series(1, len(sym)-1)) AS i
+         |        FROM e$m WHERE len(sym) >= 2),
+         |p$m AS (SELECT sym[i] AS pa, sym[i+1] AS pb,
+         |          CAST(sum(freq) AS BIGINT) AS cnt
+         |        FROM x$m GROUP BY 1, 2),
+         |m$m AS (SELECT pa, pb, cnt FROM p$m ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |c$m AS (SELECT freq,
+         |          replace(s, ' '||pa||'  '||pb||' ', ' '||pa||pb||' ') AS s
+         |        FROM c${m - 1} CROSS JOIN m$m)""".stripMargin
+    }.mkString
+    val heads = (1 to 5).map(m =>
+      s"SELECT $m AS iter, pa, pb, cnt FROM m$m").mkString(" UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1),
+       |c0 AS (SELECT freq,
+       |  ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+       |  FROM w)$iters
+       |SELECT * FROM ($heads) ORDER BY iter""".stripMargin
+  }) { (s, dir) =>
+    import graft.operators.TokenizerOps
+    TokenizerOps.bpeTrain(Tables.load(s, dir, "documents"), "text", iters = 5)
+      .orderBy("iter")
+  }
+
   // Chunk-level global dedup (C4's repeated-line rule on token streams,
   // RefinedWeb-style): every 10-token chunk kept only at its first
   // corpus occurrence; per-doc retention audit. The oracle replays the

@@ -112,6 +112,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(21L) == ((1L, 0L))) // doc 21's only chunk is a dup of the tail
   }
 
+  test("bpeTrain learns the hand-computed merges (Sennrich example, ties by pair asc)") {
+    // corpus: low×5, lower×2, newest×6, widest×3
+    // iter1 pair counts: es=9, st=9 (tie → 'e'<'s' wins), we=8, lo=7, ow=7 …
+    // iter2 (after e+s→es): es,t = 9 (st was consumed by the es merge)
+    // iter3 (after es+t→est): lo = 7 (we fell to 2 — newest's we is gone)
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TokenizerOps.bpeTrain(docs, "text", iters = 3)
+      .orderBy("iter")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L)))
+  }
+
+  test("bpeTrain merge application is greedy-left (a a a + (a,a) -> aa a)") {
+    // 'aaa'×4 and 'aa'×3: iter1 merges (a,a) cnt=4*2+3*1=11; after
+    // applying, 'aaa' is [aa, a] (greedy-left, NOT [a, aa]) and 'aa'
+    // is [aa] — so iter2 must see pair (aa, a) with cnt 4
+    val docs = Seq((1L, (Seq.fill(4)("aaa") ++ Seq.fill(3)("aa")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TokenizerOps.bpeTrain(docs, "text", iters = 2)
+      .orderBy("iter")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 11L), (2, "aa", "a", 4L)))
+  }
+
   test("incrementalNgramPairs == full pairs whose greater id is in the batch") {
     val history = docs.filter($"doc_id" < 2)
     val batch = docs.filter($"doc_id" >= 2)
