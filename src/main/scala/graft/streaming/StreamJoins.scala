@@ -61,4 +61,23 @@ object StreamJoins {
       .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
         col("c_value"), col("e_value"))
   }
+
+  /** Stream-STATIC dimension enrichment — the streaming twin of the
+    * batch broadcast lookup join (J1/J2): every micro-batch left-joins
+    * the static dimension, unmatched keys keep their rows with null
+    * dim columns (facts are never dropped by late dim arrival).
+    *
+    * Stateless by construction: a stream-static join keeps NO join
+    * state across batches (the static side is re-planned per batch),
+    * so there is no watermark requirement and no state growth — at
+    * scale the only cost is the dim broadcast, exactly as in batch.
+    * Duplicate dim keys are collapsed first (keep-any within key),
+    * mirroring [[graft.operators.RelationalOps.enrich]]'s no-fan-out
+    * guarantee.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame,
+                       key: String): DataFrame = {
+    val d = dim.dropDuplicates(key)
+    stream.join(broadcast(d), Seq(key), "left")
+  }
 }

@@ -367,6 +367,47 @@ class StreamJoinSpec extends graft.SparkSpec {
     assert(byUser(1).getAs[Double]("e_value") == 99.0)        // matched pair
     assert(byUser(3).isNullAt(byUser(3).fieldIndex("e_ts")))  // outer row, null effect
   }
+
+  test("stream-static enrichment: dim broadcast per batch, unmatched kept, no fan-out") {
+    import org.apache.spark.sql.functions.col
+    val evDir = Files.createTempDirectory("ss_ev")
+    val out = Files.createTempDirectory("ss_out").toString
+    val ckpt = Files.createTempDirectory("ss_ckpt").toString
+    // two micro-batches (maxFilesPerTrigger=1): a stream-static join
+    // must enrich BOTH without carrying state between them
+    Files.writeString(evDir.resolve("b1.json"), Seq(
+      rec(1, "2024-01-01T10:00:00Z", 1.0),
+      rec(7, "2024-01-01T10:01:00Z", 2.0)).mkString("\n")) // 7: no dim row
+    Files.writeString(evDir.resolve("b2.json"),
+      rec(2, "2024-01-01T11:00:00Z", 3.0))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(evDir.toString)
+    import spark.implicits._
+    // duplicate dim row for key 1 must NOT fan the fact out
+    val dim = Seq((1L, "gold"), (1L, "gold-dup"), (2L, "silver"))
+      .toDF("user_id", "tier")
+
+    StreamJoins.enrichWithStatic(stream, dim, "user_id")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination(120000)
+
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 3, s"no fan-out, no drops: ${rows.toSeq}")
+    val tiers = rows.map(r =>
+      r.getAs[Long]("user_id") -> Option(r.getAs[String]("tier"))).toMap
+    assert(tiers(1L).exists(_.startsWith("gold"))) // exactly one of the dup dim rows
+    assert(tiers(2L).contains("silver")) // enriched in the SECOND batch
+    assert(tiers(7L).isEmpty)            // unmatched kept with null dim
+  }
 }
 
 /** Streaming curation: watermarked content-hash dedup emits exactly
