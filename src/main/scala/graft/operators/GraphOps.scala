@@ -73,6 +73,29 @@ object GraphOps {
     ranks.select(col("n"), col("rank"))
   }
 
+  /** Single-source shortest hop distances (BFS), `iters` rounds of
+    * relax-and-min — the third member of the iterative-analytics
+    * family (PageRank, connected components). One equi-join + one
+    * min-aggregation per round, both shuffling on node ids; the
+    * distance frame is lineage-truncated every round (it stays tiny:
+    * one row per reached node).
+    */
+  def bfs(edges: DataFrame, srcCol: String, dstCol: String,
+          source: Long, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("n"), lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = dist.join(e, dist("n") === e("src"))
+        .select(col("dst").as("n"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("n").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Per-node triangle participation counts, degree-ordered.
     *
     * The classic distributed formulation (Suri & Vassilvitskii, WWW'11

@@ -1461,6 +1461,81 @@ object CoreQueries extends QueryPack {
       .orderBy("nationkey")
   }
 
+  // GR3 — single-source BFS hop distances over the trade graph, 4
+  // relax-and-min rounds. Like gr_pagerank, the oracle UNROLLS the
+  // loop into b0..b4 CTEs so every round's relaxation arithmetic is
+  // checked, not just the fixpoint.
+  q("gr_bfs", {
+    val base = """WITH e AS (
+      |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |b0 AS (SELECT CAST(0 AS BIGINT) AS n, CAST(0 AS BIGINT) AS dist)""".stripMargin
+    val rounds = (1 to 4).map { k =>
+      s""",
+         |b$k AS (
+         |  SELECT n, min(dist) AS dist FROM (
+         |    SELECT n, dist FROM b${k - 1}
+         |    UNION ALL
+         |    SELECT CAST(e.dst AS BIGINT), b.dist + 1
+         |    FROM b${k - 1} b JOIN e ON b.n = e.src)
+         |  GROUP BY n)""".stripMargin
+    }.mkString
+    base + rounds + "\nSELECT n AS nationkey, dist FROM b4 ORDER BY nationkey"
+  }) { (s, dir) =>
+    import graft.operators.GraphOps
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .distinct()
+    GraphOps.bfs(edges, "src", "dst", source = 0L, iters = 4)
+      .select(col("n").as("nationkey"), col("dist"))
+      .orderBy("nationkey")
+  }
+
+  // AD2 — robust outlier detection via MAD (median absolute
+  // deviation): median and MAD both come from exact percentiles over
+  // INTEGER quantities, so every intermediate (x.0/.5/.25-step values,
+  // f ∈ {0,.5}) is exactly representable and the |x-med| > 3·MAD
+  // comparison cannot flip between engines. The z-score variant
+  // (ad_zscore_outliers) breaks on one wild value; MAD does not —
+  // that robustness is why curation gates prefer it.
+  q("ad_mad_outliers",
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+      |  FROM lineitem GROUP BY 1),
+      |mad AS (
+      |  SELECT l.l_returnflag,
+      |    quantile_cont(abs(l.l_quantity - m.med), 0.5) AS mad
+      |  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+      |  GROUP BY 1)
+      |SELECT l.l_returnflag, m.med, d.mad,
+      |  CAST(sum(CASE WHEN abs(l.l_quantity - m.med) > 3 * d.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM lineitem l
+      |JOIN med m ON l.l_returnflag = m.l_returnflag
+      |JOIN mad d ON l.l_returnflag = d.l_returnflag
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem").select("l_returnflag", "l_quantity")
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+    val withMed = li.join(broadcast(med), "l_returnflag")
+    val mad = withMed.groupBy("l_returnflag")
+      .agg(expr("percentile(abs(l_quantity - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag", "med", "mad")
+      .agg(sum(when(abs(col("l_quantity") - col("med")) > lit(3) * col("mad"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
   // GR2 — triangle counting over the same trade graph (the clustering/
   // community primitive next to PageRank). Spark side runs the
   // degree-ordered orientation (Suri-Vassilvitskii: wedge join bounded

@@ -52,6 +52,18 @@ class GraphOpsSpec extends SparkSpec {
     want.foreach { case (k, v) => assert(math.abs(r(k) - v) < 1e-12, s"node $k") }
   }
 
+  test("bfs: path distances, shortcut wins, unreachable absent, hop budget respected") {
+    def d(edges: Seq[(Int, Int)], iters: Int): Map[Long, Long] =
+      GraphOps.bfs(edges.toDF("src", "dst"), "src", "dst", source = 0L, iters)
+        .as[(Long, Long)].collect().toMap
+    // path 0→1→2→3 plus shortcut 0→2: dist(2)=1 not 2; 9→0 can't
+    // reach anything FROM 0, node 9 absent
+    val es = Seq((0, 1), (1, 2), (2, 3), (0, 2), (9, 0))
+    assert(d(es, 4) == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // hop budget: with 1 iteration node 3 (2 hops) is not yet reached
+    assert(d(es, 1) == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
+
   private def tris(edges: Seq[(Int, Int)]): Map[Int, Long] =
     GraphOps.triangleCount(edges.toDF("src", "dst"), "src", "dst")
       .as[(Int, Long)].collect().toMap
