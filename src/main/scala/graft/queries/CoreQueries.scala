@@ -1500,6 +1500,53 @@ object CoreQueries extends QueryPack {
       .orderBy("nationkey")
   }
 
+  // P15 — correlated LATERAL subquery with per-row ORDER BY + LIMIT
+  // (top-n per key written the SQL-standard way). Catalyst
+  // DECORRELATES it — the executed plan is a window/equi-join shape
+  // with no nested loop (the engine-wide sweep test enforces that),
+  // so the lateral form costs the same as the w3/o3 formulations.
+  q("p15_lateral_topn",
+    """SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_custkey, c_acctbal FROM customer c
+      |  WHERE c.c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      |ORDER BY n_nationkey, c_custkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "nation").createOrReplaceTempView("nation")
+    Tables.load(s, dir, "customer").createOrReplaceTempView("customer")
+    s.sql("""
+      SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+      FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n_nationkey, c_custkey""")
+  }
+
+  // W13 — exact percentile as a WINDOW aggregate: trailing-10-row
+  // median per supplier in ship order (the rolling robust-center
+  // signal; pairs with w5's rolling mean). Integer quantities keep
+  // the interpolation exact on ≤10-row frames (f ∈ {0, .5}), so the
+  // medians hash-match bit-for-bit. Supplier subset bounds the output.
+  q("w13_median_window",
+    """SELECT l_orderkey, l_linenumber,
+      |  quantile_cont(l_quantity, 0.5) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med10
+      |FROM lineitem WHERE l_suppkey < 50
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-9, Window.currentRow)
+    Tables.load(s, dir, "lineitem")
+      .filter(col("l_suppkey") < 50)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("percentile(l_quantity, 0.5)")
+          .over(w).as("med10"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   // AD2 — robust outlier detection via MAD (median absolute
   // deviation): median and MAD both come from exact percentiles over
   // INTEGER quantities, so every intermediate (x.0/.5/.25-step values,
