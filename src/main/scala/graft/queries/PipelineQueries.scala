@@ -109,6 +109,32 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // S9 — gzip-compressed NDJSON roundtrip: the codec-aware variant of
+  // S1 (raw-zone landings arrive gzipped in practice). gzip is
+  // UNSPLITTABLE — one task per .gz file at any size — which is fine
+  // for many small landing files but means the archive job, not the
+  // reader, must control file granularity; columnar zones stay on
+  // splittable snappy/zstd parquet. Lossless ⇒ identity oracle.
+  q("s9_ndjson_gzip_roundtrip",
+    """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val tsFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+    val out = tmpDir("graft_ndjson_gz")
+    Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite")
+      .option("timestampFormat", tsFmt).option("compression", "gzip")
+      .json(out)
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    s.read.schema(schema).option("timestampFormat", tsFmt).json(out)
+      .orderBy("event_id")
+  }
+
   // S6/K8 — CSV sink + scan roundtrip (explicit schema, header,
   // ISO-8601 µs timestamps): the third interchange format after
   // NDJSON and parquet; lossless ⇒ oracle is the identity query.
@@ -787,6 +813,51 @@ object PipelineQueries extends QueryPack {
       .select(col("event_id"), col("user_id"),
         last(col("v"), ignoreNulls = true).over(w).as("v_filled"))
       .orderBy("event_id")
+  }
+
+  // K15 — incremental aggregate maintenance (materialized-view delta
+  // merge): a grouped count/sum "view" over the first 20 days is
+  // updated by a CDC batch (late deletes of early error rows +
+  // inserts of the new days) WITHOUT rescanning history — delta rows
+  // carry a ±1 sign, aggregate once, full-outer-merge into the view,
+  // drop emptied groups. At 100 TB this is the difference between
+  // touching the increment and recomputing the world. The oracle
+  // recomputes from scratch over the surviving multiset — merged
+  // counts must equal recomputed counts exactly (sums via DetRound:
+  // base+delta vs recomputed summation orders differ in ulps, same
+  // class as any partial agg).
+  q("k15_incremental_agg",
+    s"""WITH e AS (
+       |  SELECT event_type, value,
+       |    EXTRACT(day FROM CAST(ts AS TIMESTAMP)) AS d
+       |  FROM events),
+       |surv AS (
+       |  SELECT event_type, value FROM e
+       |  WHERE (d <= 20 AND NOT (event_type = 'error' AND d <= 5))
+       |     OR d > 20)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+       |  ${sqlR4("sum(value)")} AS sum_value
+       |FROM surv GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("value"), dayofmonth(col("ts")).as("d"))
+    val base = ev.filter(col("d") <= 20)
+    // the standing materialized aggregate (would live as a table)
+    val mv = base.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    // CDC batch: sign-tagged deletes + inserts, aggregated ONCE
+    val delta = base.filter(col("event_type") === "error" && col("d") <= 5)
+      .select(col("event_type"), col("value"), lit(-1L).as("sign"))
+      .unionAll(ev.filter(col("d") > 20)
+        .select(col("event_type"), col("value"), lit(1L).as("sign")))
+      .groupBy("event_type")
+      .agg(sum("sign").as("dn"), sum(col("sign") * col("value")).as("dsv"))
+    mv.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("sv"), lit(0.0)) + coalesce(col("dsv"), lit(0.0))).as("sum_value"))
+      .filter(col("n_rows") > 0)
+      .select(col("event_type"), col("n_rows"), r4(col("sum_value")).as("sum_value"))
+      .orderBy("event_type")
   }
 
   // TS — peak session concurrency per day, sweep-line as a TWO-LEVEL
