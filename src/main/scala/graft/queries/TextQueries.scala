@@ -546,6 +546,27 @@ object TextQueries extends QueryPack {
       .orderBy("fingerprint")
   }
 
+  // Two-tier bloom-prefiltered incremental dedup: same answer as
+  // dd_incremental (same oracle), but the batch clears the bloom
+  // filter map-side and only possibly-seen rows pay the exact
+  // anti-join shuffle — the sketch-accelerated-exact pattern.
+  q("dd_bloom_incremental",
+    """WITH hist AS (
+      |  SELECT DISTINCT md5(text) AS fingerprint FROM documents WHERE doc_id < 250),
+      |batch AS (
+      |  SELECT doc_id, md5(text) AS fingerprint FROM documents WHERE doc_id >= 250),
+      |novel AS (
+      |  SELECT b.doc_id, b.fingerprint FROM batch b
+      |  LEFT JOIN hist h USING (fingerprint) WHERE h.fingerprint IS NULL)
+      |SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM novel GROUP BY 1 ORDER BY fingerprint""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    DedupOps.incrementalExactBloom(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        DedupOps.fingerprintIndex(docs.filter(col("doc_id") < 250), "text"))
+      .orderBy("fingerprint")
+  }
+
   // Incremental NEAR-dup: docs ≥ 250 play the daily batch, joined
   // against the full posting index instead of re-self-joining the
   // corpus — pairs whose greater id is in the batch. Oracle = the

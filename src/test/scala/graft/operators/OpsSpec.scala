@@ -112,6 +112,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(21L) == ((1L, 0L))) // doc 21's only chunk is a dup of the tail
   }
 
+  test("incrementalExactBloom == incrementalExact, even with a tiny FP-heavy filter") {
+    import spark.implicits._
+    val hist = (0L until 200L).map(i => (i, s"seen document number $i"))
+      .toDF("doc_id", "text")
+    val batch = ((200L until 260L).map(i => (i, s"novel text $i")) ++
+      Seq((300L, "seen document number 7"),   // exact re-sight → not novel
+          (301L, "novel text 205"),           // dup of an in-batch doc
+          (302L, "novel text 205"))           // triple
+      ).toDF("doc_id", "text")
+    val index = DedupOps.fingerprintIndex(hist, "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("fingerprint")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val exact = rows(DedupOps.incrementalExact(batch, "doc_id", "text", index))
+    // generous sizing AND a 64-bit filter that false-positives heavily:
+    // the answer must be identical either way (FPs ride the exact join)
+    for (bits <- Seq(8000000L, 64L))
+      assert(rows(DedupOps.incrementalExactBloom(
+        batch, "doc_id", "text", index, expectedItems = 8L, numBits = bits)) == exact,
+        s"numBits=$bits")
+    assert(!exact.exists(_._1 == null))
+    assert(exact.map(_._2).contains(200L) && !exact.map(_._2).contains(300L))
+  }
+
   test("bpeTrain learns the hand-computed merges (Sennrich example, ties by pair asc)") {
     // corpus: low×5, lower×2, newest×6, widest×3
     // iter1 pair counts: es=9, st=9 (tie → 'e'<'s' wins), we=8, lo=7, ow=7 …
