@@ -1300,6 +1300,24 @@ object CoreQueries extends QueryPack {
   // combinations in ONE Expand+aggregate pass over a single scan —
   // the generalization of ROLLUP/CUBE. At 100 TB the scan dominates;
   // three separate GROUP BY jobs would read the fact table three times.
+  // SET4 — union BY NAME across drifted schemas (the batch-over-
+  // history reality: extracts gain/lose columns over time). Spark's
+  // unionByName(allowMissingColumns) aligns on names and serves NULL
+  // for absences — positional UNION would silently mis-assign columns.
+  q("set_union_by_name",
+    """SELECT * FROM (
+      |  SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+      |  UNION ALL BY NAME
+      |  SELECT event_id, event_type, user_id FROM events WHERE event_type = 'error')
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val a = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "value")
+    val b = ev.filter(col("event_type") === "error")
+      .select("event_id", "event_type", "user_id")
+    a.unionByName(b, allowMissingColumns = true).orderBy("event_id")
+  }
+
   q("a9_grouping_sets",
     s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
        |  ${sqlR2("sum(o_totalprice)")} AS sum_price
