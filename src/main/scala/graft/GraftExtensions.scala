@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftx.{FloatVecDot, MgHeavyHitters, RhpSignature, SimHash64, TokenNgrams}
+import org.apache.spark.sql.graftx.{FloatVecDot, MgHeavyHitters, NgramGenerator, RhpSignature, SimHash64, TokenNgrams}
 
 /** `SparkSessionExtensions` entry point: injects the graft expressions
   * into the session's FunctionRegistry so the SQL surface has them
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("rhp_signature64"),
       info("rhp_signature64", "_FUNC_(vec) - 16-bit random-hyperplane LSH bucket of a 64-dim float vector"),
       (es: Seq[Expression]) => RhpSignature(es.head, 64, 16)))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_gen"),
+      info("ngram_gen", "_FUNC_(tokens, n) - GENERATOR: one (pos, ngram) row per n-gram, no intermediate array"),
+      (es: Seq[Expression]) => NgramGenerator(es.head,
+        es(1).eval().asInstanceOf[Int])))
     ext.injectFunction((
       FunctionIdentifier("mg_heavy_hitters"),
       info("mg_heavy_hitters",

@@ -981,6 +981,31 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Custom GENERATOR surface (UDTF): graftx.NgramGenerator emits
+  // (pos, ngram) rows straight from the token array — no intermediate
+  // n-gram ARRAY materialized per document (the explode(token_ngrams)
+  // form allocates w·n transient tokens per w-token doc). Registered
+  // in SQL as ngram_gen (LATERAL VIEW usable); here via the Column
+  // API. Oracle reconstructs the same shingles with list slices.
+  q("tx_ngram_gen",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |           FROM documents WHERE doc_id < 50),
+      |e AS (SELECT doc_id, toks,
+      |        unnest(generate_series(1, len(toks) - 2)) AS pos
+      |      FROM t WHERE len(toks) >= 3)
+      |SELECT doc_id, pos,
+      |  md5(array_to_string(toks[pos:(pos+2)], ' ')) AS ngram_md5
+      |FROM e ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graftx.GraftFunctions
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        GraftFunctions.ngramGen(split(col("text"), " "), 3).as(Seq("pos", "ngram")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(col("ngram").cast("binary")).as("ngram_md5"))
+      .orderBy("doc_id", "pos")
+  }
+
   // BPE merge training — the tokenizer-training op, fully relational.
   // One corpus pass builds the word-frequency table (the standard
   // word-level pre-tokenization); each of 5 iterations then runs on

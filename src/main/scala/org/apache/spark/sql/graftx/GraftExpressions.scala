@@ -1,8 +1,9 @@
 package org.apache.spark.sql.graftx
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Generator, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
@@ -320,6 +321,57 @@ case class RhpSignature(child: Expression, dim: Int, nBits: Int,
 }
 
 /** Column API + SQL registration for the graft expressions. */
+/** Custom GENERATOR (the UDTF extension surface, completing the
+  * Catalyst taxonomy next to scalar expressions, aggregates, the
+  * optimizer rule, and the whole physical operator): emits
+  * (pos, ngram) rows DIRECTLY from a token array — one row at a time
+  * through `GenerateExec` — without ever materializing the n-gram
+  * ARRAY the `explode(token_ngrams(...))` form allocates per row.
+  * For a w-token document that array is w·n tokens of transient heap;
+  * the generator's working set is one StringBuilder. Positions are
+  * 1-based, matching `posexplode`+1 conventions in the oracles.
+  *
+  * Generators run outside whole-stage codegen by design
+  * (CodegenFallback) — the explode form pays the same exec boundary,
+  * so this trades only the intermediate allocation.
+  */
+case class NgramGenerator(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback
+    with ExpectsInputTypes {
+
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def prettyName: String = "ngram_gen"
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("ngram", StringType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Iterator.empty
+    else {
+      val a = v.asInstanceOf[ArrayData]
+      val m = a.numElements() - n + 1
+      if (m <= 0) Iterator.empty
+      else (0 until m).iterator.map { i =>
+        val sb = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(a.getUTF8String(i + j).toString)
+          j += 1
+        }
+        InternalRow(i + 1, UTF8String.fromString(sb.toString))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecDot(expr(a), expr(b)))
@@ -344,6 +396,11 @@ object GraftFunctions {
 
   def rollingHash31(s: Column): Column =
     ExpressionUtils.column(RollingHash31(expr(s)))
+
+  /** Generator form of n-gram shingling: SELECT with
+    * `ngramGen(tokens, n)` emits (pos, ngram) rows directly. */
+  def ngramGen(tokens: Column, n: Int): Column =
+    ExpressionUtils.column(NgramGenerator(expr(tokens), n))
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 

@@ -231,6 +231,28 @@ class DedupOpsSpec extends SparkSpec {
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("NgramGenerator == explode(token_ngrams), plus SQL LATERAL VIEW form") {
+    import org.apache.spark.sql.functions.{col, posexplode, split}
+    import org.apache.spark.sql.graftx.GraftFunctions
+    val docs = Seq((1L, "a b c d"), (2L, "x y"), (3L, "")).toDF("doc_id", "text")
+    val gen = docs.select(col("doc_id"),
+        GraftFunctions.ngramGen(split(col("text"), " "), 3).as(Seq("pos", "ngram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // the array-materializing twin (1-based pos via posexplode + 1)
+    val arr = docs.select(col("doc_id"),
+        posexplode(GraftFunctions.tokenNgrams(split(col("text"), " "), 3))
+          .as(Seq("pos0", "ngram")))
+      .collect().map(r => (r.getLong(0), r.getInt(1) + 1, r.getString(2))).toSet
+    assert(gen == arr)
+    assert(gen == Set((1L, 1, "a b c"), (1L, 2, "b c d"))) // short docs emit nothing
+    // SQL surface via the injected function (LATERAL VIEW = UDTF position)
+    docs.createOrReplaceTempView("ngg_docs")
+    val sql = spark.sql("""SELECT doc_id, pos, ngram FROM ngg_docs
+        LATERAL VIEW ngram_gen(split(text, ' '), 3) t AS pos, ngram""")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(sql == gen)
+  }
+
   test("ngrams: shorter-than-n text yields empty array, not an error") {
     val df = Seq("one two", "a b c d").toDF("text")
       .select(size(TextFunctions.ngrams(col("text"), 3)).as("n"))
