@@ -183,4 +183,85 @@ class PropertySpec extends SparkSpec {
       capped.forall { case (pair, c) => full.get(pair).exists(c <= _ + 1e-9) }
     })
   }
+
+  test("property: triangleCount == brute-force enumeration on random graphs") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(0, 7); v <- Gen.choose(0, 7)
+    } yield (u, v))
+    check(Prop.forAll(edgesGen) { es =>
+      val got = GraphOps.triangleCount(es.toDF("src", "dst"), "src", "dst")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val und = es.collect { case (u, v) if u != v =>
+        (math.min(u, v), math.max(u, v)) }.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      val ref = (for {
+        i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+        if und((i, j)) && und((j, k)) && und((i, k))
+      } yield Seq(i, j, k)).flatten
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      got == ref
+    })
+  }
+
+  test("property: bfs == reference shortest-hops within the iteration budget") {
+    val edgesGen = Gen.nonEmptyListOf(for {
+      u <- Gen.choose(0L, 6L); v <- Gen.choose(0L, 6L)
+    } yield (u, v))
+    check(Prop.forAll(edgesGen) { es =>
+      val iters = 4
+      val got = GraphOps.bfs(es.toDF("src", "dst"), "src", "dst", 0L, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference BFS from 0, capped at `iters` hops
+      var dist = Map(0L -> 0L)
+      for (_ <- 1 to iters)
+        dist = es.filter(e => dist.contains(e._1))
+          .map(e => e._2 -> (dist(e._1) + 1))
+          .foldLeft(dist) { case (m, (v, d)) =>
+            if (m.get(v).forall(_ > d)) m.updated(v, d) else m }
+      got == dist
+    })
+  }
+
+  test("property: chunkDedup conserves chunks and never keeps more than total") {
+    val docGen = for {
+      n <- Gen.choose(1, 9)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield toks.mkString(" ")
+    check(Prop.forAll(Gen.nonEmptyListOf(docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = DedupOps.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val totalKept = out.map(_._3).sum
+      val distinctChunks = docs
+        .selectExpr("explode(transform(sequence(0, int(floor((size(split(text,' '))-1)/2))," +
+          " 1), i -> array_join(slice(split(text,' '), i*2+1, 2), ' '))) AS c")
+        .select("c").distinct().count()
+      out.forall { case (_, total, kept) => kept >= 0 && kept <= total } &&
+        totalKept == distinctChunks // each distinct chunk kept exactly once
+    })
+  }
+
+  test("property: intervalOverlapJoinBucketed == naive overlap join (random intervals)") {
+    val ivGen = for {
+      lo <- Gen.choose(0, 5000)            // seconds offset
+      len <- Gen.choose(0, 4000)
+    } yield (lo, lo + len)
+    def df(ivs: List[(Int, Int)], id: String, loC: String, hiC: String) =
+      ivs.zipWithIndex.map { case ((lo, hi), i) => (i, lo, hi) }
+        .toDF(id, "lo_s", "hi_s")
+        .selectExpr(id,
+          s"to_timestamp('2024-03-01 00:00:00') + make_interval(0,0,0,0,0,0,lo_s) AS $loC",
+          s"to_timestamp('2024-03-01 00:00:00') + make_interval(0,0,0,0,0,0,hi_s) AS $hiC")
+    check(Prop.forAll(Gen.nonEmptyListOf(ivGen), Gen.nonEmptyListOf(ivGen)) { (as, bs) =>
+      val a = df(as, "a_id", "a_lo", "a_hi")
+      val b = df(bs, "b_id", "b_lo", "b_hi")
+      val got = RelationalOps.intervalOverlapJoinBucketed(
+          a, "a_lo", "a_hi", b, "b_lo", "b_hi", bucketSeconds = 600L)
+        .select("a_id", "b_id").collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      val want = a.join(b, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        .select("a_id", "b_id").collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+      got == want
+    })
+  }
 }
