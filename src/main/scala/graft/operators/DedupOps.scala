@@ -84,6 +84,11 @@ object DedupOps {
     val bfBytes = seenIndex.agg(
       BloomOps.bloomAgg(col("fingerprint"), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    // empty index → the aggregate yields null bytes; everything in the
+    // batch is novel and the exact join would see an empty build side
+    // anyway — just run the plain path
+    if (bfBytes == null)
+      return incrementalExact(batch, idCol, textCol, seenIndex)
     val tagged = batch
       .withColumn("fingerprint", md5(col(textCol).cast("binary")))
       .withColumn("might", BloomOps.mightContain(lit(bfBytes), col("fingerprint")))

@@ -134,6 +134,10 @@ class DedupOpsSpec extends SparkSpec {
         s"numBits=$bits")
     assert(!exact.exists(_._1 == null))
     assert(exact.map(_._2).contains(200L) && !exact.map(_._2).contains(300L))
+    // empty index: bloom aggregate yields null bytes — everything novel
+    val emptyIdx = DedupOps.fingerprintIndex(hist.filter("doc_id < 0"), "text")
+    assert(rows(DedupOps.incrementalExactBloom(batch, "doc_id", "text", emptyIdx)) ==
+      rows(DedupOps.incrementalExact(batch, "doc_id", "text", emptyIdx)))
   }
 
   test("bpeTrain learns the hand-computed merges (Sennrich example, ties by pair asc)") {
