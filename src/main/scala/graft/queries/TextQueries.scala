@@ -1072,6 +1072,41 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Composite: the training-shard manifest end-to-end — length gate →
+  // exact dedup (keep first) → content-hash shard → per-shard doc and
+  // token totals. The whole chain is one scan + two hash shuffles
+  // (digest window, shard agg); every stage is a shipped operator.
+  q("pipe_shards",
+    """WITH g AS (
+      |  SELECT doc_id, text, len(string_split(text, ' ')) AS n_tok
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000),
+      |d AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g),
+      |k AS (SELECT doc_id, text, n_tok FROM d WHERE rn = 1),
+      |s AS (SELECT CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 8 AS shard,
+      |        n_tok FROM k)
+      |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val gated = Tables.load(s, dir, "documents")
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tok").between(20, 1000))
+    val kept = gated
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("text").cast("binary"))).orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    kept
+      .withColumn("shard",
+        conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 8)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("shard")
+  }
+
   // Deterministic global shuffle + shard assignment — the
   // training-data writer's last step. NO global sort/row_number (a
   // single-partition window is the classic 100 TB deadend): the shard
