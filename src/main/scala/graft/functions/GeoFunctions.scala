@@ -25,4 +25,49 @@ object GeoFunctions {
     */
   def validCoords(lat: Column, lon: Column): Column =
     lat.between(-90, 90) && lon.between(-180, 180)
+
+  /** Radius join via grid bucketing: pairs (a, b) with
+    * haversine(a, b) ≤ radiusKm, found through an EQUI-join on grid
+    * cells (probe side visits its 3×3 neighborhood; index side sits in
+    * exactly one cell, so each qualifying pair is emitted once — no
+    * dedup pass, no cross join).
+    *
+    * Coverage contract: `cellDeg` must be ≥ the radius expressed in
+    * degrees at the highest |latitude| present — lon degrees shrink by
+    * cos(lat), so callers bound their domain (e.g. |lat| ≤ 60 with
+    * cellDeg = 4 covers 200 km) or pick cellDeg for the worst band.
+    * Inputs' column names must be disjoint; lat/lon in degrees.
+    *
+    * Scale: shuffle keys are integer cell ids; probe fan-out is a
+    * constant 9; the trig verify runs post-join as codegen'd math.
+    */
+  def withinRadiusGridJoin(a: org.apache.spark.sql.DataFrame,
+                           aLat: String, aLon: String,
+                           b: org.apache.spark.sql.DataFrame,
+                           bLat: String, bLon: String,
+                           radiusKm: Double, cellDeg: Double)
+      : org.apache.spark.sql.DataFrame = {
+    // longitude wraps at ±180 (the haversine itself is wrap-safe, the
+    // GRID must be too): lon cells live modulo nLon so a probe at the
+    // antimeridian reaches its true neighbor on the other side
+    val nLon = math.ceil(360.0 / cellDeg).toLong
+    // nLon < 3 would alias the +1/-1 probes onto the same cell and
+    // emit pairs twice — cellDeg must leave at least 3 lon cells
+    require(nLon >= 3, s"cellDeg=$cellDeg leaves only $nLon lon cells (need >= 3)")
+    def latCell(c: Column) = floor(c / cellDeg).cast("long")
+    def lonCell(c: Column) =
+      pmod(floor((c + 180.0) / cellDeg).cast("long"), lit(nLon))
+    val probes = a
+      .withColumn("__dlat", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__dlon", explode(sequence(lit(-1), lit(1))))
+      .withColumn("__ca", latCell(col(aLat)) + col("__dlat"))
+      .withColumn("__co", pmod(lonCell(col(aLon)) + col("__dlon"), lit(nLon)))
+      .drop("__dlat", "__dlon")
+    val indexed = b
+      .withColumn("__ca", latCell(col(bLat)))
+      .withColumn("__co", lonCell(col(bLon)))
+    probes.join(indexed, Seq("__ca", "__co"))
+      .filter(haversineKm(col(aLat), col(aLon), col(bLat), col(bLon)) <= radiusKm)
+      .drop("__ca", "__co")
+  }
 }

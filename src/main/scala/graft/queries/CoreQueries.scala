@@ -456,6 +456,54 @@ object CoreQueries extends QueryPack {
       .orderBy("c_custkey")
   }
 
+  // J11 — spatial radius join via grid bucketing: customers ⋈
+  // suppliers within 200 km, found through an equi-join on 4° grid
+  // cells (3×3 neighbor probe; |lat| ≤ 60 keeps a lon degree ≥ 55 km
+  // so the cells cover the radius). The oracle is the brute-force
+  // cross join with the same haversine — identical trig on both
+  // engines, raw-threshold compare (ulp drift at exactly 200 km is
+  // ~1e-13 relative; far safer than a rounded-boundary compare).
+  q("j11_spatial_join",
+    s"""WITH c AS (
+      |  SELECT c_custkey,
+      |    (c_custkey * 37 % 12000) / 100.0 - 60.0 AS clat,
+      |    (c_custkey * 101 % 36000) / 100.0 - 180.0 AS clon
+      |  FROM customer WHERE c_custkey < 500),
+      |sup AS (
+      |  SELECT s_suppkey,
+      |    (s_suppkey * 37 % 12000) / 100.0 - 60.0 AS slat,
+      |    (s_suppkey * 101 % 36000) / 100.0 - 180.0 AS slon
+      |  FROM supplier),
+      |j AS (
+      |  SELECT c_custkey, s_suppkey,
+      |    2 * 6371.0088 * asin(sqrt(
+      |      pow(sin(radians(slat - clat) / 2), 2) +
+      |      cos(radians(clat)) * cos(radians(slat)) *
+      |      pow(sin(radians(slon - clon) / 2), 2))) AS d
+      |  FROM c JOIN sup ON true)
+      |SELECT c_custkey, s_suppkey, ${sqlR4("d")} AS dist_km
+      |FROM j WHERE d <= 2000.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, dir) =>
+    import graft.functions.GeoFunctions
+    val cust = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 12000) / 100.0 - 60.0).as("clat"),
+        ((col("c_custkey") * 101 % 36000) / 100.0 - 180.0).as("clon"))
+    val supp = Tables.load(s, dir, "supplier")
+      .select(col("s_suppkey"),
+        ((col("s_suppkey") * 37 % 12000) / 100.0 - 60.0).as("slat"),
+        ((col("s_suppkey") * 101 % 36000) / 100.0 - 180.0).as("slon"))
+    // derivation bounds |lat| < 60 ⇒ a lon degree is ≥ 55.66 km, so
+    // 2000 km spans ≤ 35.9° — cellDeg 40 with the 3×3 probe covers it
+    GeoFunctions.withinRadiusGridJoin(cust, "clat", "clon",
+        supp, "slat", "slon", radiusKm = 2000.0, cellDeg = 40.0)
+      .select(col("c_custkey"), col("s_suppkey"),
+        r4(GeoFunctions.haversineKm(col("clat"), col("clon"),
+          col("slat"), col("slon"))).as("dist_km"))
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
   // P13 — correlated EXISTS / NOT EXISTS subqueries (Catalyst
   // rewrites to left-semi + left-anti joins; see the plan).
   q("p13_exists_subquery",

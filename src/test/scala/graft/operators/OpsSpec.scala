@@ -555,4 +555,25 @@ class HaversineSpec extends graft.SparkSpec {
       col("la1"), col("lo1"), col("la1"), col("lo1"))).as[Double].head()
     assert(z == 0.0)
   }
+
+  test("withinRadiusGridJoin == brute force, incl. antimeridian pairs, each once") {
+    import graft.functions.GeoFunctions
+    // deterministic pseudo-random points in |lat|<=55, full lon range,
+    // plus a planted pair straddling ±180 (172 km apart at lat 40)
+    val aPts = ((1 to 60).map { i =>
+      (i.toLong, (i * 37 % 110) - 55.0, (i * 73 % 360) - 180.0)
+    } :+ (999L, 40.0, 179.5)).toDF("a_id", "a_lat", "a_lon")
+    val bPts = ((1 to 60).map { i =>
+      (i.toLong, (i * 53 % 110) - 55.0, (i * 29 % 360) - 180.0)
+    } :+ (888L, 40.0, -179.5)).toDF("b_id", "b_lat", "b_lon")
+    val got = GeoFunctions.withinRadiusGridJoin(
+        aPts, "a_lat", "a_lon", bPts, "b_lat", "b_lon",
+        radiusKm = 2000.0, cellDeg = 40.0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = aPts.join(bPts, GeoFunctions.haversineKm(
+        col("a_lat"), col("a_lon"), col("b_lat"), col("b_lon")) <= 2000.0)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.sorted == want.sorted) // multiset equality: no dups, no misses
+    assert(got.contains((999L, 888L)), "the antimeridian pair must be found")
+  }
 }
