@@ -1227,6 +1227,39 @@ object CoreQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // A11c — t-digest quantiles (own mergeable TypedImperativeAggregate,
+  // graftx.TDigestQuantiles): rank error proportional to q(1-q), so
+  // tails (p99) beat a uniform-error summary of the same size.
+  // Merge-order dependent → rows-only; TDigestSpec bounds the error.
+  q("a11_tdigest", null) { (s, dir) =>
+    import org.apache.spark.sql.graftx.TDigest.tdigestQuantiles
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(tdigestQuantiles(col("l_extendedprice"), Seq(0.5, 0.99), 100).as("qq"))
+      .select(col("l_returnflag"),
+        element_at(col("qq"), 1).as("p50_price"),
+        element_at(col("qq"), 2).as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // A11d — the t-digest ROLLUP pattern at 100 TB: one digest per
+  // (returnflag, shard) materialized in a single pass, then
+  // per-returnflag quantiles recovered by unioning shard digests —
+  // no raw re-scan. TDigestAlgebraSpec bounds union-vs-direct error.
+  q("a11_tdigest_rollup", null) { (s, dir) =>
+    import org.apache.spark.sql.graftx.TDigest.{tdigestSketch, tdigestUnionQuantiles}
+    val perShard = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), pmod(col("l_suppkey"), lit(16)).as("shard"))
+      .agg(tdigestSketch(col("l_extendedprice"), 100).as("dig"))
+    perShard
+      .groupBy("l_returnflag")
+      .agg(tdigestUnionQuantiles(col("dig"), Seq(0.5, 0.99), 100).as("qq"))
+      .select(col("l_returnflag"),
+        element_at(col("qq"), 1).as("p50_price"),
+        element_at(col("qq"), 2).as("p99_price"))
+      .orderBy("l_returnflag")
+  }
+
   // P12 — IN-subquery membership (planned as a semi join).
   q("p12_in_subquery",
     """SELECT o_orderstatus, count(*) AS n
@@ -1428,6 +1461,39 @@ object CoreQueries extends QueryPack {
       size(filter(col("embedding"), _ > 0f)).as("n_pos"),
       r4(array_max(col("embedding")).cast("double")).as("max_elem"))
       .orderBy("vec_id")
+  }
+
+  // F20 — map higher-order functions (engine extra): per-user
+  // event_type→count and event_type→sum(value) MAPS built with
+  // map_from_entries, combined with map_zip_with (per-key average),
+  // pruned with map_filter, then exploded back to rows. All map ops
+  // are codegen'd expressions over already-aggregated per-user rows —
+  // the map is a row-local data shape, not a shuffle shape, so the
+  // plan is the same two-level agg it would be without maps. The
+  // oracle computes the surviving (user, type) cells directly.
+  q("f20_map_funcs",
+    s"""SELECT user_id, event_type,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlR4("sum(value) / count(*)")} AS avg_value
+       |FROM events
+       |GROUP BY user_id, event_type
+       |HAVING count(*) >= 3
+       |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val cells = Tables.load(s, dir, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val maps = cells.groupBy("user_id").agg(
+      map_from_entries(collect_list(struct(col("event_type"), col("n")))).as("m_cnt"),
+      map_from_entries(collect_list(struct(col("event_type"), col("sv")))).as("m_sum"))
+    maps
+      .withColumn("m_stats", map_filter(
+        map_zip_with(col("m_cnt"), col("m_sum"),
+          (_, c, sv) => struct(c.as("n"), (sv / c).as("avg"))),
+        (_, v) => v.getField("n") >= 3))
+      .select(col("user_id"), explode(col("m_stats")).as(Seq("event_type", "v")))
+      .select(col("user_id"), col("event_type"),
+        col("v.n").as("n"), r4(col("v.avg")).as("avg_value"))
+      .orderBy("user_id", "event_type")
   }
 
   // F18 — calendar bucketing family (engine extra): ISO-week and month
@@ -1797,5 +1863,63 @@ object CoreQueries extends QueryPack {
         count(lit(1)).as("island_len"),
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
       .orderBy("user_id", "island")
+  }
+
+  // W14 — sequence pattern with a + QUANTIFIER (MATCH_RECOGNIZE
+  // `view click+ purchase` per user): maximal runs of consecutive
+  // clicks immediately preceded by a view and immediately followed by
+  // a purchase, reporting the run length. Rewrite: islands of equal
+  // event_type (one change-flag running sum), then island ADJACENCY by
+  // lag/lead over island start — every window and the island groupBy
+  // hash on user_id, so the whole match is one partitioning, no
+  // self-join, no per-row pattern automaton. The quantifier is free:
+  // the island's count IS the +-repetition count.
+  q("w14_pattern_quantifier",
+    """WITH s AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events),
+      |c AS (SELECT *,
+      |        row_number() OVER w AS rn,
+      |        CASE WHEN lag(event_type) OVER w = event_type THEN 0 ELSE 1 END AS chg
+      |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM c),
+      |isl AS (SELECT user_id, island, min(event_type) AS event_type,
+      |          CAST(count(*) AS BIGINT) AS run_len,
+      |          min(rn) AS srn, min_by(event_id, rn) AS first_eid
+      |        FROM i GROUP BY user_id, island),
+      |adj AS (SELECT *,
+      |          lag(event_type)  OVER w2 AS prev_type,
+      |          lead(event_type) OVER w2 AS next_type,
+      |          lead(first_eid)  OVER w2 AS next_eid
+      |        FROM isl WINDOW w2 AS (PARTITION BY user_id ORDER BY srn))
+      |SELECT user_id, run_len AS n_clicks, next_eid AS purchase_id
+      |FROM adj
+      |WHERE event_type = 'click' AND prev_type = 'view' AND next_type = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isl = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0))
+          .otherwise(lit(1)))
+      .withColumn("island", sum(col("chg")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min(col("event_type")).as("event_type"),
+        count(lit(1)).as("run_len"),
+        min(col("rn")).as("srn"),
+        min_by(col("event_id"), col("rn")).as("first_eid"))
+    val w2 = Window.partitionBy("user_id").orderBy("srn")
+    isl
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w2))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w2))
+      .withColumn("next_eid", lead(col("first_eid"), 1).over(w2))
+      .filter(col("event_type") === "click" &&
+        col("prev_type") === "view" && col("next_type") === "purchase")
+      .select(col("user_id"), col("run_len").as("n_clicks"),
+        col("next_eid").as("purchase_id"))
+      .orderBy("user_id", "purchase_id")
   }
 }

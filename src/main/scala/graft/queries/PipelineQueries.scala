@@ -815,6 +815,68 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // TS — linear interpolation between readings (ts_locf's numeric
+  // sibling): each error row's missing value is reconstructed from the
+  // nearest non-null neighbors on BOTH sides, weighted by time
+  // fraction. The neighbor (ts, value) pairs ride in structs carried
+  // by IGNORE NULLS window frames that exclude the current row — one
+  // partitioning, no self-join, no sort-merge range lookup. Edges
+  // degrade to backfill / LOCF; equal-timestamp neighbors guard the
+  // zero denominator.
+  q("ts_interpolate",
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+       |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+       |  FROM events),
+       |f AS (
+       |  SELECT *,
+       |    last_value(CASE WHEN v IS NOT NULL
+       |        THEN struct_pack(t := ts, x := v) END IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+       |    first_value(CASE WHEN v IS NOT NULL
+       |        THEN struct_pack(t := ts, x := v) END IGNORE NULLS) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+       |  FROM e),
+       |g AS (
+       |  SELECT event_id, user_id,
+       |    CASE
+       |      WHEN pv IS NULL AND nv IS NULL THEN NULL
+       |      WHEN pv IS NULL THEN nv.x
+       |      WHEN nv IS NULL THEN pv.x
+       |      WHEN epoch_us(nv.t) = epoch_us(pv.t) THEN pv.x
+       |      ELSE pv.x + (nv.x - pv.x) *
+       |        (CAST(epoch_us(ts) - epoch_us(pv.t) AS DOUBLE) /
+       |         CAST(epoch_us(nv.t) - epoch_us(pv.t) AS DOUBLE))
+       |    END AS vi
+       |  FROM f WHERE event_type = 'error')
+       |SELECT event_id, user_id, ${sqlR4("vi")} AS v_interp
+       |FROM g ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val known = when(col("v").isNotNull,
+      struct(col("ts").as("t"), col("v").as("x")))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      .withColumn("pv", last(known, ignoreNulls = true)
+        .over(wb.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nv", first(known, ignoreNulls = true)
+        .over(wb.rowsBetween(1, Window.unboundedFollowing)))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        r4(when(col("pv").isNull && col("nv").isNull, lit(null))
+          .when(col("pv").isNull, col("nv.x"))
+          .when(col("nv").isNull, col("pv.x"))
+          .when(unix_micros(col("nv.t")) === unix_micros(col("pv.t")), col("pv.x"))
+          .otherwise(col("pv.x") + (col("nv.x") - col("pv.x")) *
+            ((unix_micros(col("ts")) - unix_micros(col("pv.t"))).cast("double") /
+             (unix_micros(col("nv.t")) - unix_micros(col("pv.t"))).cast("double"))))
+          .as("v_interp"))
+      .orderBy("event_id")
+  }
+
   // K15 — incremental aggregate maintenance (materialized-view delta
   // merge): a grouped count/sum "view" over the first 20 days is
   // updated by a CDC batch (late deletes of early error rows +

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.TDigest._
+import graft.SparkSpec
+
+class TDigestSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic scramble: Knuth multiplicative hash orders the values
+  // arbitrarily without rand()
+  private def scrambled(n: Int): Seq[Double] =
+    (1 to n).sortBy(i => i * 2654435761L % n).map(_.toDouble)
+
+  private def rankError(est: Double, sorted: IndexedSeq[Double], q: Double): Double = {
+    val rank = sorted.count(_ <= est).toDouble / sorted.size
+    math.abs(rank - q)
+  }
+
+  test("uniform data: rank error < 1% at body and tail quantiles") {
+    val xs = scrambled(20000)
+    val sorted = xs.sorted.toIndexedSeq
+    val qs = Seq(0.01, 0.1, 0.5, 0.9, 0.99, 0.999)
+    val est = xs.toDF("v").repartition(16)
+      .agg(tdigestQuantiles($"v", qs, compression = 100).as("qq"))
+      .as[Seq[Double]].head()
+    qs.zip(est).foreach { case (q, e) =>
+      assert(rankError(e, sorted, q) < 0.01, s"q=$q est=$e")
+    }
+  }
+
+  test("heavy-tailed data: p99/p999 rank error stays small (tail-biased accuracy)") {
+    // lognormal-ish via exp of symmetric ramp — deterministic
+    val xs = scrambled(20000).map(x => math.exp(x / 2500.0))
+    val sorted = xs.sorted.toIndexedSeq
+    val qs = Seq(0.5, 0.99, 0.999)
+    val est = xs.toDF("v").repartition(16)
+      .agg(tdigestQuantiles($"v", qs, 100).as("qq")).as[Seq[Double]].head()
+    qs.zip(est).foreach { case (q, e) =>
+      assert(rankError(e, sorted, q) < 0.005, s"q=$q est=$e")
+    }
+  }
+
+  test("partitioning insensitivity: 1-partition vs 32-partition within bound") {
+    val xs = scrambled(10000)
+    val sorted = xs.sorted.toIndexedSeq
+    def run(parts: Int): Seq[Double] = xs.toDF("v").repartition(parts)
+      .agg(tdigestQuantiles($"v", Seq(0.1, 0.5, 0.9), 100).as("qq"))
+      .as[Seq[Double]].head()
+    val (a, b) = (run(1), run(32))
+    // t-digest is merge-order dependent — estimates differ, but both
+    // must sit within the same rank-error envelope
+    Seq(0.1, 0.5, 0.9).zipWithIndex.foreach { case (q, i) =>
+      assert(rankError(a(i), sorted, q) < 0.01, s"1p q=$q est=${a(i)}")
+      assert(rankError(b(i), sorted, q) < 0.01, s"32p q=$q est=${b(i)}")
+    }
+  }
+
+  test("exact min/max clamp: q=0 and q=1 return the true extremes") {
+    val xs = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val est = xs.toDF("v")
+      .agg(tdigestQuantiles($"v", Seq(0.0, 1.0), 50).as("qq")).as[Seq[Double]].head()
+    assert(est == Seq(1.0, 9.0))
+  }
+
+  test("per-group digests; null input ignored; empty group absent") {
+    val df = (1 to 3000).map(i => (i % 3, if (i % 17 == 0) None else Some(i.toDouble)))
+      .toDF("g", "v")
+    val rows = df.groupBy("g")
+      .agg(tdigestQuantiles($"v", Seq(0.5), 100).as("qq"))
+      .orderBy("g").as[(Int, Seq[Double])].collect()
+    assert(rows.length == 3)
+    rows.foreach { case (_, qq) => assert(qq.head > 1000 && qq.head < 2000) }
+  }
+}
+
+class TDigestAlgebraSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graftx.TDigest._
+
+  test("per-shard digests unioned ≈ direct digest ≈ exact (the rollup pattern)") {
+    val xs = (1 to 40000).sortBy(i => i * 2654435761L % 40000)
+      .map(i => (i % 8, i.toDouble))
+    val df = xs.toDF("shard", "v").repartition(16)
+    val perShard = df.groupBy("shard").agg(tdigestSketch($"v", 100).as("dig"))
+    assert(perShard.count() == 8)
+    val union = perShard
+      .agg(tdigestUnionQuantiles($"dig", Seq(0.5, 0.99), 100).as("qq"))
+      .as[Seq[Double]].head()
+    val sorted = xs.map(_._2).sorted.toIndexedSeq
+    Seq(0.5, 0.99).zip(union).foreach { case (q, e) =>
+      val rank = sorted.count(_ <= e).toDouble / sorted.size
+      assert(math.abs(rank - q) < 0.01, s"q=$q est=$e rank=$rank")
+    }
+  }
+}
