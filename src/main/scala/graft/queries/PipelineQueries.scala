@@ -712,6 +712,85 @@ object PipelineQueries extends QueryPack {
       .orderBy("relationship")
   }
 
+  // DQ — single-pass column profiler: every per-column statistic
+  // (non-null count, exact distinct, min/max, mean) for the whole
+  // table computed in ONE wide aggregate over ONE scan — the 1-row
+  // result is then unpivoted (stack) into per-column rows on the
+  // driver-sized side. At 100 TB the scan is the cost; profiling n
+  // columns must not mean n scans. The multi-distinct is Catalyst's
+  // Expand (one extra map-side pass, still one scan).
+  q("dq_profile",
+    s"""WITH s AS (SELECT * FROM events)
+       |SELECT * FROM (
+       |  SELECT 'event_id' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       |    CAST(count(event_id) AS BIGINT) AS n_nonnull,
+       |    CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       |    CAST(min(event_id) AS DOUBLE) AS min_num,
+       |    CAST(max(event_id) AS DOUBLE) AS max_num,
+       |    ${sqlR4("avg(event_id)")} AS avg_num,
+       |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+       |  FROM s
+       |  UNION ALL
+       |  SELECT 'user_id', CAST(count(*) AS BIGINT),
+       |    CAST(count(user_id) AS BIGINT),
+       |    CAST(count(DISTINCT user_id) AS BIGINT),
+       |    CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE),
+       |    ${sqlR4("avg(user_id)")}, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM s
+       |  UNION ALL
+       |  SELECT 'event_type', CAST(count(*) AS BIGINT),
+       |    CAST(count(event_type) AS BIGINT),
+       |    CAST(count(DISTINCT event_type) AS BIGINT),
+       |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       |    min(event_type), max(event_type)
+       |  FROM s
+       |  UNION ALL
+       |  SELECT 'value', CAST(count(*) AS BIGINT),
+       |    CAST(count(value) AS BIGINT),
+       |    CAST(count(DISTINCT value) AS BIGINT),
+       |    min(value), max(value), ${sqlR4("avg(value)")},
+       |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+       |  FROM s
+       |) ORDER BY col_name""".stripMargin) { (s, dir) =>
+    val one = Tables.load(s, dir, "events").agg(
+      count(lit(1)).as("n_rows"),
+      count(col("event_id")).as("nn_eid"),
+      countDistinct(col("event_id")).as("nd_eid"),
+      min(col("event_id")).cast("double").as("mn_eid"),
+      max(col("event_id")).cast("double").as("mx_eid"),
+      avg(col("event_id")).as("av_eid"),
+      count(col("user_id")).as("nn_uid"),
+      countDistinct(col("user_id")).as("nd_uid"),
+      min(col("user_id")).cast("double").as("mn_uid"),
+      max(col("user_id")).cast("double").as("mx_uid"),
+      avg(col("user_id")).as("av_uid"),
+      count(col("event_type")).as("nn_et"),
+      countDistinct(col("event_type")).as("nd_et"),
+      min(col("event_type")).as("mn_et"),
+      max(col("event_type")).as("mx_et"),
+      count(col("value")).as("nn_val"),
+      countDistinct(col("value")).as("nd_val"),
+      min(col("value")).as("mn_val"),
+      max(col("value")).as("mx_val"),
+      avg(col("value")).as("av_val"))
+    one.select(col("n_rows"), expr(
+      """stack(4,
+        |  'event_id',   nn_eid, nd_eid, mn_eid, mx_eid, av_eid,
+        |    CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'user_id',    nn_uid, nd_uid, mn_uid, mx_uid, av_uid,
+        |    CAST(NULL AS STRING), CAST(NULL AS STRING),
+        |  'event_type', nn_et,  nd_et,  CAST(NULL AS DOUBLE),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_et, mx_et,
+        |  'value',      nn_val, nd_val, mn_val, mx_val, av_val,
+        |    CAST(NULL AS STRING), CAST(NULL AS STRING)
+        |) AS (col_name, n_nonnull, n_distinct, min_num, max_num,
+        |      avg_num, min_str, max_str)""".stripMargin))
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        r4(col("avg_num")).as("avg_num"), col("min_str"), col("max_str"))
+      .orderBy("col_name")
+  }
+
   // Time-series gap filling: per event type, a complete hourly spine
   // from its first to last hour (sequence + explode — generated where
   // the bounds row lives, no driver loop), hours with no events

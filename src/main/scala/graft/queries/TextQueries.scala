@@ -1131,4 +1131,42 @@ object TextQueries extends QueryPack {
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
   }
+
+  // ML feature hashing (the "hashing trick", Weinberger ICML'09): each
+  // token maps to one of 64 feature slots by content hash, with a
+  // ±1 sign from an independent hash bit so collisions cancel in
+  // expectation instead of biasing upward. Output is the SPARSE
+  // (doc, slot) → value matrix — zero-sum slots dropped. Fixed-width
+  // features from unbounded vocabulary, no dictionary, no fit step:
+  // the only encoder that needs no global state at 100 TB. Portable
+  // md5-prefix arithmetic makes it exactly reproducible cross-engine.
+  q("ml_feature_hash",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      |  FROM documents WHERE doc_id < 200),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 64 AS fidx,
+      |    CASE WHEN CAST('0x' || substr(md5(tok), 5, 1) AS BIGINT) < 8
+      |      THEN 1 ELSE -1 END AS sign
+      |  FROM toks WHERE tok <> '')
+      |SELECT doc_id, fidx, CAST(sum(sign) AS BIGINT) AS fval
+      |FROM h GROUP BY doc_id, fidx
+      |HAVING sum(sign) <> 0
+      |ORDER BY doc_id, fidx""".stripMargin) { (s, dir) =>
+    val tokMd5 = md5(col("tok").cast("binary"))
+    Tables.load(s, dir, "documents")
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"),
+        (conv(substring(tokMd5, 1, 4), 16, 10).cast("long") % 64).as("fidx"),
+        when(conv(substring(tokMd5, 5, 1), 16, 10).cast("long") < 8, lit(1L))
+          .otherwise(lit(-1L)).as("sign"))
+      .groupBy("doc_id", "fidx")
+      .agg(sum("sign").as("fval"))
+      .filter(col("fval") =!= 0)
+      .orderBy("doc_id", "fidx")
+  }
 }
