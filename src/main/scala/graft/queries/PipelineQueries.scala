@@ -267,6 +267,34 @@ object PipelineQueries extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // SQL — RECURSIVE CTE surface (Spark 4 WITH RECURSIVE, executed as
+  // iterative frontier joins): binary-heap hierarchy over customer
+  // keys (parent(k) = ⌊k/2⌋), descendants of the root with depth,
+  // aggregated per level. Both engines run the SAME recursive SQL —
+  // semantics checked engine-to-engine, ~⌈log2 N⌉ iterations, each a
+  // key equi-join of the table against the previous frontier (no
+  // driver loop; the fixpoint lives in the engine).
+  q("sql_recursive_cte",
+    """WITH RECURSIVE d(k, depth) AS (
+      |  SELECT CAST(1 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT c.c_custkey, d.depth + 1
+      |  FROM customer c JOIN d ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = d.k)
+      |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+      |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      """WITH RECURSIVE d(k, depth) AS (
+        |  SELECT CAST(1 AS BIGINT), 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, d.depth + 1
+        |  FROM customer c JOIN d ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = d.k)
+        |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   // K5+ — PERSISTENT catalog: external partitioned table registered
   // over a hive-layout directory, partitions RECOVERED from the
   // filesystem (MSCK — the reference's Glue-crawler step), then SQL
@@ -999,6 +1027,48 @@ object PipelineQueries extends QueryPack {
       .filter(col("n_rows") > 0)
       .select(col("event_type"), col("n_rows"), r4(col("sum_value")).as("sum_value"))
       .orderBy("event_type")
+  }
+
+  // K16 — CDC op log → SCD2 versioned dimension (the lakehouse
+  // dimension-maintenance composite): insert/update ops each open a
+  // version, ANY next op (incl. delete) closes the previous one, and
+  // deletes leave a gap until the next insert/update re-opens. One
+  // lead() over the full op stream fixes every valid_to BEFORE deletes
+  // are dropped; both windows hash on the dimension key — no
+  // self-join, no MERGE loop, history emitted in one pass.
+  q("k16_cdc_scd2",
+    """WITH o AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    CASE WHEN event_type = 'signup' THEN 'I'
+      |         WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      |  FROM events),
+      |l AS (
+      |  SELECT *, lead(ts) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_ts
+      |  FROM o),
+      |v AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) AS version_seq
+      |  FROM l WHERE op <> 'D')
+      |SELECT user_id, CAST(version_seq AS BIGINT) AS version_seq, value,
+      |  epoch_us(ts) AS valid_from_us, epoch_us(valid_to_ts) AS valid_to_us,
+      |  (valid_to_ts IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version_seq""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U").as("op"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .withColumn("version_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("version_seq"), col("value"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to_ts")).as("valid_to_us"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("user_id", "version_seq")
   }
 
   // TS — peak session concurrency per day, sweep-line as a TWO-LEVEL
