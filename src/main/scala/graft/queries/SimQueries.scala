@@ -230,4 +230,43 @@ object SimQueries extends QueryPack {
         "vec_id", "embedding", minSim = 0.45)
       .orderBy("id_a", "id_b")
   }
+
+  // Embedding duplicate CLUSTERS: exact cosine pairs (τ = 0.4) fed
+  // into min-label connected components — the "collapse near-dup
+  // groups" step run on embedding- rather than text-similarity edges.
+  // Every vector gets a cluster label (singletons label themselves and
+  // never enter the iteration). Oracle: recursive-CTE transitive
+  // closure over the same exact pair set, min-reachable-id label.
+  q("dd_embedding_clusters",
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(generate_series(1, len(a.embedding)),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id)
+      |SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val pairs = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", minSim = 0.4)
+    graft.operators.RelationalOps.connectedComponents(
+        emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+      .orderBy("vec_id")
+  }
 }

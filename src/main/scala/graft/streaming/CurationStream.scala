@@ -75,6 +75,30 @@ object CurationStream {
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("window_start"), col("bucket"), col("n"))
 
+  /** Windowed streaming QUANTILES via the mergeable t-digest
+    * aggregate ([[org.apache.spark.sql.graftx.TDigestQuantiles]]):
+    * per (window, key) latency-percentile monitoring with BOUNDED
+    * state — the state store holds one serialized digest (≤ ~8δ
+    * centroids) per open group, never the raw values, so the p99 of
+    * an unbounded stream costs the same state as its count. Each
+    * micro-batch's partial digests merge into the stored one through
+    * the aggregate's own merge path (the same machinery batch
+    * partial-aggregation uses).
+    */
+  def windowedQuantiles(stream: DataFrame, keyCol: String,
+                        valueCol: String, eventTimeCol: String,
+                        percentages: Seq[Double], windowDur: String,
+                        delay: String, compression: Int = 100): DataFrame = {
+    import org.apache.spark.sql.graftx.TDigest.tdigestQuantiles
+    stream.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowDur).as("win"), col(keyCol))
+      .agg(tdigestQuantiles(col(valueCol), percentages, compression).as("qq"))
+      .select(col("win.start").as("window_start") +: col(keyCol) +:
+        percentages.zipWithIndex.map { case (p, i) =>
+          element_at(col("qq"), i + 1).as(s"p${(p * 100).round}")
+        }: _*)
+  }
+
   /** Population stability index between two bucket histograms
     * (`(bucket, n)` rows, as [[bucketHistogram]] emits per window):
     * Laplace-smoothed shares over the full generated spine, one
