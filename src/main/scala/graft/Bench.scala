@@ -64,7 +64,9 @@ object Bench {
       "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash", "dd_clusters",
       "dd_embedding_lsh", "ann_lsh_topk", "ann_two_stage", "tx_tfidf",
       "tx_lm_gate", "scd2_intervals", "t1_tumbling_hourly",
-      "tx_bpe_train", "gr_triangles", "dd_chunk_dedup", "dd_bloom_incremental")
+      "tx_bpe_train", "gr_triangles", "dd_chunk_dedup", "dd_bloom_incremental",
+      "j11_spatial_join", "a11_tdigest_rollup", "sql_recursive_cte",
+      "dq_profile", "ml_feature_hash")
     val byName = results.toMap
     def r3(v: Double): String = f"$v%.3f"
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + r3(v)))
