@@ -63,6 +63,22 @@ class TDigestSpec extends SparkSpec {
     assert(est == Seq(1.0, 9.0))
   }
 
+  test("constant column: every quantile is the constant") {
+    val est = Seq.fill(1000)(42.5).toDF("v").repartition(8)
+      .agg(tdigestQuantiles($"v", Seq(0.01, 0.5, 0.99), 100).as("qq"))
+      .as[Seq[Double]].head()
+    assert(est == Seq(42.5, 42.5, 42.5))
+  }
+
+  test("mixed-sign values: median of symmetric data ≈ 0, extremes exact") {
+    val xs = scrambled(5001).map(_ - 2501.0) // -2500..2500 symmetric
+    val est = xs.toDF("v").repartition(8)
+      .agg(tdigestQuantiles($"v", Seq(0.0, 0.5, 1.0), 100).as("qq"))
+      .as[Seq[Double]].head()
+    assert(est.head == -2500.0 && est(2) == 2500.0)
+    assert(math.abs(est(1)) <= 25.0, s"median ${est(1)}")
+  }
+
   test("per-group digests; null input ignored; empty group absent") {
     val df = (1 to 3000).map(i => (i % 3, if (i % 17 == 0) None else Some(i.toDouble)))
       .toDF("g", "v")
