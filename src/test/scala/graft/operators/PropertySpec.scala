@@ -264,4 +264,54 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  test("property: pattern quantifier (view click+ purchase) == sequential scan") {
+    // the w14 islands+adjacency windowed formulation vs an independent
+    // per-user sequential run scanner — genuinely different algorithms
+    val evGen = for {
+      u <- Gen.choose(0, 2)
+      t <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (u, t)
+    check(Prop.forAll(Gen.nonEmptyListOf(evGen)) { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t), i) => (u.toLong, i.toLong, t) }
+      val df = rows.toDF("user_id", "event_id", "event_type")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("chg",
+          when(lag(col("event_type"), 1).over(w) === col("event_type"), lit(0))
+            .otherwise(lit(1)))
+        .withColumn("island", sum(col("chg")).over(wRun))
+        .groupBy("user_id", "island")
+        .agg(min("event_type").as("event_type"), count(lit(1)).as("run_len"),
+          min("rn").as("srn"), min_by(col("event_id"), col("rn")).as("first_eid"))
+      val w2 = Window.partitionBy("user_id").orderBy("srn")
+      val got = isl
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w2))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w2))
+        .withColumn("next_eid", lead(col("first_eid"), 1).over(w2))
+        .filter(col("event_type") === "click" &&
+          col("prev_type") === "view" && col("next_type") === "purchase")
+        .select(col("user_id"), col("run_len"), col("next_eid"))
+        .as[(Long, Long, Long)].collect().toSet
+
+      val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val runs = scala.collection.mutable.ListBuffer[(String, List[(Long, Long, String)])]()
+        sorted.foreach { r =>
+          if (runs.nonEmpty && runs.last._1 == r._3)
+            runs(runs.size - 1) = (r._3, runs.last._2 :+ r)
+          else runs += ((r._3, List(r)))
+        }
+        runs.toList.sliding(3).collect {
+          case List((pt, _), ("click", cs), (nt, ns))
+            if pt == "view" && nt == "purchase" =>
+            (u, cs.size.toLong, ns.head._2)
+        }
+      }.toSet
+      got == expected
+    })
+  }
 }
