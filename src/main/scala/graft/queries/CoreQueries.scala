@@ -1242,6 +1242,23 @@ object CoreQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // A11e — WEIGHTED quantiles (importance-weighted corpora): each
+  // price contributes its quantity as sample weight. Plain SQL has no
+  // weighted percentile short of row explosion; the digest takes the
+  // weight directly. Rows-only; TDigestWeightedSpec checks against
+  // the exact weight-expanded multiset.
+  q("a11_tdigest_weighted", null) { (s, dir) =>
+    import org.apache.spark.sql.graftx.TDigest.tdigestWeightedQuantiles
+    Tables.load(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(tdigestWeightedQuantiles(col("l_extendedprice"),
+        col("l_quantity").cast("long"), Seq(0.5, 0.99), 100).as("qq"))
+      .select(col("l_returnflag"),
+        element_at(col("qq"), 1).as("p50_price_wtd"),
+        element_at(col("qq"), 2).as("p99_price_wtd"))
+      .orderBy("l_returnflag")
+  }
+
   // A11d — the t-digest ROLLUP pattern at 100 TB: one digest per
   // (returnflag, shard) materialized in a single pass, then
   // per-returnflag quantiles recovered by unioning shard digests —

@@ -246,6 +246,61 @@ case class TDigestUnionQuantiles(
     copy(child = newChildren.head)
 }
 
+/** WEIGHTED approx quantiles: each row contributes its (positive
+  * integer) weight to the distribution — the sample-weight-aware
+  * percentile a training pipeline needs for importance-weighted
+  * corpora, where plain SQL has no answer short of row explosion.
+  * Rows with null/non-positive weight are ignored.
+  */
+case class TDigestWeightedQuantiles(
+    valueExpr: Expression,
+    weightExpr: Expression,
+    percentages: Seq[Double],
+    compression: Int = 100,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDig] {
+
+  override def children: Seq[Expression] = Seq(valueExpr, weightExpr)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "tdigest_weighted_quantiles"
+
+  private def toDouble(v: Any): Double = v match {
+    case n: java.lang.Number => n.doubleValue()
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case other => other.toString.toDouble
+  }
+
+  override def createAggregationBuffer(): TDig = new TDig(compression)
+
+  override def update(buf: TDig, input: InternalRow): TDig = {
+    val v = valueExpr.eval(input)
+    val w = weightExpr.eval(input)
+    if (v != null && w != null) {
+      val wl = math.round(toDouble(w))
+      if (wl > 0) buf.add(toDouble(v), wl)
+    }
+    buf
+  }
+
+  override def merge(buf: TDig, other: TDig): TDig = { buf.mergeIn(other); buf }
+
+  override def eval(buf: TDig): Any =
+    if (buf.pts.isEmpty) null
+    else new GenericArrayData(percentages.map(buf.quantile).toArray)
+
+  override def serialize(buf: TDig): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TDig = TDig.deserialize(bytes, compression)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestWeightedQuantiles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestWeightedQuantiles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(valueExpr = newChildren(0), weightExpr = newChildren(1))
+}
+
 object TDigest {
   /** Column API: approx quantiles (array, one per percentage). */
   def tdigestQuantiles(c: Column, percentages: Seq[Double], compression: Int = 100): Column =
@@ -263,5 +318,13 @@ object TDigest {
   def tdigestUnionQuantiles(c: Column, percentages: Seq[Double], compression: Int = 100): Column =
     ExpressionUtils.column(
       TDigestUnionQuantiles(ExpressionUtils.expression(c), percentages, compression)
+        .toAggregateExpression())
+
+  /** Sample-weight-aware quantiles (positive integer weights). */
+  def tdigestWeightedQuantiles(value: Column, weight: Column,
+                               percentages: Seq[Double], compression: Int = 100): Column =
+    ExpressionUtils.column(
+      TDigestWeightedQuantiles(ExpressionUtils.expression(value),
+        ExpressionUtils.expression(weight), percentages, compression)
         .toAggregateExpression())
 }

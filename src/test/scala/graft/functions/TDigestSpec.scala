@@ -90,6 +90,45 @@ class TDigestSpec extends SparkSpec {
   }
 }
 
+class TDigestWeightedSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.graftx.TDigest._
+
+  test("weighted quantiles == quantiles of the weight-expanded multiset") {
+    // value i with weight (i % 5 + 1); expansion stays exact-checkable
+    val rows = (1 to 2000).sortBy(i => i * 2654435761L % 2000)
+      .map(i => (i.toDouble, (i % 5 + 1).toLong))
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }
+      .sorted.toIndexedSeq
+    val qs = Seq(0.1, 0.5, 0.99)
+    val est = rows.toDF("v", "w").repartition(16)
+      .agg(tdigestWeightedQuantiles($"v", $"w", qs, 100).as("qq"))
+      .as[Seq[Double]].head()
+    qs.zip(est).foreach { case (q, e) =>
+      val rank = expanded.count(_ <= e).toDouble / expanded.size
+      assert(math.abs(rank - q) < 0.01, s"q=$q est=$e rank=$rank")
+    }
+  }
+
+  test("all-ones weights == unweighted; zero/null weights ignored") {
+    val vals = (1 to 1000).map(_.toDouble)
+    val uw = vals.toDF("v")
+      .agg(tdigestQuantiles($"v", Seq(0.5), 100)).as[Seq[Double]].head()
+    val w1 = vals.map((_, Some(1L)))
+      .toDF("v", "w")
+      .agg(tdigestWeightedQuantiles($"v", $"w", Seq(0.5), 100))
+      .as[Seq[Double]].head()
+    assert(uw == w1) // identical insertion stream → identical digest
+    // rows with weight 0 / null contribute nothing
+    val spiked = (vals.map((_, Some(1L))) ++
+        Seq((1.0e9, Some(0L)), (-1.0e9, Option.empty[Long])))
+      .toDF("v", "w")
+      .agg(tdigestWeightedQuantiles($"v", $"w", Seq(0.0, 1.0), 100))
+      .as[Seq[Double]].head()
+    assert(spiked == Seq(1.0, 1000.0))
+  }
+}
+
 class TDigestAlgebraSpec extends graft.SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.graftx.TDigest._
