@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.approxDistinct=true)
     ext.injectOptimizerRule(graft.plans.ApproxDistinctRewrite.apply)
 
+    // conf-gated plan rewrite: exact percentile(...) → t-digest
+    // (graft.plans.ApproxPercentileRewrite; off unless
+    // spark.graft.approxPercentile=true)
+    ext.injectOptimizerRule(graft.plans.ApproxPercentileRewrite.apply)
+
     // whole-operator extension: TopKPerGroup logical node → two-stage
     // bounded-heap physical plan (graftx.TopKStrategy)
     ext.injectPlannerStrategy(_ => org.apache.spark.sql.graftx.TopKStrategy)
