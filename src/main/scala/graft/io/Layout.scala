@@ -107,6 +107,49 @@ object Layout {
       .drop(clusterCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
+  /** Parquet BLOOM FILTERS on write — the point-lookup data-skipping
+    * lever min/max stats can't provide. Range clustering prunes RANGE
+    * predicates, but an equality probe on a column the layout is NOT
+    * clustered on (user_id in a time-partitioned event log) matches
+    * every file's [min,max] span — nothing skips. A per-row-group
+    * bloom answers "definitely absent" without decoding pages, so the
+    * reader drops row groups on a hash check. Costs a few bits/value
+    * in the footer; `ndv` sizes the filter (overestimating wastes
+    * footer bytes, underestimating inflates false positives).
+    */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                     ndv: Long = 100000L): Unit =
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+
+  /** True iff EVERY row group of every parquet file under `path`
+    * carries a bloom filter for `column` (footer-level check through
+    * parquet-hadoop — the reader-side proof the writer option took).
+    */
+  def hasBloomFilter(spark: SparkSession, path: String, column: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(path)
+    val files = dir.getFileSystem(conf).listStatus(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    files.nonEmpty && files.forall { st =>
+      val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        val blocks = rdr.getFooter.getBlocks.asScala
+        blocks.nonEmpty && blocks.forall { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .exists(c => rdr.readBloomFilter(c) != null)
+        }
+      } finally rdr.close()
+    }
+  }
+
   /** Per-file min/max of `keyCol` as seen by a reader of `path` —
     * the footer stats a pruning scan consults, reconstructed
     * relationally (one scan, no driver loops). Used to VERIFY a

@@ -414,6 +414,33 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  // K17 — parquet BLOOM FILTER layout (engine extra): the point-lookup
+  // data-skipping lever min/max stats can't give an equality probe on
+  // an unclustered high-cardinality column. Events are rewritten with
+  // a per-row-group bloom on user_id (writer option; LayoutSpec proves
+  // every row group carries it), then served through a point-lookup IN
+  // filter — at 100 TB the reader drops row groups on a hash check
+  // instead of decoding pages. The oracle runs the same lookup on the
+  // original table: the layout must change nothing but the I/O.
+  q("k17_parquet_bloom",
+    """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM events
+      |WHERE user_id IN (7, 42, 137)
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_bloom")
+    graft.io.Layout.writeWithBloom(
+      Tables.load(s, dir, "events"), out,
+      bloomCols = Seq("user_id"), ndv = 10000L)
+    s.read.parquet(out)
+      .filter(col("user_id").isin(7L, 42L, 137L))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"))
+      .orderBy("user_id")
+  }
+
   // K11 — BUCKETED co-located join (engine extra): both sides written
   // bucketed+sorted on the join key, registered as external tables,
   // then joined. Bucketing is the write-once layout that deletes the

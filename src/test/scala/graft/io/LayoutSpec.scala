@@ -94,4 +94,23 @@ class LayoutSpec extends SparkSpec {
     val hi = z.find(_._1 == 999L).get._3
     assert(lo < hi)
   }
+
+  test("writeWithBloom: every row group carries the bloom; plain write doesn't; reads agree") {
+    val dir = Files.createTempDirectory("layout_bloom").toFile
+    val df = (0L until 20000L).toDF("user_id")
+      .withColumn("payload", col("user_id") * 13 % 997)
+    val bloomed = s"$dir/bloomed"
+    Layout.writeWithBloom(df.repartition(4), bloomed,
+      bloomCols = Seq("user_id"), ndv = 20000L)
+    assert(Layout.hasBloomFilter(spark, bloomed, "user_id"))
+    assert(!Layout.hasBloomFilter(spark, bloomed, "payload"))
+    val plain = s"$dir/plain"
+    df.repartition(4).write.parquet(plain)
+    assert(!Layout.hasBloomFilter(spark, plain, "user_id"))
+    // point lookups through the bloomed layout return the same rows
+    val got = spark.read.parquet(bloomed)
+      .filter(col("user_id").isin(5L, 19999L, 123456L))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((5L, 65L), (19999L, 19999L * 13 % 997)))
+  }
 }
