@@ -504,6 +504,85 @@ object CoreQueries extends QueryPack {
       .orderBy("c_custkey", "s_suppkey")
   }
 
+  // J12 — point-in-polygon join (geofencing): customers' derived
+  // points matched to 6 hexagonal fences. Candidates come from a grid
+  // equi-join on the polygons' bounding-box CELLS (driver-side
+  // constant list — polygons are a broadcast dim, cells are integers);
+  // the verify is the convex cross-product test: a point is inside a
+  // CCW polygon iff every edge's cross product is ≥ 0. Multiply-and-
+  // subtract only — no division, no trig at query time — so both
+  // engines compute bit-identical signs. The vertex constants are
+  // generated ONCE in Scala and printed into BOTH the Column chain and
+  // the oracle SQL (the AQI-oracle technique); the oracle itself runs
+  // the naive polygons × points cross join.
+  private val GeoFencePolys: Seq[(Int, IndexedSeq[(Double, Double)])] =
+    (0 until 6).map { k =>
+      val cx = 30.0 + (k * 35 % 140)
+      val cy = 25.0 + (k * 53 % 140)
+      (k, (0 until 6).map { i =>
+        val a = math.Pi / 3 * i + 0.3
+        (cx + 18 * math.cos(a), cy + 18 * math.sin(a))
+      })
+    }
+  private val GeoFenceEdges: Seq[(Int, Double, Double, Double, Double)] =
+    GeoFencePolys.flatMap { case (id, vs) =>
+      vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        (id, x1, y1, x2, y2)
+      }
+    }
+  private val GeoFenceCells: Seq[(Int, Long, Long)] =
+    GeoFencePolys.flatMap { case (id, vs) =>
+      val cs = for {
+        cx <- math.floor(vs.map(_._1).min / 20).toLong to
+              math.floor(vs.map(_._1).max / 20).toLong
+        cy <- math.floor(vs.map(_._2).min / 20).toLong to
+              math.floor(vs.map(_._2).max / 20).toLong
+      } yield (id, cx, cy)
+      cs
+    }
+
+  q("j12_point_in_polygon", {
+    val edgeValues = GeoFenceEdges.map { case (id, x1, y1, x2, y2) =>
+      f"($id, $x1%.17g, $y1%.17g, $x2%.17g, $y2%.17g)"
+    }.mkString(",\n      |    ")
+    s"""WITH pts AS (
+      |  SELECT c_custkey,
+      |    (c_custkey * 37 % 2000) / 10.0 AS px,
+      |    (c_custkey * 101 % 2000) / 10.0 AS py
+      |  FROM customer),
+      |edges(poly_id, x1, y1, x2, y2) AS (VALUES
+      |    $edgeValues),
+      |cr AS (
+      |  SELECT p.c_custkey, e.poly_id,
+      |    (e.x2 - e.x1) * (p.py - e.y1) - (e.y2 - e.y1) * (p.px - e.x1) AS c
+      |  FROM pts p CROSS JOIN edges e)
+      |SELECT c_custkey, poly_id
+      |FROM cr GROUP BY c_custkey, poly_id
+      |HAVING min(sign(c)) >= 0
+      |ORDER BY c_custkey, poly_id""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 2000) / 10.0).as("px"),
+        ((col("c_custkey") * 101 % 2000) / 10.0).as("py"))
+      .withColumn("cx_cell", floor(col("px") / 20).cast("long"))
+      .withColumn("cy_cell", floor(col("py") / 20).cast("long"))
+    val cells = GeoFenceCells.toDF("poly_id", "cx_cell", "cy_cell")
+    val edges = GeoFenceEdges.toDF("poly_id", "x1", "y1", "x2", "y2")
+    pts.join(broadcast(cells), Seq("cx_cell", "cy_cell"))
+      .join(broadcast(edges), "poly_id")
+      .withColumn("c",
+        (col("x2") - col("x1")) * (col("py") - col("y1")) -
+        (col("y2") - col("y1")) * (col("px") - col("x1")))
+      .groupBy("c_custkey", "poly_id")
+      .agg(min(signum(col("c"))).as("mn"))
+      .filter(col("mn") >= 0)
+      .select("c_custkey", "poly_id")
+      .orderBy("c_custkey", "poly_id")
+  }
+
   // P13 — correlated EXISTS / NOT EXISTS subqueries (Catalyst
   // rewrites to left-semi + left-anti joins; see the plan).
   q("p13_exists_subquery",
