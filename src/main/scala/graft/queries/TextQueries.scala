@@ -1132,6 +1132,42 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Token-entropy quality gate: Shannon entropy of each document's
+  // token distribution — the gibberish/boilerplate signal (low H =
+  // repeated tokens, high H = diverse text) C4-style filters cut on.
+  // ONE aggregation pass via the identity H = ln n − (Σ c·ln c)/n —
+  // no join back for the total, no window. Type-token ratio rides in
+  // the same pass.
+  q("tx_entropy",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cnt AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks
+       |  WHERE tok <> '' GROUP BY doc_id, tok),
+       |st AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+       |    CAST(count(*) AS BIGINT) AS n_types,
+       |    ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / sum(c) AS h
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT doc_id, n_tok, n_types,
+       |  ${sqlR4("CAST(n_types AS DOUBLE) / n_tok")} AS ttr,
+       |  ${sqlR4("h")} AS entropy
+       |FROM st ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tok"), count(lit(1)).as("n_types"),
+        (log(sum("c").cast("double")) -
+          sum(col("c") * log(col("c").cast("double"))) / sum("c")).as("h"))
+      .select(col("doc_id"), col("n_tok"), col("n_types"),
+        r4(col("n_types").cast("double") / col("n_tok")).as("ttr"),
+        r4(col("h")).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   // ML feature hashing (the "hashing trick", Weinberger ICML'09): each
   // token maps to one of 64 feature slots by content hash, with a
   // ±1 sign from an independent hash bit so collisions cancel in
