@@ -583,6 +583,93 @@ object CoreQueries extends QueryPack {
       .orderBy("c_custkey", "poly_id")
   }
 
+  // J13 — point-in-CONCAVE-polygon (even-odd ray cast): star-shaped
+  // fences (alternating radii — genuinely concave, the convex
+  // cross-sign test of j12 is wrong for these). The horizontal-ray
+  // crossing test is restructured to CROSS-MULTIPLICATION so no
+  // division reaches the data path: edge straddles the ray iff
+  // (y1 > py) ≠ (y2 > py), and the intersection lies right of the
+  // point iff cross = (x2−x1)(py−y1) − (px−x1)(y2−y1) has the sign of
+  // (y2−y1). Crossings counted per (point, polygon); odd parity =
+  // inside. Bit-exact cross-engine (multiply/subtract only); same
+  // Scala-generated vertex constants on both sides; naive oracle.
+  private val StarFencePolys: Seq[(Int, IndexedSeq[(Double, Double)])] =
+    (0 until 4).map { k =>
+      val cx = 40.0 + (k * 45 % 120)
+      val cy = 35.0 + (k * 71 % 120)
+      (k, (0 until 10).map { i =>
+        val a = math.Pi / 5 * i + 0.2
+        val r = if (i % 2 == 0) 24.0 else 9.0 // star: concave notches
+        (cx + r * math.cos(a), cy + r * math.sin(a))
+      })
+    }
+  private val StarFenceEdges: Seq[(Int, Double, Double, Double, Double)] =
+    StarFencePolys.flatMap { case (id, vs) =>
+      vs.indices.map { i =>
+        val (x1, y1) = vs(i); val (x2, y2) = vs((i + 1) % vs.size)
+        (id, x1, y1, x2, y2)
+      }
+    }
+  private val StarFenceCells: Seq[(Int, Long, Long)] =
+    StarFencePolys.flatMap { case (id, vs) =>
+      val cs = for {
+        cx <- math.floor(vs.map(_._1).min / 20).toLong to
+              math.floor(vs.map(_._1).max / 20).toLong
+        cy <- math.floor(vs.map(_._2).min / 20).toLong to
+              math.floor(vs.map(_._2).max / 20).toLong
+      } yield (id, cx, cy)
+      cs
+    }
+
+  q("j13_point_in_concave", {
+    val edgeValues = StarFenceEdges.map { case (id, x1, y1, x2, y2) =>
+      f"($id, $x1%.17g, $y1%.17g, $x2%.17g, $y2%.17g)"
+    }.mkString(",\n      |    ")
+    s"""WITH pts AS (
+      |  SELECT c_custkey,
+      |    (c_custkey * 37 % 2000) / 10.0 AS px,
+      |    (c_custkey * 101 % 2000) / 10.0 AS py
+      |  FROM customer),
+      |edges(poly_id, x1, y1, x2, y2) AS (VALUES
+      |    $edgeValues),
+      |hits AS (
+      |  SELECT p.c_custkey, e.poly_id,
+      |    CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+      |      AND (CASE WHEN e.y2 > e.y1
+      |        THEN (e.x2 - e.x1) * (p.py - e.y1) - (p.px - e.x1) * (e.y2 - e.y1) > 0
+      |        ELSE (e.x2 - e.x1) * (p.py - e.y1) - (p.px - e.x1) * (e.y2 - e.y1) < 0
+      |      END)
+      |    THEN 1 ELSE 0 END AS crossed
+      |  FROM pts p CROSS JOIN edges e)
+      |SELECT c_custkey, poly_id
+      |FROM hits GROUP BY c_custkey, poly_id
+      |HAVING sum(crossed) % 2 = 1
+      |ORDER BY c_custkey, poly_id""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val pts = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"),
+        ((col("c_custkey") * 37 % 2000) / 10.0).as("px"),
+        ((col("c_custkey") * 101 % 2000) / 10.0).as("py"))
+      .withColumn("cx_cell", floor(col("px") / 20).cast("long"))
+      .withColumn("cy_cell", floor(col("py") / 20).cast("long"))
+    val cells = StarFenceCells.toDF("poly_id", "cx_cell", "cy_cell")
+    val edges = StarFenceEdges.toDF("poly_id", "x1", "y1", "x2", "y2")
+    val cross = (col("x2") - col("x1")) * (col("py") - col("y1")) -
+      (col("px") - col("x1")) * (col("y2") - col("y1"))
+    pts.join(broadcast(cells), Seq("cx_cell", "cy_cell"))
+      .join(broadcast(edges), "poly_id")
+      .withColumn("crossed",
+        when((col("y1") > col("py")) =!= (col("y2") > col("py")) &&
+          when(col("y2") > col("y1"), cross > 0).otherwise(cross < 0),
+          lit(1)).otherwise(lit(0)))
+      .groupBy("c_custkey", "poly_id")
+      .agg(sum("crossed").as("n_crossed"))
+      .filter(col("n_crossed") % 2 === 1)
+      .select("c_custkey", "poly_id")
+      .orderBy("c_custkey", "poly_id")
+  }
+
   // P13 — correlated EXISTS / NOT EXISTS subqueries (Catalyst
   // rewrites to left-semi + left-anti joins; see the plan).
   q("p13_exists_subquery",
