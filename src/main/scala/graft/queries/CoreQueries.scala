@@ -2048,6 +2048,69 @@ object CoreQueries extends QueryPack {
       .orderBy("user_id", "island")
   }
 
+  // W15 — pattern ALTERNATION with capture counts:
+  // `view (click|signup)+ purchase`. Events are first CLASSIFIED
+  // (click/signup collapse into one 'mid' class), islands run over the
+  // CLASS — so a mixed click/signup stretch is ONE quantified run —
+  // and the island aggregation captures per-alternative counts
+  // (n_clicks vs n_signups inside the run), the MEASURES clause of a
+  // MATCH_RECOGNIZE. Same single-partitioning shape as w14.
+  q("w15_pattern_alternation",
+    """WITH s AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE WHEN event_type IN ('click', 'signup') THEN 'mid'
+      |         ELSE event_type END AS cls
+      |  FROM events),
+      |c AS (SELECT *,
+      |        row_number() OVER w AS rn,
+      |        CASE WHEN lag(cls) OVER w = cls THEN 0 ELSE 1 END AS chg
+      |      FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |i AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM c),
+      |isl AS (SELECT user_id, island, min(cls) AS cls,
+      |          CAST(count(*) AS BIGINT) AS run_len,
+      |          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+      |          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+      |          min(rn) AS srn, min_by(event_id, rn) AS first_eid
+      |        FROM i GROUP BY user_id, island),
+      |adj AS (SELECT *,
+      |          lag(cls)  OVER w2 AS prev_cls,
+      |          lead(cls) OVER w2 AS next_cls,
+      |          lead(first_eid) OVER w2 AS next_eid
+      |        FROM isl WINDOW w2 AS (PARTITION BY user_id ORDER BY srn))
+      |SELECT user_id, run_len, n_clicks, n_signups, next_eid AS purchase_id
+      |FROM adj
+      |WHERE cls = 'mid' AND prev_cls = 'view' AND next_cls = 'purchase'
+      |ORDER BY user_id, purchase_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isl = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"),
+        when(col("event_type").isin("click", "signup"), lit("mid"))
+          .otherwise(col("event_type")).as("cls"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chg",
+        when(lag(col("cls"), 1).over(w) === col("cls"), lit(0)).otherwise(lit(1)))
+      .withColumn("island", sum(col("chg")).over(wRun))
+      .groupBy("user_id", "island")
+      .agg(min(col("cls")).as("cls"),
+        count(lit(1)).as("run_len"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_clicks"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signups"),
+        min(col("rn")).as("srn"),
+        min_by(col("event_id"), col("rn")).as("first_eid"))
+    val w2 = Window.partitionBy("user_id").orderBy("srn")
+    isl
+      .withColumn("prev_cls", lag(col("cls"), 1).over(w2))
+      .withColumn("next_cls", lead(col("cls"), 1).over(w2))
+      .withColumn("next_eid", lead(col("first_eid"), 1).over(w2))
+      .filter(col("cls") === "mid" &&
+        col("prev_cls") === "view" && col("next_cls") === "purchase")
+      .select(col("user_id"), col("run_len"), col("n_clicks"),
+        col("n_signups"), col("next_eid").as("purchase_id"))
+      .orderBy("user_id", "purchase_id")
+  }
+
   // W14 — sequence pattern with a + QUANTIFIER (MATCH_RECOGNIZE
   // `view click+ purchase` per user): maximal runs of consecutive
   // clicks immediately preceded by a view and immediately followed by
