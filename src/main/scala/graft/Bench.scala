@@ -68,7 +68,9 @@ object Bench {
       "j11_spatial_join", "a11_tdigest_rollup", "sql_recursive_cte",
       "dq_profile", "ml_feature_hash")
     val byName = results.toMap
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma decimal separator would make the JSON line unparseable
+    def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + r3(v)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$hs,"sf":"$sfDir"}""")

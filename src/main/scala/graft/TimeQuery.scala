@@ -28,7 +28,8 @@ object TimeQuery {
     }
     once() // codegen warm
     val best = (1 to 2).map(_ => once()).min
-    println(f"""{"query":"$name","sec":$best%.3f,"sf":"$sfDir"}""")
+    val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(best))
+    println(s"""{"query":"$name","sec":$sec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -54,11 +54,15 @@ object TokenizerOps {
         .localCheckpoint() // referenced twice: merge row + corpus update
       corpus = corpus.crossJoin(broadcast(top))
         .select(col("freq"),
-          expr("replace(s, ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')")
+          // pa is null once every word is a single symbol (iters > learnable
+          // merges) — pass the corpus through unchanged instead of nulling it
+          when(col("pa").isNull, col("s"))
+            .otherwise(expr(
+              "replace(s, ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
             .as("s"))
         .localCheckpoint() // truncate per-iteration lineage
       top.select(lit(i).as("iter"), col("pa"), col("pb"), col("cnt"))
     }
-    merges.reduce(_ unionAll _)
+    merges.reduce(_ unionAll _).filter(col("pa").isNotNull)
   }
 }

@@ -45,22 +45,25 @@ case class ApproxPercentileRewrite(session: SparkSession) extends Rule[LogicalPl
       plan.transform {
         case agg: Aggregate =>
           agg.transformExpressions {
-            case AggregateExpression(p: Percentile, mode, false, filter, _)
+            case ae @ AggregateExpression(p: Percentile, mode, false, filter, _)
                 if !p.reverse && p.percentageExpression.foldable =>
-              val (ps, scalar) = p.percentageExpression.eval() match {
-                case a: ArrayData => (a.toDoubleArray().toSeq, false)
-                case n: java.lang.Number => (Seq(n.doubleValue()), true)
-                case d: org.apache.spark.sql.types.Decimal => (Seq(d.toDouble), true)
+              def build(ps: Seq[Double], scalar: Boolean) = {
+                val digest = p.frequencyExpression match {
+                  case Literal(1L, _) | Literal(1, _) =>
+                    TDigestQuantiles(p.child, ps, delta)
+                  case freq =>
+                    TDigestWeightedQuantiles(p.child, freq, ps, delta)
+                }
+                val rewritten = AggregateExpression(digest, mode,
+                  isDistinct = false, filter)
+                if (scalar) ElementAt(rewritten, Literal(1)) else rewritten
               }
-              val digest = p.frequencyExpression match {
-                case Literal(1L, _) | Literal(1, _) =>
-                  TDigestQuantiles(p.child, ps, delta)
-                case freq =>
-                  TDigestWeightedQuantiles(p.child, freq, ps, delta)
+              p.percentageExpression.eval() match {
+                case a: ArrayData => build(a.toDoubleArray().toSeq, scalar = false)
+                case n: java.lang.Number => build(Seq(n.doubleValue()), scalar = true)
+                case d: org.apache.spark.sql.types.Decimal => build(Seq(d.toDouble), scalar = true)
+                case _ => ae // null / unanticipated type: leave the query unrewritten
               }
-              val rewritten = AggregateExpression(digest, mode,
-                isDistinct = false, filter)
-              if (scalar) ElementAt(rewritten, Literal(1)) else rewritten
           }
       }
     }

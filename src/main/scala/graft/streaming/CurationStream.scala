@@ -95,7 +95,9 @@ object CurationStream {
       .agg(tdigestQuantiles(col(valueCol), percentages, compression).as("qq"))
       .select(col("win.start").as("window_start") +: col(keyCol) +:
         percentages.zipWithIndex.map { case (p, i) =>
-          element_at(col("qq"), i + 1).as(s"p${(p * 100).round}")
+          // per-mille names so nearby percentages (0.995 vs 1.0) can't
+          // collide into duplicate output columns
+          element_at(col("qq"), i + 1).as(s"p${(p * 1000).round}")
         }: _*)
   }
 

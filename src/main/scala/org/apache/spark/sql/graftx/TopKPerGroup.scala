@@ -91,6 +91,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
 
 /** Dataset-level entry point. */
 object GraftPlans {
+  private[graftx] val registrationLock = new Object
+
   /** Exact top-k rows per group under `order` — (column, ascending?)
     * pairs, resolved by name against `df` (row_number semantics: make
     * the order total, e.g. end with a unique tie-break column, for
@@ -99,15 +101,24 @@ object GraftPlans {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    order: Seq[(String, Boolean)], k: Int): DataFrame = {
     // self-register the strategy so plain sessions (no
-    // GraftExtensions wiring) can still plan the node
+    // GraftExtensions wiring) can still plan the node; lock so two
+    // threads' first use can't append it twice
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKStrategy
+    GraftPlans.registrationLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val child = df.queryExecution.analyzed
-    def attr(n: String): Attribute = child.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(
-        s"column $n not in ${child.output.map(_.name)}"))
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(n: String): Attribute = {
+      val hits = child.output.filter(a => resolver(a.name, n))
+      if (hits.isEmpty) throw new IllegalArgumentException(
+        s"column $n not in ${child.output.map(_.name)}")
+      if (hits.size > 1) throw new IllegalArgumentException(
+        s"column $n is ambiguous in ${child.output.map(_.name)}")
+      hits.head
+    }
     val sortOrders = order.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending)
     }

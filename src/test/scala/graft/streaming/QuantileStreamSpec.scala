@@ -52,7 +52,7 @@ class QuantileStreamSpec extends SparkSpec {
 
     val got: Map[String, (Double, Double)] = spark.read.parquet(out)
       .filter(col("k").isin("a", "b"))
-      .select("k", "p50", "p99").as[(String, Double, Double)]
+      .select("k", "p500", "p990").as[(String, Double, Double)]
       .collect().map { case (k, p50, p99) => k -> ((p50, p99)) }.toMap
     assert(got.keySet == Set("a", "b"))
     def rankErr(est: Double, lo: Int, hi: Int, q: Double): Double = {
