@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graftx.{FloatVecDot, MgHeavyHitters, NgramGenerator, RhpSignature, SimHash64, TokenNgrams}
+import org.apache.spark.sql.graftx.{DamerauLevenshtein, FloatVecDot, JaroSimilarity, JaroWinklerSimilarity, MgHeavyHitters, NgramGenerator, RhpSignature, SimHash64, TokenNgrams}
 
 /** `SparkSessionExtensions` entry point: injects the graft expressions
   * into the session's FunctionRegistry so the SQL surface has them
@@ -41,6 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("ngram_gen", "_FUNC_(tokens, n) - GENERATOR: one (pos, ngram) row per n-gram, no intermediate array"),
       (es: Seq[Expression]) => NgramGenerator(es.head,
         es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein", "_FUNC_(a, b) - unrestricted Damerau-Levenshtein distance"),
+      (es: Seq[Expression]) => DamerauLevenshtein(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_similarity"),
+      info("jaro_similarity", "_FUNC_(a, b) - Jaro similarity in [0,1]"),
+      (es: Seq[Expression]) => JaroSimilarity(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_similarity"),
+      info("jaro_winkler_similarity", "_FUNC_(a, b) - Jaro-Winkler similarity (0.7 boost threshold, prefix ≤ 4 at 0.1)"),
+      (es: Seq[Expression]) => JaroWinklerSimilarity(es.head, es(1))))
     ext.injectFunction((
       FunctionIdentifier("mg_heavy_hitters"),
       info("mg_heavy_hitters",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,10 +36,31 @@ object FuzzyOps {
     * result, computed candidate-first.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int, q: Int = 3): DataFrame = {
+                        maxDist: Int, q: Int = 3): DataFrame =
+    gramFilteredPairs(df, idCol, strCol, maxDist, q, gramsPerEdit = q,
+      verify = (a, b) => levenshtein(a, b).cast("long"))
+
+  /** All pairs with unrestricted Damerau-Levenshtein ≤ `maxDist`.
+    * Same count-filtering frame as [[editDistancePairs]], with the
+    * per-edit gram-destruction bound widened to `q + 1`: an adjacent
+    * transposition at position i rewrites the q-grams starting at
+    * i−q+1 … i+1 (q+1 of them), while indel/substitute still destroy
+    * ≤ q — so `dl ≤ k` ⇒ shared grams ≥ max(G_a, G_b) − k(q+1), and
+    * the filter stays complete. Verification is the native
+    * [[org.apache.spark.sql.graftx.DamerauLevenshtein]] expression.
+    */
+  def dlDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                      maxDist: Int, q: Int = 3): DataFrame =
+    gramFilteredPairs(df, idCol, strCol, maxDist, q, gramsPerEdit = q + 1,
+      verify = (a, b) =>
+        org.apache.spark.sql.graftx.GraftFuzzy.damerauLevenshtein(a, b).cast("long"))
+
+  private def gramFilteredPairs(df: DataFrame, idCol: String, strCol: String,
+                                maxDist: Int, q: Int, gramsPerEdit: Int,
+                                verify: (Column, Column) => Column): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
-    val shortMax = q - 1 + maxDist * q // both ≤ this ⇒ bound ≤ 0 ⇒ brute force
+    val shortMax = q - 1 + maxDist * gramsPerEdit // both ≤ this ⇒ bound ≤ 0 ⇒ brute force
 
     // positional q-grams with per-string occurrence index (multiset key)
     val grams = base.filter(col("len") >= q)
@@ -61,7 +82,7 @@ object FuzzyOps {
         col("a.len").as("la"), col("b.len").as("lb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >=
-        greatest(col("la"), col("lb")) - lit(q - 1) - lit(maxDist * q))
+        greatest(col("la"), col("lb")) - lit(q - 1) - lit(maxDist * gramsPerEdit))
       .select("id_a", "id_b", "s_a", "s_b")
 
     val shortSide = base.filter(col("len") <= shortMax)
@@ -73,8 +94,34 @@ object FuzzyOps {
         col("a.s").as("s_a"), col("b.s").as("s_b"))
 
     candLong.unionByName(candShort)
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .withColumn("dist", verify(col("s_a"), col("s_b")))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+  }
+
+  /** Blocked Jaro-Winkler matching: candidate pairs share a blocking
+    * key (first character + length band here — Winkler weight lives
+    * in the prefix, so first-char blocking is the standard ER choice),
+    * survivors scored with the native
+    * [[org.apache.spark.sql.graftx.JaroWinklerSimilarity]] expression.
+    * Unlike the edit-distance paths the blocking is part of the
+    * DECLARED semantics (jw admits no complete gram bound) — the
+    * oracle applies the identical predicates, so the check stays
+    * exact. Blocking key join is an equi-shuffle; no candidate
+    * explosion beyond per-block n².
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       minSim: Double, maxLenDiff: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s")))
+      .withColumn("blk", substring(col("s"), 1, 1))
+    base.as("a")
+      .join(base.hint("SHUFFLE_HASH").as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= maxLenDiff)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        org.apache.spark.sql.graftx.GraftFuzzy
+          .jaroWinklerSimilarity(col("a.s"), col("b.s")).as("jw"))
+      .filter(col("jw") >= minSim)
   }
 }

@@ -959,6 +959,52 @@ object TextQueries extends QueryPack {
       .orderBy("id_a", "id_b")
   }
 
+  // Unrestricted Damerau-Levenshtein pairs — the transposition-aware
+  // twin of fz_edit_pairs, verified by the native DamerauLevenshtein
+  // expression (full da-array DP, matching DuckDB's builtin exactly;
+  // 'CA'/'ABC' = 2 where optimal-string-alignment says 3). Candidate
+  // generation is the same complete q-gram count filter with the
+  // per-edit destruction bound widened to q+1 for transpositions.
+  q("fz_damerau_pairs",
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE a.p_partkey < 500 AND b.p_partkey < 500
+      |  AND damerau_levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    import graft.operators.FuzzyOps
+    FuzzyOps.dlDistancePairs(
+        Tables.load(s, dir, "part").filter(col("p_partkey") < 500),
+        "p_partkey", "p_name", maxDist = 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  // Blocked Jaro-Winkler entity resolution — native JaroWinkler
+  // expression (bit-identical to DuckDB's jaro_winkler_similarity:
+  // same match-window/transposition arithmetic order, 0.7 boost
+  // threshold, prefix ≤ 4 at 0.1). Blocking (shared first char +
+  // length band) is part of the declared semantics and mirrored in
+  // the oracle, so the check stays exact; r4 absorbs nothing here —
+  // it's belt-and-braces on an already bit-identical double.
+  q("fz_jaro_winkler",
+    s"""SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  ${graft.functions.DetRound.sqlR4(
+             "jaro_winkler_similarity(a.p_name, b.p_name)")} AS jw
+      |FROM part a JOIN part b
+      |  ON substring(a.p_name, 1, 1) = substring(b.p_name, 1, 1)
+      | AND a.p_partkey < b.p_partkey
+      | AND abs(len(a.p_name) - len(b.p_name)) <= 4
+      |WHERE a.p_partkey < 1000 AND b.p_partkey < 1000
+      |  AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.93
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    import graft.operators.FuzzyOps
+    FuzzyOps.jaroWinklerPairs(
+        Tables.load(s, dir, "part").filter(col("p_partkey") < 1000),
+        "p_partkey", "p_name", minSim = 0.93, maxLenDiff = 4)
+      .select(col("id_a"), col("id_b"), graft.functions.DetRound.r4(col("jw")).as("jw"))
+      .orderBy("id_a", "id_b")
+  }
+
   // Blocklist term redaction — the PII-scrubbing shape (regex scan +
   // global replace + hit count) as one codegen'd projection, no UDFs.
   // The synthetic corpus has no emails/phones, so the blocklist names
