@@ -107,6 +107,110 @@ object Layout {
       .drop(clusterCols.flatMap(c => Seq(s"__lo_$c", s"__hi_$c")): _*)
   }
 
+  val HCol = "__haddr"
+
+  /** HILBERT-curve layout — the locality-tighter sibling of
+    * [[writeZOrdered]]. The Z-curve's big jumps (address 0x0FFF →
+    * 0x1000 teleports across the key plane) put distant key regions in
+    * the same file at every power-of-two seam; the Hilbert curve is
+    * CONTINUOUS (consecutive addresses are Manhattan-adjacent cells),
+    * so equal address ranges cover compact, roughly-square key
+    * regions — measurably fewer files overlap a given 2-D range
+    * predicate (cf. Delta Lake's OPTIMIZE ... ZORDER successor
+    * "liquid clustering", which is Hilbert-based for exactly this
+    * reason).
+    *
+    * 2-D only here (the dominant case: e.g. two filter columns, or
+    * lat/lon). Coordinates must already be integers in
+    * [0, 2^order) — pre-bucket with the same min/max scaling
+    * [[zAddress]] uses if needed; keeping the mapping integer-exact is
+    * what lets the DuckDB oracle replay it bit-for-bit.
+    *
+    * Per level `s = 2^(order-1) … 1` (the standard xy2d walk):
+    * {{{
+    *   rx = (x & s) > 0;  ry = (y & s) > 0
+    *   d += s² · ((3·rx) ⊕ ry)
+    *   if (ry == 0) { if (rx == 1) { x = s-1-x; y = s-1-y }; swap(x, y) }
+    * }}}
+    * unrolled as `order` chained projections (integer ops only — no
+    * floating point anywhere, so cross-engine equality is exact, and
+    * each level stays a small expression instead of an exponentially
+    * inlined tree).
+    */
+  def withHilbertAddress(df: DataFrame, xCol: Column, yCol: Column,
+                         order: Int, outCol: String = HCol): DataFrame = {
+    require(order >= 1 && order <= 31, s"order $order out of range")
+    var cur = df
+      .withColumn("__hx", xCol.cast("long"))
+      .withColumn("__hy", yCol.cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (lvl <- (order - 1) to 0 by -1) {
+      val s = 1L << lvl
+      cur = cur
+        .withColumn("__rx",
+          when(col("__hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__ry",
+          when(col("__hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("__hd",
+          col("__hd") + lit(s * s) * (lit(3L) * col("__rx")).bitwiseXOR(col("__ry")))
+        .withColumn("__nx",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hy")).otherwise(col("__hy")))
+            .otherwise(col("__hx")))
+        .withColumn("__ny",
+          when(col("__ry") === 0,
+            when(col("__rx") === 1, lit(s - 1) - col("__hx")).otherwise(col("__hx")))
+            .otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+        .withColumn("__hy", col("__ny"))
+        .drop("__nx", "__ny", "__rx", "__ry")
+    }
+    cur.withColumn(outCol, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
+
+  /** Hilbert-cluster `df` on integer coords `(xCol, yCol)` (each in
+    * [0, 2^order)) into `numFiles` parquet files at `path` — one
+    * sampled range exchange on the address, no global sort.
+    */
+  def writeHilbertOrdered(df: DataFrame, path: String, numFiles: Int,
+                          xCol: Column, yCol: Column, order: Int): Unit =
+    withHilbertAddress(df, xCol, yCol, order)
+      .repartitionByRange(numFiles, col(HCol))
+      .sortWithinPartitions(col(HCol))
+      .drop(HCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** The SAME xy2d walk as DuckDB SQL — a chain of `order` CTE levels
+    * generated from the identical per-level formulas, so the oracle
+    * replays the address computation exactly (all-integer ⇒ bit-equal).
+    * `from` is a table name or subquery; `keepCols` are passed through
+    * every level; the final level exposes `hd` (plus `keepCols`).
+    */
+  def hilbertSqlCte(from: String, xSql: String, ySql: String, order: Int,
+                    keepCols: Seq[String]): String = {
+    val keep = keepCols.map(c => s"$c, ").mkString
+    val init =
+      s"h_init AS (SELECT $keep CAST(($xSql) AS BIGINT) AS hx, " +
+        s"CAST(($ySql) AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd FROM $from)"
+    val levels = ((order - 1) to 0 by -1).zipWithIndex.map { case (lvl, i) =>
+      val s = 1L << lvl
+      val prev = if (i == 0) "h_init" else s"h_lvl${i - 1}"
+      s"""h_lvl$i AS (
+         |  SELECT $keep
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hy ELSE hy END ELSE hx END AS hx,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - hx ELSE hx END ELSE hy END AS hy,
+         |    hd + ${s * s} * xor(3 * rx, ry) AS hd
+         |  FROM (SELECT *,
+         |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |    FROM $prev))""".stripMargin
+    }
+    (init +: levels).mkString("WITH ", ",\n", "")
+  }
+
+  /** Name of the final CTE level emitted by [[hilbertSqlCte]]. */
+  def hilbertFinalCte(order: Int): String = s"h_lvl${order - 1}"
+
   /** Parquet BLOOM FILTERS on write — the point-lookup data-skipping
     * lever min/max stats can't provide. Range clustering prunes RANGE
     * predicates, but an equality probe on a column the layout is NOT

@@ -414,6 +414,38 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_type")
   }
 
+  // K18 — HILBERT-curve layout (engine extra): the locality-tighter
+  // sibling of k10's Z-order. The curve walk is all-integer, so the
+  // oracle replays the exact same xy2d levels as a generated CTE chain
+  // (one Scala loop emits both sides) and the per-bucket profile of
+  // the address — including min/max, which would expose any
+  // single-cell divergence — must hash-match. Curve continuity and
+  // file-range locality are proven in LayoutSpec.
+  q("k18_hilbert_layout", {
+    val cte = graft.io.Layout.hilbertSqlCte(
+      "events", "user_id % 256", "event_id % 256", 8, Seq("value"))
+    s"""$cte
+      |SELECT CAST(floor(hd / 1024.0) AS BIGINT) AS bucket,
+      |  count(*) AS n, ${sqlR2("sum(value)")} AS sum_value,
+      |  min(hd) AS min_hd, max(hd) AS max_hd
+      |FROM ${graft.io.Layout.hilbertFinalCte(8)}
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+  }) { (s, dir) =>
+    val out = tmpDir("graft_hilbert")
+    graft.io.Layout.writeHilbertOrdered(
+      Tables.load(s, dir, "events"), out, numFiles = 8,
+      xCol = col("user_id") % 256, yCol = col("event_id") % 256, order = 8)
+    graft.io.Layout.withHilbertAddress(
+        s.read.parquet(out), col("user_id") % 256, col("event_id") % 256,
+        order = 8, outCol = "hd")
+      .withColumn("bucket", floor(col("hd") / 1024.0).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"),
+        min("hd").as("min_hd"), max("hd").as("max_hd"))
+      .orderBy("bucket")
+  }
+
   // K17 — parquet BLOOM FILTER layout (engine extra): the point-lookup
   // data-skipping lever min/max stats can't give an equality probe on
   // an unclustered high-cardinality column. Events are rewritten with

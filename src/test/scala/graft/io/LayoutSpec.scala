@@ -95,6 +95,46 @@ class LayoutSpec extends SparkSpec {
     assert(lo < hi)
   }
 
+  test("withHilbertAddress: bijective, CONTINUOUS (Manhattan-adjacent steps), locality beats Z") {
+    // full 32×32 grid at order 5
+    val grid = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val d = Layout.withHilbertAddress(grid, col("x"), col("y"), order = 5, outCol = "hd")
+      .select($"hd", $"x", $"y").as[(Long, Long, Long)].collect().sortBy(_._1)
+    // bijection onto [0, 1024)
+    assert(d.map(_._1).toSeq == (0L until 1024L))
+    // THE Hilbert property Z-order lacks: consecutive addresses are
+    // Manhattan-adjacent cells (the curve never teleports)
+    d.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1, s"jump at ($x1,$y1)→($x2,$y2)")
+    }
+    // known order-1 quadrant walk: (0,0)→(0,1)→(1,1)→(1,0)
+    val o1 = Layout.withHilbertAddress(
+        Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y"),
+        col("x"), col("y"), order = 1, outCol = "hd")
+      .select($"x", $"y", $"hd").as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => ((a, b), c) }.toMap
+    assert(o1 == Map((0L, 0L) -> 0L, (0L, 1L) -> 1L, (1L, 1L) -> 2L, (1L, 0L) -> 3L))
+  }
+
+  test("writeHilbertOrdered: both dimensions prune via compact per-file regions") {
+    val dir = Files.createTempDirectory("layout_h").toFile
+    val grid = scala.util.Random.shuffle(
+      (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y)).toList)
+      .toDF("x", "y")
+    val hPath = s"$dir/hilbert"
+    Layout.writeHilbertOrdered(grid, hPath, numFiles = 16,
+      xCol = col("x"), yCol = col("y"), order = 8)
+    // address column is layout-only; content preserved
+    assert(spark.read.parquet(hPath).columns.sorted.sameElements(Array("x", "y")))
+    assert(spark.read.parquet(hPath).count() == 256L * 256L)
+    // narrow slices in EITHER dimension skip most files (files cover
+    // compact curve segments ⇒ compact 2-D regions)
+    val hx = Layout.touchedFileFraction(spark, hPath, "x", lit(60L), lit(70L))
+    val hy = Layout.touchedFileFraction(spark, hPath, "y", lit(60L), lit(70L))
+    assert(hx <= 8.0 / 16.0, s"hilbert x fraction $hx")
+    assert(hy <= 8.0 / 16.0, s"hilbert y fraction $hy")
+  }
+
   test("writeWithBloom: every row group carries the bloom; plain write doesn't; reads agree") {
     val dir = Files.createTempDirectory("layout_bloom").toFile
     val df = (0L until 20000L).toDF("user_id")
