@@ -833,6 +833,33 @@ object TextQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Deterministic per-group bottom-k-by-hash sample as a MERGEABLE
+  // aggregate (graftx.BottomKByKey): each map task keeps ≤ k
+  // candidates per group and the shuffle carries only those — the
+  // row_number window form the oracle uses would exchange and sort
+  // every row at scale. md5-of-id keys make the "random" choice
+  // reproducible across engines; the id array flattens to CSV for the
+  // hash compare.
+  q("tx_bottomk_sample",
+    """WITH h AS (
+      |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+      |  FROM documents)
+      |SELECT source,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY hk) AS sample_ids
+      |FROM h WHERE rn <= 5
+      |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graftx.BottomKByKey.bottomK
+    Tables.load(s, dir, "documents")
+      .groupBy("source")
+      .agg(bottomK(md5(col("doc_id").cast("string").cast("binary")),
+        col("doc_id").cast("long"), 5).as("ids"))
+      .select(col("source"),
+        array_join(transform(col("ids"), _.cast("string")), ",").as("sample_ids"))
+      .orderBy("source")
+  }
+
   // Entity resolution end-to-end: fuzzy match (edit distance ≤ 1) →
   // duplicate clusters (connected components) → one golden record per
   // cluster (longest name, tie → lowest key). The classic
