@@ -872,6 +872,48 @@ object CoreQueries extends QueryPack {
       .orderBy("l_returnflag", "bucket")
   }
 
+  // ML outlier clamping — winsorized mean at discrete p05/p95. The
+  // thresholds are RANK-based (smallest value whose rank clears
+  // n/20 resp. 19n/20, integer arithmetic only) rather than
+  // interpolated quantiles: arbitrary fractions interpolate in
+  // floating point where engines can differ by an ulp, while discrete
+  // ranks give the same integer threshold everywhere. Clamping and
+  // the mean then run on integers (exact in double), one window pass
+  // + broadcast thresholds.
+  q("ml_winsorize",
+    s"""WITH r AS (
+      |  SELECT source, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT source,
+      |    min(CASE WHEN rn * 20 >= n THEN n_chars END) AS lo,
+      |    min(CASE WHEN rn * 20 >= n * 19 THEN n_chars END) AS hi
+      |  FROM r GROUP BY source)
+      |SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+      |  ${sqlR4("avg(least(greatest(d.n_chars, b.lo), b.hi))")} AS wins_mean,
+      |  CAST(sum(CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+      |FROM documents d JOIN b ON d.source = b.source
+      |GROUP BY d.source ORDER BY d.source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(s, dir, "documents")
+    val r = docs
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy("n_chars", "doc_id")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+    val b = r.groupBy("source").agg(
+      min(when(col("rn") * 20 >= col("n"), col("n_chars"))).as("lo"),
+      min(when(col("rn") * 20 >= col("n") * 19, col("n_chars"))).as("hi"))
+    docs.join(broadcast(b), "source")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        r4(avg(least(greatest(col("n_chars"), col("lo")), col("hi")))).as("wins_mean"),
+        sum(when(col("n_chars") < col("lo") || col("n_chars") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+      .orderBy("source")
+  }
+
   // W3b — distribution family: percent_rank/cume_dist/ntile. The
   // fractions are rank ratios (exact integer divisions), rounded 4dp
   // on both sides anyway per the cross-engine float rule.

@@ -1043,6 +1043,144 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // TS — M4 downsampling (min/max/first/last per pixel-bucket), the
+  // standard error-free time-series visualization reduction: within
+  // each (series, time-bucket) the four extreme points pin the
+  // rendered line exactly, collapsing any cardinality to 4 points per
+  // bucket. One hash aggregate — min_by/max_by carry values without
+  // arithmetic, so results are bit-exact. The orientation key
+  // (ts, event_id) is encoded as one zero-padded string so both
+  // engines break ties identically.
+  q("ts_m4_downsample",
+    """WITH e AS (
+      |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+      |    value,
+      |    lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0') ||
+      |      lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+      |  FROM events)
+      |SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n,
+      |  min(value) AS v_min, max(value) AS v_max,
+      |  arg_min(value, ok) AS v_first, arg_max(value, ok) AS v_last
+      |FROM e GROUP BY user_id, bucket
+      |ORDER BY user_id, bucket""".stripMargin) { (s, dir) =>
+    val ok = concat(
+      lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    Tables.load(s, dir, "events")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("bucket"),
+        col("value"), ok.as("ok"))
+      .groupBy("user_id", "bucket")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("v_min"), max("value").as("v_max"),
+        min_by(col("value"), col("ok")).as("v_first"),
+        max_by(col("value"), col("ok")).as("v_last"))
+      .orderBy("user_id", "bucket")
+  }
+
+  // TS — truncated EWMA (α = ½, 12 taps) per user series. The
+  // recursive s_t = αx_t + (1−α)s_{t−1} unrolls to Σ α(1−α)^k x_{t−k};
+  // truncating at 12 taps bounds the window frame (recursive window
+  // state doesn't exist in either engine) and renormalizing by the
+  // weights actually present handles series heads. α = ½ makes every
+  // weight a power of two — weight multiplication only scales the
+  // exponent, so the unrolled sum is deterministic; ONE Scala loop
+  // emits the identical term list on both sides.
+  q("ts_ewma", {
+    val terms = (0 until 12).map { k =>
+      val w = java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString
+      (s"coalesce(lag(value, $k) OVER w * $w, 0)",
+       s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $w ELSE 0 END")
+    }
+    s"""SELECT event_id, user_id,
+      |  ${sqlR4(s"(${terms.map(_._1).mkString(" + ")}) / (${terms.map(_._2).mkString(" + ")})")} AS ewma
+      |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+  }) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val taps = (0 until 12).map { k =>
+      val wt = java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString.toDouble
+      (coalesce(lag(col("value"), k).over(w) * lit(wt), lit(0.0)),
+       when(lag(col("value"), k).over(w).isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .select(col("event_id"), col("user_id"),
+        r4(taps.map(_._1).reduce(_ + _) / taps.map(_._2).reduce(_ + _)).as("ewma"))
+      .orderBy("event_id")
+  }
+
+  // Marketing attribution — first-touch AND last-touch channel for
+  // every purchase, from the same IGNORE-NULLS preceding-frame pattern
+  // ts_interpolate uses: touch events ride in structs, purchases read
+  // the frame's first/last without a self-join or per-user collect.
+  // Purchases with no preceding touch keep NULLs (cold-start rows are
+  // data, not errors).
+  q("at_attribution",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events),
+      |t AS (
+      |  SELECT *,
+      |    first_value(CASE WHEN event_type IN ('click', 'view')
+      |        THEN struct_pack(ch := event_type, id := event_id) END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+      |    last_value(CASE WHEN event_type IN ('click', 'view')
+      |        THEN struct_pack(ch := event_type, id := event_id) END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      |  FROM e)
+      |SELECT event_id, user_id,
+      |  ft.ch AS first_touch, ft.id AS first_touch_id,
+      |  lt.ch AS last_touch, lt.id AS last_touch_id
+      |FROM t WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("event_type").as("ch"), col("event_id").as("id")))
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ft.ch").as("first_touch"), col("ft.id").as("first_touch_id"),
+        col("lt.ch").as("last_touch"), col("lt.id").as("last_touch_id"))
+      .orderBy("event_id")
+  }
+
+  // SQL-defined scalar UDFs (Spark 4 `CREATE FUNCTION ... RETURN
+  // expr`) — the §2.10 surface where users extend the engine IN SQL:
+  // the body is inlined into the plan at analysis (still codegen'd,
+  // still optimizable — unlike an opaque JVM UDF), proven by nesting
+  // one UDF inside another. The oracle runs the bodies inlined by
+  // hand.
+  q("sql_scalar_udf",
+    s"""SELECT
+      |  CAST(CASE WHEN n_chars < 500 THEN 0 WHEN n_chars < 2000 THEN 1 ELSE 2 END AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  ${sqlR4("sum((CASE WHEN n_chars < 500 THEN 0 WHEN n_chars < 2000 THEN 1 ELSE 2 END) * (CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END))")} AS score
+      |FROM documents
+      |GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION len_bucket(n BIGINT)
+            |RETURNS BIGINT
+            |RETURN CASE WHEN n < 500 THEN 0 WHEN n < 2000 THEN 1 ELSE 2 END""".stripMargin)
+    s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION doc_score(n BIGINT, lang STRING)
+            |RETURNS DOUBLE
+            |RETURN len_bucket(n) * CASE WHEN lang = 'en' THEN 1.0 ELSE 0.5 END""".stripMargin)
+    s.sql(
+      s"""SELECT len_bucket(n_chars) AS bucket,
+        |  count(*) AS n,
+        |  ${sqlR4("sum(doc_score(n_chars, lang))")} AS score
+        |FROM documents
+        |GROUP BY 1 ORDER BY bucket""".stripMargin)
+  }
+
   // K15 — incremental aggregate maintenance (materialized-view delta
   // merge): a grouped count/sum "view" over the first 20 days is
   // updated by a CDC batch (late deletes of early error rows +
