@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media (image/audio/video) as opaque
@@ -26,6 +26,45 @@ object Multimodal {
     */
   def withPayload(docs: DataFrame): DataFrame =
     docs.withColumn("payload", encode(col("text"), "utf-8"))
+
+  /** Container-format magic numbers (file signatures): leading-byte
+    * hex prefix → MIME type. The real-world table is longer; these
+    * cover the test matrix.
+    */
+  val MagicTable: Seq[(String, String)] = Seq(
+    "89504E47" -> "image/png",   // \x89PNG
+    "FFD8FF"   -> "image/jpeg",
+    "47494638" -> "image/gif",   // GIF8
+    "25504446" -> "application/pdf", // %PDF
+    "52494646" -> "audio/wav")   // RIFF
+
+  /** MIME sniffing over an opaque binary column — magic-byte prefix
+    * match, entirely as codegen'd expressions (hex of the first 4
+    * bytes, then a CASE ladder): the media-lake triage step that must
+    * NOT read more than the header. Substring on binary keeps the
+    * projected bytes at 4 per row no matter the payload size.
+    */
+  def sniffMime(payload: Column): Column = {
+    val head = hex(substring(payload, 1, 4))
+    MagicTable.foldRight(lit("application/octet-stream")) {
+      case ((magic, mime), els) =>
+        when(substring(head, 1, magic.length) === magic, lit(mime)).otherwise(els)
+    }
+  }
+
+  /** Test/demo payloads with REAL magic headers: prepends the
+    * doc_id-selected signature bytes to the stub payload so the sniff
+    * path exercises true binary prefixes deterministically.
+    */
+  def withMagicPayload(docs: DataFrame): DataFrame = {
+    val magics = MagicTable.map(_._1)
+    val pick = magics.zipWithIndex.foldRight(unhex(lit(magics.last))) {
+      case ((m, i), els) =>
+        if (i == magics.size - 1) els
+        else when(col("doc_id") % magics.size === i, unhex(lit(m))).otherwise(els)
+    }
+    withPayload(docs).withColumn("payload", concat(pick, col("payload")))
+  }
 
   /** STUB: a real implementation would decode image bytes (e.g. via
     * javax.imageio / ffmpeg) inside the partition iterator. The stub

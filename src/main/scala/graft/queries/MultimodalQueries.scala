@@ -28,6 +28,33 @@ object MultimodalQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // MIME sniffing — magic-byte triage over opaque binary payloads
+  // (the first media-lake step: route by container format WITHOUT
+  // decoding). Payloads carry real signature bytes (PNG/JPEG/GIF/PDF/
+  // RIFF prepended per doc_id), the sniff reads a 4-byte hex prefix
+  // through a CASE ladder, all codegen'd. The oracle derives the
+  // expected routing from the deterministic construction.
+  q("mm_mime_sniff",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 5 AS INTEGER)
+      |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+      |      WHEN 2 THEN 'image/gif' WHEN 3 THEN 'application/pdf'
+      |      ELSE 'audio/wav' END AS mime,
+      |    CAST(octet_length(encode(text)) +
+      |      CASE WHEN doc_id % 5 = 1 THEN 3 ELSE 4 END AS BIGINT) AS n_bytes
+      |  FROM documents)
+      |SELECT mime, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes
+      |FROM m GROUP BY mime ORDER BY mime""".stripMargin) { (s, dir) =>
+    Multimodal.withMagicPayload(Tables.load(s, dir, "documents"))
+      .select(Multimodal.sniffMime(col("payload")).as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy("mime")
+      .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"))
+      .orderBy("mime")
+  }
+
   // Media near-dup end-to-end: payload → per-partition stub embedding
   // (byte-8-gram feature hashing — locality-sensitive like a real
   // encoder, so near-identical payloads land at cosine ≈1 while
