@@ -1111,6 +1111,45 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // TS — additive seasonal decomposition of the hourly traffic
+  // series: trend = centered 25-point moving average, seasonal =
+  // mean detrended value per hour-of-day, residual = remainder.
+  // The series is an AGGREGATED (tiny) table, so the unpartitioned
+  // ordered window is safe — the raw-event pass is the usual
+  // distributed groupBy; integer counts keep every sum exact before
+  // the final divisions.
+  q("ts_decompose",
+    s"""WITH hourly AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT h, n,
+      |    avg(CAST(n AS DOUBLE)) OVER (
+      |      ORDER BY h ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS trend,
+      |    CAST(EXTRACT(hour FROM h) AS INTEGER) AS hod
+      |  FROM hourly),
+      |sea AS (SELECT hod, avg(n - trend) AS seasonal FROM t GROUP BY hod)
+      |SELECT t.h, t.n, ${sqlR4("trend")} AS trend,
+      |  ${sqlR4("seasonal")} AS seasonal,
+      |  ${sqlR4("n - trend - seasonal")} AS resid
+      |FROM t JOIN sea USING (hod) ORDER BY h""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val t = hourly
+      .withColumn("trend", avg(col("n").cast("double"))
+        .over(Window.orderBy("h").rowsBetween(-12, 12)))
+      .withColumn("hod", hour(col("h")))
+    val sea = t.groupBy("hod").agg(avg(col("n") - col("trend")).as("seasonal"))
+    t.join(broadcast(sea), "hod")
+      .select(col("h"), col("n"), r4(col("trend")).as("trend"),
+        r4(col("seasonal")).as("seasonal"),
+        r4(col("n") - col("trend") - col("seasonal")).as("resid"))
+      .orderBy("h")
+  }
+
   // Marketing attribution — first-touch AND last-touch channel for
   // every purchase, from the same IGNORE-NULLS preceding-frame pattern
   // ts_interpolate uses: touch events ride in structs, purchases read

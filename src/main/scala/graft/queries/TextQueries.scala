@@ -254,6 +254,103 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Collocation mining — pointwise mutual information over corpus
+  // bigrams: PMI = ln(p(w1w2) / (p(w1)·p(w2))), the classic
+  // multi-word-expression detector. Counts roll up once (bigram table
+  // → unigram table); totals ride as 1-row broadcast scalars, never a
+  // driver collect. Output ordered by the pair, not the score, so
+  // ulp-level PMI differences can't reorder rows.
+  q("tx_pmi_collocations",
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |big AS (
+      |  SELECT x.doc_id, t.t[x.i] AS w1, t.t[x.i + 1] AS w2
+      |  FROM (SELECT doc_id, unnest(generate_series(1, n - 1)) AS i
+      |        FROM toks WHERE n >= 2) x
+      |  JOIN toks t USING (doc_id)),
+      |uni AS (
+      |  SELECT x.doc_id, t.t[x.i] AS w
+      |  FROM (SELECT doc_id, unnest(generate_series(1, n)) AS i FROM toks) x
+      |  JOIN toks t USING (doc_id)),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+      |c1 AS (SELECT w, count(*) AS c FROM uni GROUP BY 1),
+      |nb AS (SELECT count(*) AS nb FROM big),
+      |nu AS (SELECT count(*) AS nu FROM uni)
+      |SELECT w1, w2, CAST(c2 AS BIGINT) AS c_bigram,
+      |  ${sqlR4("ln((c2 / CAST(nb AS DOUBLE)) / ((a.c / CAST(nu AS DOUBLE)) * (b.c / CAST(nu AS DOUBLE))))")} AS pmi
+      |FROM c2 JOIN c1 a ON c2.w1 = a.w JOIN c1 b ON c2.w2 = b.w, nb, nu
+      |WHERE c2 >= 20
+      |ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+    val toks = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val big = toks.filter(col("n") >= 2)
+      .select(explode(expr("transform(sequence(1, n - 1), i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(col("t")).as("w"))
+    val c2 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val c1 = uni.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
+    val nb = c2.agg(sum("c2").as("nb"))
+    val nu = c1.agg(sum("c").as("nu"))
+    c2.filter(col("c2") >= 20)
+      .join(c1.withColumnRenamed("w", "w1").withColumnRenamed("c", "ca"), "w1")
+      .join(c1.withColumnRenamed("w", "w2").withColumnRenamed("c", "cb"), "w2")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nu))
+      .select(col("w1"), col("w2"), col("c2").as("c_bigram"),
+        r4(log((col("c2") / col("nb").cast("double")) /
+          ((col("ca") / col("nu").cast("double")) *
+           (col("cb") / col("nu").cast("double"))))).as("pmi"))
+      .orderBy("w1", "w2")
+  }
+
+  // Classifier threshold sweep — precision/recall/F1 at each cutoff
+  // over a deterministic score (noisy length proxy) and label, the
+  // model-evaluation step of a quality-gate pipeline. The threshold
+  // spine EXPLODES per row (no Cartesian plan node); counts are
+  // integers, ratios round 4dp.
+  q("ml_pr_curve",
+    s"""WITH d AS (
+      |  SELECT doc_id,
+      |    n_chars + (doc_id * 2654435761) % 101 AS score,
+      |    CASE WHEN n_chars > 250 THEN 1 ELSE 0 END AS label
+      |  FROM documents),
+      |s AS (
+      |  SELECT unnest([150, 250, 350, 450, 550]) AS thr),
+      |m AS (
+      |  SELECT thr,
+      |    sum(CASE WHEN score >= thr AND label = 1 THEN 1 ELSE 0 END) AS tp,
+      |    sum(CASE WHEN score >= thr AND label = 0 THEN 1 ELSE 0 END) AS fp,
+      |    sum(CASE WHEN score < thr AND label = 1 THEN 1 ELSE 0 END) AS fn
+      |  FROM d, s GROUP BY thr)
+      |SELECT CAST(thr AS BIGINT) AS thr, CAST(tp AS BIGINT) AS tp,
+      |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+      |  ${sqlR4("CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0 END")} AS precision_,
+      |  ${sqlR4("CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0 END")} AS recall_,
+      |  ${sqlR4("CASE WHEN 2 * tp + fp + fn > 0 THEN 2 * tp / CAST(2 * tp + fp + fn AS DOUBLE) ELSE 0 END")} AS f1
+      |FROM m ORDER BY thr""".stripMargin) { (s, dir) =>
+    val thr = typedLit(Seq(150L, 250L, 350L, 450L, 550L))
+    Tables.load(s, dir, "documents")
+      .select(
+        (col("n_chars") + (col("doc_id") * lit(2654435761L)) % 101L).as("score"),
+        when(col("n_chars") > 250, 1L).otherwise(0L).as("label"),
+        explode(thr).as("thr"))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("score") >= col("thr") && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr") && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr") && col("label") === 1, 1L).otherwise(0L)).as("fn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"),
+        r4(when(col("tp") + col("fp") > 0,
+          col("tp") / (col("tp") + col("fp")).cast("double")).otherwise(0.0)).as("precision_"),
+        r4(when(col("tp") + col("fn") > 0,
+          col("tp") / (col("tp") + col("fn")).cast("double")).otherwise(0.0)).as("recall_"),
+        r4(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+          lit(2) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .otherwise(0.0)).as("f1"))
+      .orderBy("thr")
+  }
+
   // Per-source document cap — the mixture-control curation step ("at
   // most k docs per domain") as a deterministic window: rank within
   // source by content hash (reproducible across runs/engines — no

@@ -121,6 +121,7 @@ class PlanShapeSpec extends SparkSpec {
     "ann_bruteforce_topk", // exact top-k baseline — oracle twin of ann_lsh_topk
     "ann_two_stage",       // rescore stage compares vs the brute-force baseline
     "fz_edit_pairs",       // short-string bucket brute-forced (q-gram bound vacuous there)
+    "fz_damerau_pairs",    // same short-string bucket, DL verify
     // IVF assignment is vectors × the k-row broadcast centroid table —
     // O(n·k) with k ≪ n bounded by construction; the BNLJ build side
     // is the centroid aggregate (grouped, so not scalar-detectable)
