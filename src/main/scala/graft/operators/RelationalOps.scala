@@ -344,4 +344,31 @@ object RelationalOps {
         floor(unix_timestamp(col(bLo)) / bucketSeconds).cast("long")))
       .drop("__bucket")
   }
+
+  /** 2-D Pareto front (skyline): rows NOT dominated under (minimize
+    * `minCol`, maximize `maxCol`). `a` dominates `b` iff
+    * `a.min ≤ b.min ∧ a.max ≥ b.max` with at least one strict — the
+    * naive form is an O(n²) NOT EXISTS anti-join; this computes the
+    * identical set with one small aggregate + two ordered passes:
+    * per `minCol` LEVEL keep the best `maxCol` (`__ms`), take the
+    * running max of `__ms` over STRICTLY lower levels (`__m1` —
+    * rows-frame over the level table, so ties in `minCol` stay out of
+    * their own frame), then a row survives iff no lower level reaches
+    * its `maxCol` (`__m1 < max`) and its own level doesn't strictly
+    * beat it (`__ms ≤ max`). All comparisons, no floating arithmetic.
+    *
+    * The ordered window runs over the LEVEL table (distinct objective
+    * values), not the data — bucket/round the objectives first if
+    * they're near-unique at scale.
+    */
+  def paretoFront2D(df: DataFrame, minCol: String, maxCol: String): DataFrame = {
+    val lvl = df.groupBy(minCol).agg(max(col(maxCol)).as("__ms"))
+      .withColumn("__m1", max(col("__ms")).over(
+        Window.orderBy(col(minCol))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    df.join(lvl, Seq(minCol))
+      .filter((col("__m1").isNull || col("__m1") < col(maxCol)) &&
+        col("__ms") <= col(maxCol))
+      .drop("__ms", "__m1")
+  }
 }

@@ -914,6 +914,28 @@ object CoreQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Pareto front (skyline) — non-dominated parts under (cheapest,
+  // largest): the multi-objective shortlist query. The oracle states
+  // the O(n²) NOT EXISTS definition; the engine computes the same set
+  // via level-aggregate + running max (RelationalOps.paretoFront2D) —
+  // one shuffle + a window over DISTINCT objective values only.
+  q("sk_pareto_front",
+    """SELECT b.p_partkey, b.p_retailprice, b.p_size
+      |FROM part b
+      |WHERE b.p_partkey < 5000 AND NOT EXISTS (
+      |  SELECT 1 FROM part a WHERE a.p_partkey < 5000
+      |    AND a.p_retailprice <= b.p_retailprice AND a.p_size >= b.p_size
+      |    AND (a.p_retailprice < b.p_retailprice OR a.p_size > b.p_size))
+      |ORDER BY b.p_partkey""".stripMargin) { (s, dir) =>
+    import graft.operators.RelationalOps
+    RelationalOps.paretoFront2D(
+        Tables.load(s, dir, "part").filter(col("p_partkey") < 5000)
+          .select("p_partkey", "p_retailprice", "p_size"),
+        "p_retailprice", "p_size")
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+  }
+
   // W3b — distribution family: percent_rank/cume_dist/ntile. The
   // fractions are rank ratios (exact integer divisions), rounded 4dp
   // on both sides anyway per the cross-engine float rule.

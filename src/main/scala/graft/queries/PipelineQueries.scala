@@ -1220,6 +1220,27 @@ object PipelineQueries extends QueryPack {
         |GROUP BY 1 ORDER BY bucket""".stripMargin)
   }
 
+  // SQL-defined TABLE function (Spark 4 `CREATE FUNCTION ... RETURNS
+  // TABLE`) — the §2.10 UDTF surface in pure SQL: a parameterized
+  // per-type event profile, invoked in FROM position. Like the scalar
+  // form the body inlines into the plan (the aggregate below it still
+  // gets partial aggregation); the oracle inlines it by hand.
+  q("sql_table_udf",
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  ${sqlR2("sum(value)")} AS sum_value
+      |FROM events WHERE value >= 100
+      |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""CREATE OR REPLACE TEMPORARY FUNCTION event_profile(min_value DOUBLE)
+        |RETURNS TABLE(event_type STRING, n BIGINT, sum_value DOUBLE)
+        |RETURN SELECT event_type, count(*) AS n,
+        |  ${sqlR2("sum(value)")} AS sum_value
+        |FROM events WHERE value >= min_value
+        |GROUP BY event_type""".stripMargin)
+    s.sql("SELECT * FROM event_profile(100) ORDER BY event_type")
+  }
+
   // K15 — incremental aggregate maintenance (materialized-view delta
   // merge): a grouped count/sum "view" over the first 20 days is
   // updated by a CDC batch (late deletes of early error rows +

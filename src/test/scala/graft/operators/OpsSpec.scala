@@ -576,4 +576,24 @@ class HaversineSpec extends graft.SparkSpec {
     assert(got.sorted == want.sorted) // multiset equality: no dups, no misses
     assert(got.contains((999L, 888L)), "the antimeridian pair must be found")
   }
+
+  test("paretoFront2D == naive NOT EXISTS dominance, ties and duplicates included") {
+    // adversarial grid: duplicate (min,max) pairs, min-ties with
+    // different max, a strictly dominated diagonal
+    val rows = (for (i <- 1 to 40) yield
+      (i.toLong, (i * 17 % 13).toDouble, (i * 31 % 11).toLong)) ++
+      Seq((100L, 3.0, 9L), (101L, 3.0, 9L)) // exact duplicates survive together
+    val df = rows.toDF("id", "cost", "size")
+    val got = graft.operators.RelationalOps.paretoFront2D(df, "cost", "size")
+      .select("id").as[Long].collect().toSet
+    val all = rows
+    val want = all.filter { case (_, cb, sb) =>
+      !all.exists { case (_, ca, sa) =>
+        ca <= cb && sa >= sb && (ca < cb || sa > sb)
+      }
+    }.map(_._1).toSet
+    assert(got == want)
+    assert(got.contains(100L) && got.contains(101L) ||
+      !want.contains(100L), "duplicate handling must match naive semantics")
+  }
 }
