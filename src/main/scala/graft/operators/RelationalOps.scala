@@ -129,6 +129,61 @@ object RelationalOps {
       .select(leftCols.map(col) ++ payload.map(p => col("__c").getField(p).as(p)): _*)
   }
 
+  /** NEAREST-asof join — [[asofJoin]]'s bidirectional sibling: each
+    * left row takes the right row whose time is CLOSEST in either
+    * direction (backward = latest `rightTime ≤ leftTime`, forward =
+    * earliest `rightTime > leftTime`; the nearer wins, exact tie →
+    * backward). Same union-window mechanics: one shuffle on the key,
+    * two frames over one sort, payloads travel atomically in structs
+    * with the right timestamp riding along for the distance compare.
+    * No self-join, no range explosion — the sensor-alignment join
+    * ("match each reading to the closest calibration") at
+    * O(n log n / partition).
+    */
+  def nearestAsofJoin(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTime: String, rightTime: String,
+                      rightSeq: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType, TimestampType}
+    val leftCols = left.columns.toSeq
+    val payloadType = StructType(
+      StructField("__rt", TimestampType) +:
+        payload.map(p => StructField(p, right.schema(p).dataType)))
+    val l = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime).cast("timestamp"))
+      .withColumn("__tag", lit(1)).withColumn("__seq", lit(Long.MaxValue))
+      .withColumn("__p", lit(null).cast(payloadType))
+    val r = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime).cast("timestamp"))
+      .withColumn("__tag", lit(0)).withColumn("__seq", col(rightSeq).cast("long"))
+      .withColumn("__p", struct(
+        col(rightTime).cast("timestamp").as("__rt") +: payload.map(col): _*))
+    val cols = Seq("__k", "__t", "__tag", "__seq", "__p")
+    val lSel = l.select((cols ++ leftCols).map(col): _*)
+    val rSel = r.select(cols.map(col) ++ leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val unioned = lSel.union(rSel)
+    // right rows at the same instant sort BEFORE left (__tag 0 < 1):
+    // the backward frame (incl. current) sees rightTime ≤ leftTime,
+    // the forward frame (after current) sees strictly later rows only
+    val ord = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__tag").asc, col("__seq").asc)
+    val back = last(col("__p"), ignoreNulls = true)
+      .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fwd = first(col("__p"), ignoreNulls = true)
+      .over(ord.rowsBetween(1, Window.unboundedFollowing))
+    val withBoth = unioned
+      .withColumn("__b", back).withColumn("__f", fwd)
+      .filter(col("__tag") === 1)
+    val dB = unix_micros(col("__t")) - unix_micros(col("__b.__rt"))
+    val dF = unix_micros(col("__f.__rt")) - unix_micros(col("__t"))
+    val chosen = when(col("__b").isNull, col("__f"))
+      .when(col("__f").isNull, col("__b"))
+      .when(dF < dB, col("__f"))
+      .otherwise(col("__b")) // tie → backward
+    withBoth.withColumn("__c", chosen)
+      .select(leftCols.map(col) ++ payload.map(p => col("__c").getField(p).as(p)): _*)
+  }
+
   /** Skew-safe two-phase aggregation: spread each hot key over
     * `salts` partial groups (map-side combine already bounds this,
     * but for HIGH-cardinality aggregation states — collect_set,

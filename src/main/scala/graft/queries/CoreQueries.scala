@@ -1155,6 +1155,50 @@ object CoreQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // J14 — NEAREST-asof join (closest in EITHER direction, tie →
+  // backward): j5's bidirectional sibling, the sensor-alignment shape.
+  // Same union+window mechanics (one shuffle, two frames over one
+  // sort); the oracle states the semantics as four correlated scalar
+  // subqueries + a distance CASE, all integer epoch arithmetic.
+  q("j14_nearest_asof",
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |c AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT o_orderkey FROM orders
+      |     WHERE o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) <= e.ts
+      |     ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS bk,
+      |    (SELECT CAST(o_orderdate AS TIMESTAMP) FROM orders
+      |     WHERE o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) <= e.ts
+      |     ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS bt,
+      |    (SELECT o_orderkey FROM orders
+      |     WHERE o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) > e.ts
+      |     ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) AS fk,
+      |    (SELECT CAST(o_orderdate AS TIMESTAMP) FROM orders
+      |     WHERE o_custkey = e.user_id AND CAST(o_orderdate AS TIMESTAMP) > e.ts
+      |     ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 1) AS ft
+      |  FROM e)
+      |SELECT event_id, user_id,
+      |  CASE WHEN bk IS NULL THEN fk WHEN fk IS NULL THEN bk
+      |       WHEN (epoch_us(ft) - epoch_us(ts)) < (epoch_us(ts) - epoch_us(bt))
+      |       THEN fk ELSE bk END AS nearest_orderkey,
+      |  CASE WHEN bk IS NULL THEN ft WHEN fk IS NULL THEN bt
+      |       WHEN (epoch_us(ft) - epoch_us(ts)) < (epoch_us(ts) - epoch_us(bt))
+      |       THEN ft ELSE bt END AS nearest_orderdate
+      |FROM c ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("nearest_orderkey", col("o_orderkey"))
+      .withColumn("nearest_orderdate", col("o_orderdate").cast("timestamp"))
+    RelationalOps.nearestAsofJoin(ev, orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate", rightSeq = "o_orderkey",
+        payload = Seq("nearest_orderkey", "nearest_orderdate"))
+      .select("event_id", "user_id", "nearest_orderkey", "nearest_orderdate")
+      .orderBy("event_id")
+  }
+
   // J6 — six-table star join (the TPC-H Q5 shape): lineitem→orders→
   // customer shuffle-join on keys, supplier/nation/region BROADCAST
   // (dims stay small at any fact scale), date filter pushed into the

@@ -1150,6 +1150,57 @@ object PipelineQueries extends QueryPack {
       .orderBy("h")
   }
 
+  // TS — autocorrelation of the hourly traffic series at lags 1..4
+  // (the seasonality detector feeding ts_decompose's period choice):
+  // lagged copies via one ordered window over the tiny aggregated
+  // series, then corr per lag — corr skips null pairs identically in
+  // both engines, so the k leading rows fall out of lag k on both
+  // sides.
+  q("ts_autocorr",
+    s"""WITH hourly AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+      |    CAST(count(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1),
+      |l AS (
+      |  SELECT n,
+      |    lag(n, 1) OVER (ORDER BY h) AS n1, lag(n, 2) OVER (ORDER BY h) AS n2,
+      |    lag(n, 3) OVER (ORDER BY h) AS n3, lag(n, 4) OVER (ORDER BY h) AS n4
+      |  FROM hourly)
+      |SELECT ${sqlR4("corr(n, n1)")} AS ac1, ${sqlR4("corr(n, n2)")} AS ac2,
+      |  ${sqlR4("corr(n, n3)")} AS ac3, ${sqlR4("corr(n, n4)")} AS ac4
+      |FROM l""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("h")
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    hourly
+      .select(col("n") +: (1 to 4).map(k => lag(col("n"), k).over(w).as(s"n$k")): _*)
+      .agg(r4(corr(col("n"), col("n1"))).as("ac1"),
+        r4(corr(col("n"), col("n2"))).as("ac2"),
+        r4(corr(col("n"), col("n3"))).as("ac3"),
+        r4(corr(col("n"), col("n4"))).as("ac4"))
+  }
+
+  // A19 — bitmap aggregation: each user's active hours-of-day packed
+  // into one BIGINT via bit_or(1 << hour) — the bitmap-index pattern
+  // (set semantics in 8 bytes, mergeable by OR, popcount for
+  // cardinality; at 100 TB this replaces a count-distinct shuffle with
+  // a constant-size commutative aggregate).
+  q("a19_hour_bitmap",
+    """SELECT user_id,
+      |  CAST(bit_or(1 << CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER)) AS BIGINT) AS hours_bitmap,
+      |  CAST(bit_count(bit_or(1 << CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER))) AS BIGINT) AS n_active_hours
+      |FROM events
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "events")
+      .groupBy("user_id")
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), hour(ts)))").as("hours_bitmap"))
+      .select(col("user_id"), col("hours_bitmap"),
+        expr("bit_count(hours_bitmap)").cast("long").as("n_active_hours"))
+      .orderBy("user_id")
+  }
+
   // Marketing attribution — first-touch AND last-touch channel for
   // every purchase, from the same IGNORE-NULLS preceding-frame pattern
   // ts_interpolate uses: touch events ride in structs, purchases read

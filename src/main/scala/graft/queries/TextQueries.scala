@@ -351,6 +351,37 @@ object TextQueries extends QueryPack {
       .orderBy("thr")
   }
 
+  // Readability scoring — Flesch reading ease from regex-countable
+  // proxies (non-space runs = words, [.!?] = sentence ends, vowel
+  // runs = syllables; the heuristic is standard for corpus-scale
+  // gating where a real syllabifier is too slow). One codegen'd
+  // projection; the three regexes mean the same thing in Java and RE2
+  // dialects, so counts match exactly.
+  q("tx_readability",
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(text, '\\S+')) AS words,
+      |    greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS sentences,
+      |    greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS syllables
+      |  FROM documents)
+      |SELECT doc_id, CAST(words AS BIGINT) AS words,
+      |  CAST(sentences AS BIGINT) AS sentences,
+      |  CAST(syllables AS BIGINT) AS syllables,
+      |  ${sqlR4("206.835 - 1.015 * (words / CAST(sentences AS DOUBLE)) - 84.6 * (syllables / CAST(words AS DOUBLE))")} AS flesch
+      |FROM m WHERE words > 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).cast("long").as("words"),
+        greatest(lit(1L), size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0))).cast("long")).as("sentences"),
+        greatest(lit(1L), size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")).as("syllables"))
+      .filter(col("words") > 0)
+      .select(col("doc_id"), col("words"), col("sentences"), col("syllables"),
+        r4(lit(206.835) - lit(1.015) * (col("words") / col("sentences").cast("double")) -
+          lit(84.6) * (col("syllables") / col("words").cast("double"))).as("flesch"))
+      .orderBy("doc_id")
+  }
+
   // Per-source document cap — the mixture-control curation step ("at
   // most k docs per domain") as a deterministic window: rank within
   // source by content hash (reproducible across runs/engines — no

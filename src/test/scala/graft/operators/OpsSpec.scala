@@ -409,6 +409,28 @@ class AsofJoinSpec extends graft.SparkSpec {
     // per-column last(ignoreNulls) would wrongly return ("old_a", 2.5)
     assert(out == (None, Some(2.5)))
   }
+
+  test("nearestAsofJoin: closer side wins, exact tie goes backward, one-sided rows covered") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:30:00")), // back 10:00 (30m) vs fwd 12:00 (90m) → back
+      (2L, 10L, ts("2024-01-01 11:45:00")), // back 10:00 (105m) vs fwd 12:00 (15m) → fwd
+      (3L, 10L, ts("2024-01-01 11:00:00")), // exact tie 60m/60m → backward
+      (4L, 10L, ts("2024-01-01 08:00:00")), // only forward exists
+      (5L, 10L, ts("2024-01-01 13:00:00")), // only backward exists
+      (6L, 99L, ts("2024-01-01 13:00:00"))  // key with no right rows at all
+    ).toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-01 10:00:00"), 1L, "early"),
+      (10L, ts("2024-01-01 12:00:00"), 2L, "late")
+    ).toDF("k2", "t2", "seq", "payload")
+    val out = RelationalOps.nearestAsofJoin(left, right,
+      leftKey = "k", rightKey = "k2", leftTime = "t", rightTime = "t2",
+      rightSeq = "seq", payload = Seq("payload"))
+      .orderBy("event_id").select("event_id", "payload").as[(Long, Option[String])]
+    assert(out.collect().toSeq == Seq(
+      (1L, Some("early")), (2L, Some("late")), (3L, Some("early")),
+      (4L, Some("early")), (5L, Some("late")), (6L, None)))
+  }
 }
 
 class ConnectedComponentsSpec extends graft.SparkSpec {
