@@ -1292,6 +1292,75 @@ object PipelineQueries extends QueryPack {
     s.sql("SELECT * FROM event_profile(100) ORDER BY event_type")
   }
 
+  // SQL PIVOT syntax surface (a1_pivot does the same reshape through
+  // the DataFrame API / conditional aggregation — this is the SQL
+  // spelling users port from warehouses). Spark plans it as the same
+  // single-shuffle pivot aggregate; the oracle states the CASE WHEN
+  // desugaring.
+  q("sql_pivot",
+    s"""SELECT user_id % 10 AS cohort,
+      |  ${sqlR2("sum(CASE WHEN event_type = 'click' THEN value END)")} AS clicks,
+      |  ${sqlR2("sum(CASE WHEN event_type = 'view' THEN value END)")} AS views,
+      |  ${sqlR2("sum(CASE WHEN event_type = 'purchase' THEN value END)")} AS purchases
+      |FROM events
+      |GROUP BY 1 ORDER BY cohort""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    s.sql(
+      s"""SELECT cohort, ${sqlR2("clicks")} AS clicks, ${sqlR2("views")} AS views,
+        |  ${sqlR2("purchases")} AS purchases
+        |FROM (SELECT user_id % 10 AS cohort, event_type, value FROM events)
+        |PIVOT (sum(value) FOR event_type
+        |       IN ('click' AS clicks, 'view' AS views, 'purchase' AS purchases))
+        |ORDER BY cohort""".stripMargin)
+  }
+
+  // ANSI error-safe functions (TRY_CAST / try_divide): the
+  // dirty-input contract — malformed values become NULL instead of
+  // failing the job, division by zero likewise. A third of the cast
+  // inputs are genuinely numeric, so both the success and failure
+  // paths are exercised; DuckDB states try_divide as its CASE
+  // desugaring.
+  q("f21_try_funcs",
+    """SELECT doc_id,
+      |  TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS VARCHAR)
+      |                ELSE text END AS INTEGER) AS parsed,
+      |  CASE WHEN doc_id % 5 = 0 THEN NULL
+      |       ELSE CAST(n_chars AS DOUBLE) / (doc_id % 5) END AS ratio
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("TRY_CAST(CASE WHEN doc_id % 3 = 0 THEN CAST(n_chars AS STRING) ELSE text END AS INT)").as("parsed"),
+        expr("try_divide(CAST(n_chars AS DOUBLE), doc_id % 5)").as("ratio"))
+      .orderBy("doc_id")
+  }
+
+  // DQ — Benford's-law screen on order totals: leading-digit shares
+  // vs log10(1 + 1/d), the classic fabricated-numbers detector.
+  // Digits come from integer string prefixes (no float log for the
+  // digit itself); shares and expectations round 4dp.
+  q("dq_benford",
+    s"""WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+      |t AS (SELECT sum(n) AS total FROM c)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  ${sqlR4("n / CAST(total AS DOUBLE)")} AS share,
+      |  ${sqlR4("log10(1 + 1.0 / digit)")} AS benford
+      |FROM c, t ORDER BY digit""".stripMargin) { (s, dir) =>
+    val c = Tables.load(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val t = c.agg(sum("n").as("total"))
+    c.crossJoin(broadcast(t))
+      .select(col("digit"), col("n"),
+        r4(col("n") / col("total").cast("double")).as("share"),
+        r4(log10(lit(1) + lit(1.0) / col("digit"))).as("benford"))
+      .orderBy("digit")
+  }
+
   // K15 — incremental aggregate maintenance (materialized-view delta
   // merge): a grouped count/sum "view" over the first 20 days is
   // updated by a CDC batch (late deletes of early error rows +
