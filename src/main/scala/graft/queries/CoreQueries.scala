@@ -914,6 +914,39 @@ object CoreQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // Calendar date spine — generate the gap-free reporting axis
+  // (sequence + explode; no table drives it) and left-join the fact
+  // side so zero-activity days exist as real rows: the dashboard
+  // anti-gap pattern. ISO day-of-week from weekday arithmetic
+  // (Spark's dayofweek is Sunday-based — weekday()+1 matches
+  // DuckDB's isodow).
+  q("f22_date_spine",
+    """WITH spine AS (
+      |  SELECT CAST(unnest(generate_series(DATE '1996-01-01',
+      |    DATE '1996-03-31', INTERVAL 1 DAY)) AS DATE) AS d),
+      |o AS (
+      |  SELECT o_orderdate AS d, count(*) AS n
+      |  FROM orders
+      |  WHERE o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1996-03-31'
+      |  GROUP BY 1)
+      |SELECT s.d, CAST(EXTRACT(isodow FROM s.d) AS BIGINT) AS dow,
+      |  CAST(CASE WHEN EXTRACT(isodow FROM s.d) >= 6 THEN 1 ELSE 0 END AS BIGINT) AS is_weekend,
+      |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+      |FROM spine s LEFT JOIN o ON s.d = o.d
+      |ORDER BY s.d""".stripMargin) { (s, dir) =>
+    val spine = s.range(1)
+      .select(explode(expr(
+        "sequence(DATE '1996-01-01', DATE '1996-03-31', interval 1 day)")).as("d"))
+    val o = Tables.load(s, dir, "orders")
+      .filter(col("o_orderdate").between("1996-01-01", "1996-03-31"))
+      .groupBy(col("o_orderdate").as("d")).agg(count(lit(1)).as("n"))
+    spine.join(o, Seq("d"), "left")
+      .select(col("d"), (weekday(col("d")) + 1).cast("long").as("dow"),
+        when(weekday(col("d")) + 1 >= 6, 1L).otherwise(0L).as("is_weekend"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("d")
+  }
+
   // Pareto front (skyline) — non-dominated parts under (cheapest,
   // largest): the multi-objective shortlist query. The oracle states
   // the O(n²) NOT EXISTS definition; the engine computes the same set

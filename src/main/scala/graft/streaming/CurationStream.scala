@@ -101,6 +101,28 @@ object CurationStream {
         }: _*)
   }
 
+  /** Windowed streaming SAMPLE via the mergeable bottom-k-by-hash
+    * aggregate ([[org.apache.spark.sql.graftx.BottomKByKey]]): per
+    * (window, key) a deterministic uniform sample of `k` row ids with
+    * BOUNDED state — the store holds ≤ k (hash, id) pairs per open
+    * group regardless of stream volume, merged across micro-batches
+    * by the aggregate's own merge path. Because bottom-k-by-hash is
+    * order-insensitive, a window's emitted sample doesn't depend on
+    * how the batches sliced the stream — replay-stable, and equal to
+    * what the batch query would have picked over the same window.
+    */
+  def windowedSample(stream: DataFrame, keyCol: String, idCol: String,
+                     eventTimeCol: String, k: Int, windowDur: String,
+                     delay: String): DataFrame = {
+    import org.apache.spark.sql.graftx.BottomKByKey.bottomK
+    stream.withWatermark(eventTimeCol, delay)
+      .groupBy(window(col(eventTimeCol), windowDur).as("win"), col(keyCol))
+      .agg(bottomK(md5(col(idCol).cast("string").cast("binary")),
+        col(idCol).cast("long"), k).as("sample_ids"))
+      .select(col("win.start").as("window_start"), col(keyCol),
+        col("sample_ids"))
+  }
+
   /** Population stability index between two bucket histograms
     * (`(bucket, n)` rows, as [[bucketHistogram]] emits per window):
     * Laplace-smoothed shares over the full generated spine, one
