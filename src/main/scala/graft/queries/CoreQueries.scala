@@ -914,6 +914,83 @@ object CoreQueries extends QueryPack {
       .orderBy("source")
   }
 
+  // RFM customer segmentation — recency/frequency/monetary quintiles
+  // (ntile over total orders per metric) composed into the classic
+  // 555-style segment code: the marketing-analytics workhorse. Every
+  // ntile ordering ends in the customer key, so quintile boundaries
+  // are deterministic; recency ranks by the LATEST order date.
+  // Monetary ranks on exact-summable cents (2-decimal prices scaled
+  // by 100 into BIGINT) so the rank order itself can't wobble.
+  q("cx_rfm",
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |    max(o_orderdate) AS last_order,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_c
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT o_custkey, last_order, freq, monetary_c,
+      |    ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_q,
+      |    ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+      |    ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_q
+      |  FROM c)
+      |SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(min(o_custkey) AS BIGINT) AS sample_custkey
+      |FROM r GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.load(s, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("monetary_c"))
+    val r = c
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("last_order").desc, col("o_custkey"))))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("freq").desc, col("o_custkey"))))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("monetary_c").desc, col("o_custkey"))))
+    r.select((col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("long").as("segment"),
+        col("o_custkey"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"), min("o_custkey").as("sample_custkey"))
+      .orderBy("segment")
+  }
+
+  // Weighted median — the 50%-of-total-weight point (discrete form:
+  // first value whose running weight clears half the total), e.g.
+  // "the price at which half the shipped QUANTITY sits below".
+  // Integer weights keep the running and total sums exact, so the
+  // crossing row is engine-independent; one window pass + a min per
+  // group, no sort beyond the window's.
+  q("a20_weighted_median",
+    """WITH r AS (
+      |  SELECT l_returnflag, l_extendedprice, l_quantity,
+      |    sum(CAST(l_quantity AS BIGINT)) OVER (
+      |      PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    sum(CAST(l_quantity AS BIGINT)) OVER (
+      |      PARTITION BY l_returnflag) AS tw
+      |  FROM lineitem)
+      |SELECT l_returnflag, min(l_extendedprice) AS w_median_price
+      |FROM r WHERE cw * 2 >= tw
+      |GROUP BY 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy("l_returnflag")
+    val w = part.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        sum(col("l_quantity").cast("long")).over(w).as("cw"),
+        sum(col("l_quantity").cast("long")).over(part).as("tw"))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("w_median_price"))
+      .orderBy("l_returnflag")
+  }
+
   // Calendar date spine — generate the gap-free reporting axis
   // (sequence + explode; no table drives it) and left-join the fact
   // side so zero-activity days exist as real rows: the dashboard
