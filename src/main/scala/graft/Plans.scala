@@ -60,7 +60,14 @@ object Plans {
     "sql_recursive_cte",   // WITH RECURSIVE: engine-iterated frontier joins, no driver loop
     "a11_tdigest_rollup",  // per-shard digest agg, union agg over sketch bytes only
     "j12_point_in_polygon", // broadcast cell+edge dims, cross-product verify as agg
-    "k17_parquet_bloom")   // point-lookup scan over the bloom-written layout
+    "k17_parquet_bloom",   // point-lookup scan over the bloom-written layout
+    "fz_damerau_pairs",    // q-gram candidates (q+1 bound) + native DL verify on candidates only
+    "fz_jaro_winkler",     // first-char blocking equi-join, codegen'd JW on block pairs
+    "k18_hilbert_layout",  // chained integer projections, range exchange on the address
+    "tx_bottomk_sample",   // partial bottom-k heaps: shuffle carries k rows per group
+    "j14_nearest_asof",    // union + ONE sort: two frames, no self-join, no range explosion
+    "sk_pareto_front",     // level aggregate + running max, window over distinct levels only
+    "ts_m4_downsample")    // single hash aggregate: min/max/min_by/max_by in one pass
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
