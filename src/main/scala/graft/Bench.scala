@@ -37,21 +37,32 @@ object Bench {
     // untimed warmup: JVM + shuffle machinery
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      try materialize(name, sfDir) catch { case _: Throwable => } // codegen warm
-      val timed = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try materialize(name, sfDir)
-        catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+    // A throwing query must NOT contribute a time — r5 recorded 81
+    // times-to-throw as "speedups". Failures are collected, reported
+    // in both JSON lines, and force a nonzero exit code.
+    val failures = scala.collection.mutable.SortedMap[String, String]()
+    val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try {
+        materialize(name, sfDir) // codegen warm; a genuinely broken query throws here
+        val timed = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          materialize(name, sfDir)
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(name -> timed.min)
+      } catch { case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg
+        System.err.println(s"[bench] $name FAILED: $msg")
+        None
       }
-      name -> timed.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Full per-query detail (for humans reading the run log).
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failures.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     // The driver keeps only the last ~2000 chars of stdout; a 115-query
     // map blows past that window and truncates the JSON mid-line (the
     // exact failure in BENCH_r02/r03: "parsed": null). The FINAL line is
@@ -73,7 +84,12 @@ object Bench {
     def r3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val hs = headline.flatMap(n => byName.get(n).map(v => "\"" + n + "\":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$hs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"queries":$hs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

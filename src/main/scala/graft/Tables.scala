@@ -2,28 +2,47 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided synthetic tables
   * (`/root/testdata/sf*`, see TESTDATA.md). Parquet carries its own
   * schema; no inference hazards (SURVEY §1.3).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * vectorized reader rejects outright. We read it via the
-  * nanos-as-long escape hatch and convert to microsecond TimestampType
-  * with exact integer division (a double roundtrip would corrupt
-  * epoch-nanos > 2^53) — the same truncation DuckDB applies when
-  * casting TIMESTAMP_NS to TIMESTAMP.
+  * `events.ts` has been written by the driver in different parquet
+  * physical types across testdata generations — TIMESTAMP(NANOS)
+  * (which Spark's reader only accepts via the nanos-as-long legacy
+  * conf) and plain timestamp[us] (which Spark reads as
+  * TIMESTAMP_NTZ). We therefore branch on the ACTUAL read schema
+  * rather than assuming one encoding:
+  *   - LongType (nanos-as-long): exact integer `DIV 1000` to micros
+  *     (a double roundtrip would corrupt epoch-nanos > 2^53) — the
+  *     same truncation DuckDB applies casting TIMESTAMP_NS→TIMESTAMP.
+  *   - TimestampNTZType: cast to session-TZ TimestampType (sessions
+  *     run UTC, so the wall clock is preserved and matches DuckDB).
+  *   - TimestampType: already what we want; pass through.
+  * Reference semantic: timestamp cast normalization on ingest
+  * (reference glue_jobs/process_openaq_raw.py:118-121).
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Normalize whatever physical encoding `ts` arrived in to
+    * microsecond TimestampType. Shared by batch loads and the
+    * streaming specs (same parquet, same hazard).
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

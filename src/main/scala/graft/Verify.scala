@@ -34,6 +34,13 @@ object Verify {
 
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // A failed query must be LOUD: write an _ERROR sentinel into its
+    // output dir (so the driver's parquet read fails → it records
+    // `err` instead of silently omitting the row) and make the whole
+    // run exit nonzero. Round 5 proved the alternative: 81 throwing
+    // queries vanished from CORRECTNESS_r05 and the scoreboard looked
+    // all-green while the engine was broken.
+    val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val runs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -41,7 +48,12 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          failed.put(name, msg)
+          System.err.println(s"[verify] $name FAILED: $msg")
+          val d = new java.io.File(s"$outDir/$name")
+          d.mkdirs()
+          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
         }
       }
     }
@@ -65,5 +77,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (!failed.isEmpty) {
+      import scala.jdk.CollectionConverters._
+      System.err.println(
+        s"[verify] ${failed.size} queries FAILED: ${failed.keySet.asScala.toSeq.sorted.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

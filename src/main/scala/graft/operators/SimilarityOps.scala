@@ -104,20 +104,48 @@ object SimilarityOps {
       .withColumnRenamed("col", "band_val")
   }
 
+  /** bits/band for a target expected bucket occupancy: buckets must
+    * GROW with the corpus (2^bits ≈ n / targetBucket) or E[bucket]
+    * grows linearly in n and candidate generation degenerates to
+    * worse-than-brute-force — and any absolute bucket cap eventually
+    * drops EVERY bucket (recall → 0 at the 100× scale-up). Clamped to
+    * [minBits, maxBits]; callers needing high recall at low cosine
+    * should raise `bands` as bits rise (per-table collision
+    * probability is p^bits).
+    */
+  def autoBitsPerBand(n: Long, targetBucket: Int = 32,
+                      minBits: Int = 5, maxBits: Int = 24): Int =
+    math.max(minBits, math.min(maxBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+        / math.log(2.0)).toInt))
+
   /** Drop over-full LSH buckets (skew guard): a bucket with f members
     * yields f² candidate rows, and a degenerate region of the sphere
     * (e.g. near-zero vectors) can capture a large corpus fraction.
-    * Production default ON; capped buckets lose only candidates that
-    * the remaining `bands − 1` tables can still recover.
+    *
+    * Two cap modes. `maxBucket` (absolute) is for callers that know
+    * their geometry; the DEFAULT is `capQuantile` — drop only buckets
+    * above that quantile of the observed bucket-size distribution
+    * (never below a floor of 256). A quantile adapts to corpus
+    * growth; the old absolute default of 1000 silently dropped EVERY
+    * bucket once n/2^bits crossed it — the r5-flagged 100× recall
+    * collapse. The quantile runs over the bucket-STATS frame
+    * (≤ bands·2^bits rows — microscopic next to the corpus); the
+    * build-time action is the same defensible pre-query
+    * materialization as the bloom-filter build in DedupOps.
     */
-  private def capBuckets(banded: DataFrame, maxBucket: Option[Int]): DataFrame =
-    maxBucket match {
-      case Some(cap) =>
-        val ok = banded.groupBy("band", "band_val").count()
-          .filter(col("count") <= cap).select("band", "band_val")
-        banded.join(ok, Seq("band", "band_val"))
-      case None => banded
+  private def capBuckets(banded: DataFrame, maxBucket: Option[Int],
+                         capQuantile: Option[Double]): DataFrame = {
+    if (maxBucket.isEmpty && capQuantile.isEmpty) return banded
+    val counts = banded.groupBy("band", "band_val").count()
+    val cap: Long = maxBucket.map(_.toLong).getOrElse {
+      math.max(256L, counts.stat
+        .approxQuantile("count", Array(capQuantile.get), 0.001)
+        .headOption.map(_.toLong).getOrElse(Long.MaxValue))
     }
+    banded.join(counts.filter(col("count") <= cap).select("band", "band_val"),
+      Seq("band", "band_val"))
+  }
 
   /** Radius-1 multiprobe expansion: each row additionally carries the
     * `bitsPerBand` single-bit-flip neighbors of its bucket value in
@@ -146,11 +174,17 @@ object SimilarityOps {
   def embeddingLshPairs(vectors: DataFrame, idCol: String, vecCol: String,
                         dim: Int, bands: Int, bitsPerBand: Int,
                         minSim: Double,
-                        maxBucket: Option[Int] = Some(1000),
+                        maxBucket: Option[Int] = None,
+                        capQuantile: Option[Double] = Some(0.999),
                         multiprobe: Boolean = true): DataFrame = {
     val base = withNorm(vectors, idCol, vecCol, "id", "v", "n")
+    // localCheckpoint: banded feeds THREE consumers (bucket stats, the
+    // probe side, the index side) — materialize the 20 B/row signature
+    // table once instead of recomputing the corpus scan per consumer.
     val banded = capBuckets(
-      bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand), maxBucket)
+      bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand)
+        .localCheckpoint(),
+      maxBucket, capQuantile)
     val probes =
       if (multiprobe) radius1Probes(banded, bitsPerBand)
       else banded.withColumn("probe_val", col("band_val"))
@@ -183,11 +217,14 @@ object SimilarityOps {
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               dim: Int, bands: Int, bitsPerBand: Int, k: Int,
-              maxBucket: Option[Int] = Some(1000),
+              maxBucket: Option[Int] = None,
+              capQuantile: Option[Double] = Some(0.999),
               multiprobe: Boolean = true): DataFrame = {
     val base = withNorm(vectors, idCol, vecCol, "id", "v", "n")
     val banded = capBuckets(
-      bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand), maxBucket)
+      bandedRhp(vectors, idCol, vecCol, dim, bands, bitsPerBand)
+        .localCheckpoint(),
+      maxBucket, capQuantile)
     val probes =
       if (multiprobe) radius1Probes(banded, bitsPerBand)
       else banded.withColumn("probe_val", col("band_val"))
@@ -207,6 +244,30 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), r4(col("cos")).as("cos"))
+  }
+
+  /** [[lshTopK]] with corpus-size-derived band width: bits/band =
+    * log₂(n / targetBucket), so E[bucket] stays ~targetBucket at any
+    * corpus size instead of growing linearly with n. The count() is
+    * metadata-only for parquet-backed inputs. This is the geometry
+    * contract the 100 TB path needs — fixed bits were the r5
+    * scale-killer (E[bucket] ∝ n ⇒ candidates ∝ n², then the absolute
+    * cap zeroes recall).
+    */
+  def lshTopKAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, bands: Int, k: Int,
+                  targetBucket: Int = 32): DataFrame = {
+    val bits = autoBitsPerBand(vectors.count(), targetBucket)
+    lshTopK(vectors, idCol, vecCol, dim, bands, bits, k)
+  }
+
+  /** [[embeddingLshPairs]] with corpus-size-derived band width (see
+    * [[lshTopKAuto]]). */
+  def embeddingLshPairsAuto(vectors: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, bands: Int, minSim: Double,
+                            targetBucket: Int = 32): DataFrame = {
+    val bits = autoBitsPerBand(vectors.count(), targetBucket)
+    embeddingLshPairs(vectors, idCol, vecCol, dim, bands, bits, minSim)
   }
 
   /** Scalar int8 quantization of an embedding column — 4× smaller

@@ -70,14 +70,15 @@ object SimQueries extends QueryPack {
   // Deterministic random-hyperplane construction, but not
   // ANSI-SQL-expressible → rows-only check.
   q("ann_lsh_topk", null) { (s, dir) =>
-    // 8 tables × 5 bits WITH radius-1 multiprobe: measured 0.966-0.969
-    // recall vs brute force on this corpus (single-probe 16×5 managed
-    // only 0.73 — mid-cosine neighbors rarely agree on all 5 bits, but
-    // almost always sit within one bit-flip). Half the index of the
-    // old geometry, 6 probe buckets per (query, table). IVF probe
-    // search (ann_ivf_search) remains the other scale path.
-    SimilarityOps.lshTopK(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, bands = 8, bitsPerBand = 5, k = 5)
+    // 8 tables, radius-1 multiprobe, bits/band = log₂(n/32) — the band
+    // width GROWS with the corpus so E[bucket] stays ~32 (fixed 5-bit
+    // bands were the r5 scale flaw: E[bucket] ∝ n, candidates ∝ n²,
+    // and the old absolute bucket cap then zeroed recall at 100×).
+    // Measured recall vs brute force: 0.966 sf0.001 / 0.969 sf0.01
+    // (5 bits there) — the sf-pinned corpus-recall spec guards drift.
+    // IVF probe search (ann_ivf_search) remains the other scale path.
+    SimilarityOps.lshTopKAuto(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, bands = 8, k = 5)
       .orderBy("query_id", "rank")
   }
 
@@ -196,9 +197,8 @@ object SimQueries extends QueryPack {
   // vacuously matching on empty; recall vs the exact twin is
   // spec-asserted on planted geometry.
   q("dd_embedding_lsh", null) { (s, dir) =>
-    SimilarityOps.embeddingLshPairs(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, bands = 12, bitsPerBand = 5,
-        minSim = 0.45)
+    SimilarityOps.embeddingLshPairsAuto(Tables.load(s, dir, "embeddings"),
+        "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.45)
       .orderBy("id_a", "id_b")
   }
 
@@ -264,6 +264,22 @@ object SimQueries extends QueryPack {
       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
     val pairs = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", minSim = 0.4)
+    graft.operators.RelationalOps.connectedComponents(
+        emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
+      .orderBy("vec_id")
+  }
+
+  // Embedding duplicate clusters, FIRST-CLASS plan: the SAME
+  // min-label connected components, but over LSH-candidate edges
+  // (banded RHP + exact-cosine verification) instead of exact
+  // all-pairs — O(candidates), never O(n²). dd_embedding_clusters
+  // above stays as the small-n oracle twin; cluster-level agreement
+  // between the two plans is spec-asserted (LshRecallSpec).
+  q("dd_embedding_clusters_lsh", null) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val pairs = SimilarityOps.embeddingLshPairsAuto(
+      emb, "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.4)
     graft.operators.RelationalOps.connectedComponents(
         emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
       .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))

@@ -145,17 +145,56 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"top-1 recall $recall")
   }
 
-  test("lshTopK corpus recall: shipped 8x5 radius-1 multiprobe holds ≥0.9 on real embeddings") {
-    // pins the measured operating point documented on ann_lsh_topk
-    // (0.966 on sf0.001, 0.969 on sf0.01 at 8×5 multiprobe; the old
-    // single-probe 16×5 managed 0.73) against silent geometry drift
+  test("lshTopK corpus recall: shipped auto geometry holds ≥0.9 on real embeddings") {
+    // pins the SHIPPED operating point of ann_lsh_topk (lshTopKAuto:
+    // 8 tables, radius-1 multiprobe, bits = log₂(n/32)) against
+    // silent geometry drift — the exact path the checked query runs
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val lsh = SimilarityOps.lshTopK(emb, "vec_id", "embedding",
-        dim = 64, bands = 8, bitsPerBand = 5, k = 5)
+    val lsh = SimilarityOps.lshTopKAuto(emb, "vec_id", "embedding",
+        dim = 64, bands = 8, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (lsh & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"corpus recall $recall")
+  }
+
+  test("autoBitsPerBand grows buckets with the corpus") {
+    assert(SimilarityOps.autoBitsPerBand(200) == 5)   // floor binds at small n
+    assert(SimilarityOps.autoBitsPerBand(2000) == 6)  // 2000/32 → 2^6 buckets
+    assert(SimilarityOps.autoBitsPerBand(200000) == 13)
+    assert(SimilarityOps.autoBitsPerBand(2000000000L) == 24) // ceiling binds
+  }
+
+  test("quantile bucket cap: candidates survive n >> buckets (the 100x recall-collapse guard)") {
+    // 1590 vectors forced into 5-bit bands: E[bucket] ≈ 50 per table —
+    // the regime where an absolute cap starts discarding typical
+    // (not just degenerate) buckets and recall decays toward 0 as n
+    // grows. The quantile default must keep the planted near-dups.
+    val big = (0 until 1400).map(i => (10000L + i, randVec()))
+    val corpus = planted.union(big.toDF("vec_id", "embedding"))
+    val exact = pairSet(SimilarityOps.cosinePairs(corpus, "vec_id", "embedding", 0.8))
+    val quantileCap = pairSet(SimilarityOps.embeddingLshPairs(corpus, "vec_id", "embedding",
+      dim, bands = 12, bitsPerBand = 5, minSim = 0.8))
+    assert(quantileCap.nonEmpty, "quantile cap must keep candidates when buckets are full")
+    val recall = quantileCap.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall under quantile cap $recall (${quantileCap.size}/${exact.size})")
+  }
+
+  test("dd_embedding_clusters_lsh agrees with the exact-pairs clusters on planted dups") {
+    // the first-class LSH-edge clusters plan must reproduce the exact
+    // twin's partition of the planted near-dup graph
+    import graft.operators.RelationalOps.connectedComponents
+    val nodes = planted.select(col("vec_id"))
+    def clusters(pairs: DataFrame): Map[Long, Long] =
+      connectedComponents(nodes, "vec_id", pairs, "id_a", "id_b")
+        .select(col("vec_id"), col("cluster_id").cast("long"))
+        .as[(Long, Long)].collect().toMap
+    val exact = clusters(SimilarityOps.cosinePairs(planted, "vec_id", "embedding", 0.8))
+    val lsh = clusters(SimilarityOps.embeddingLshPairsAuto(
+      planted, "vec_id", "embedding", dim, bands = 12, minSim = 0.8))
+    val agree = exact.count { case (id, c) => lsh.get(id).contains(c) }
+    assert(agree.toDouble / exact.size >= 0.95,
+      s"cluster agreement ${agree.toDouble / exact.size}")
   }
 }
