@@ -67,7 +67,9 @@ object Plans {
     "tx_bottomk_sample",   // partial bottom-k heaps: shuffle carries k rows per group
     "j14_nearest_asof",    // union + ONE sort: two frames, no self-join, no range explosion
     "sk_pareto_front",     // level aggregate + running max, window over distinct levels only
-    "ts_m4_downsample")    // single hash aggregate: min/max/min_by/max_by in one pass
+    "ts_m4_downsample",    // single hash aggregate: min/max/min_by/max_by in one pass
+    "dd_embedding_clusters_lsh", // LSH-edge CC: label assembly over checkpointed loop state, paired-node broadcast
+    "gr_components_star")  // star-contraction CC: converged star edges + broadcast singleton anti-join
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

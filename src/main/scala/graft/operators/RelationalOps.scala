@@ -276,6 +276,16 @@ object RelationalOps {
       labels = next
       iter += 1
     }
+    if (!converged)
+      // label propagation moves one hop per round: a component whose
+      // diameter exceeds maxIter comes back UNCONVERGED — mid-chain
+      // nodes keep intermediate labels and clusters split incorrectly.
+      // Surfaced loudly rather than silently mislabeled (found by the
+      // star-CC equivalence spec on a 60-hop chain vs the default 20).
+      System.err.println(
+        s"[graft] connectedComponents hit maxIter=$maxIter before convergence — " +
+          "labels are NOT a fixed point; raise maxIter or use connectedComponentsStar " +
+          "(O(log n) rounds, diameter-independent)")
     // singletons rejoin with their own id as the cluster label; the
     // paired-node set (the duplicate fraction) broadcasts, so the full
     // corpus never shuffles just to learn which rows were untouched
@@ -287,6 +297,104 @@ object RelationalOps {
     edges.unpersist()
     p.unpersist()
     out
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14) — same labels as [[connectedComponents]]
+    * (every node → smallest reachable id) but convergence in
+    * O(log n) rounds instead of O(graph diameter): min-label
+    * propagation moves labels ONE HOP per shuffle round, so a
+    * 10,000-hop chain — which near-dup graphs over continuous
+    * similarity thresholds do produce — costs 10,000 rounds; star
+    * contraction halves component heights every round. This is the
+    * CC to reach for when the component shape is unknown at 100 TB;
+    * min-label stays preferable for known-shallow graphs (fewer
+    * shuffles per round).
+    *
+    * Each round: large-star (every node's strictly-larger neighbors
+    * link to its minimum) then small-star (the ≤-neighbors do) — both
+    * one groupBy(min) + one equi-join + distinct over the edge set,
+    * all partitioned by node id. Convergence is the same scalar trick
+    * as min-label CC: the sum of edge endpoints strictly decreases
+    * while anything moves (links only ever point to smaller ids).
+    */
+  def connectedComponentsStar(nodes: DataFrame, idCol: String,
+                              pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // m(u) = min(N(u) ∪ {u}) over the symmetrized edge set
+    def withMin(eSym: DataFrame): DataFrame =
+      eSym.join(
+        eSym.groupBy("u").agg(min("v").as("nbr_min"))
+          .select(col("u"), least(col("u"), col("nbr_min")).as("m")),
+        "u")
+    def largeStar(e: DataFrame): DataFrame = {
+      val j = withMin(sym(e))
+      j.filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(j.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge large→small first (small-star operates on
+      // the parent forest where v ≤ u)
+      val oriented = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val j = withMin(oriented)
+      j.select(col("v"), col("m")).toDF("u", "v")
+        .union(j.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // endpoints only ever move to smaller ids, so (sum, count) is a
+    // strictly-decreasing potential while anything changes — one
+    // scalar-pair aggregate per round, no self-join diff
+    def edgeStat(e: DataFrame): (java.math.BigDecimal, Long) = {
+      val row = e.agg(
+        sum(col("u").cast("decimal(38,0)") + col("v").cast("decimal(38,0)")),
+        count(lit(1))).head()
+      (Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO), row.getLong(1))
+    }
+
+    var edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v")).distinct().cache()
+    val pairedNodes = sym(edges).select(col("u").as("id")).distinct().localCheckpoint()
+    var prev = edgeStat(edges)
+    var iter = 0
+    var converged = prev._2 == 0L
+    while (!converged && iter < maxIter) {
+      // checkpoint EVERY phase: a star phase references its input ~4×
+      // (sym doubles it, the min-map join doubles again), so an
+      // untruncated round multiplies the logical tree ~32× — two
+      // uncheckpointed rounds already cost seconds of re-analysis AND
+      // redundant re-execution per round (measured 21 s for a
+      // 7-edge graph with every-2-rounds truncation; ~1 s with this)
+      val ls = largeStar(edges).localCheckpoint()
+      val next = smallStar(ls).localCheckpoint()
+      ls.unpersist(blocking = false)
+      val s = edgeStat(next)
+      converged = s._1.compareTo(prev._1) == 0 && s._2 == prev._2
+      prev = s
+      edges.unpersist(blocking = false)
+      edges = next
+      iter += 1
+    }
+    // after convergence every edge is (node, component-min); nodes that
+    // ARE their component's min have no outgoing edge — label themselves
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .groupBy("id").agg(min("label").as("label"))
+    val mins = pairedNodes.join(labels, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    val singletons = nodes.select(col(idCol).as("id"))
+      .join(broadcast(pairedNodes), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    // the final `edges` cache stays live — the returned plan reads the
+    // converged edge set THROUGH it, and unpersisting here would force
+    // the caller's first action to replay the whole contraction loop
+    // (and the upstream edge build) from scratch
+    labels.unionByName(mins).unionByName(singletons)
+      .select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 
   /** MERGE-style upsert resolved relationally (the batch equivalent of

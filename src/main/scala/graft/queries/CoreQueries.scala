@@ -1994,6 +1994,57 @@ object CoreQueries extends QueryPack {
       .orderBy("nationkey")
   }
 
+  // GR5 — connected components by alternating large-star/small-star
+  // contraction (Kiveris et al., SoCC'14): O(log n) shuffle rounds
+  // regardless of component diameter — the CC to reach for when
+  // component shape is unknown at scale (min-label propagation pays
+  // one round PER HOP and, past maxIter, silently returned
+  // intermediate labels — it now warns; found by StarCcSpec's 60-hop
+  // chain). Edges: the top-18 nation pairs by total trade volume —
+  // deterministic cutoff (rank-18/19 volume gap is 0.2-0.9%, far
+  // above float-sum noise), yielding one multi-nation component plus
+  // singletons at both sfs. Oracle: recursive-CTE closure over the
+  // same top-K edge set; star≡min-label on adversarial shapes is
+  // spec-asserted in StarCcSpec.
+  q("gr_components_star",
+    """WITH RECURSIVE vol AS (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+      |         greatest(c.c_nationkey, s.s_nationkey) AS v,
+      |         sum(l.l_extendedprice) AS w
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2),
+      |top AS (SELECT u, v FROM vol ORDER BY w DESC, u, v LIMIT 18),
+      |edges AS (SELECT u AS a, v AS b FROM top
+      |          UNION ALL SELECT v, u FROM top),
+      |reach(id, r) AS (
+      |  SELECT n_nationkey, n_nationkey FROM nation
+      |  UNION SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id)
+      |SELECT CAST(id AS BIGINT) AS nationkey, CAST(min(r) AS BIGINT) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice")
+    val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val vol = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .agg(sum("l_extendedprice").as("w"))
+    val top = vol.orderBy(col("w").desc, col("u"), col("v")).limit(18).select("u", "v")
+    graft.operators.RelationalOps.connectedComponentsStar(
+        Tables.load(s, dir, "nation").select("n_nationkey"), "n_nationkey",
+        top, "u", "v")
+      .select(col("n_nationkey").cast("long").as("nationkey"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .orderBy("nationkey")
+  }
+
   // GR3 — single-source BFS hop distances over the trade graph, 4
   // relax-and-min rounds. Like gr_pagerank, the oracle UNROLLS the
   // loop into b0..b4 CTEs so every round's relaxation arithmetic is

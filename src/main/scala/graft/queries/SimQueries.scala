@@ -276,6 +276,15 @@ object SimQueries extends QueryPack {
   // all-pairs — O(candidates), never O(n²). dd_embedding_clusters
   // above stays as the small-n oracle twin; cluster-level agreement
   // between the two plans is spec-asserted (LshRecallSpec).
+  //
+  // CC algorithm choice, measured both ways at sf0.1: min-label
+  // propagation (2 shuffles/round × ~17 rounds) beats large/small-star
+  // contraction (6 shuffles/round × ~8 rounds) 14 s vs 43 s here —
+  // per-round fixed cost dominates at this edge count, and this
+  // graph's diameter is shallow. Star CC (`connectedComponentsStar`,
+  // checked by `gr_components_star` + StarCcSpec) is the right tool
+  // when diameter is unknown/deep; min-label now WARNS if it exits
+  // unconverged instead of silently mislabeling.
   q("dd_embedding_clusters_lsh", null) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
     val pairs = SimilarityOps.embeddingLshPairsAuto(

@@ -603,6 +603,7 @@ object TextQueries extends QueryPack {
     clusterDf(s, dir)._2.orderBy("doc_id")
   }
 
+
   // Canonical selection: per duplicate cluster keep the longest doc
   // (n_chars; ties → lowest doc_id), mark the rest dropped — the
   // keep/drop audit a curation pipeline acts on after clustering.
