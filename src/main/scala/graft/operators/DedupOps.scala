@@ -386,4 +386,53 @@ object DedupOps {
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("kept_chunks"))
   }
+
+  /** Maximal cross-document repeated substrings — the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (the ExactSubstr step): every maximal character
+    * span of length ≥ k that also occurs verbatim in at least
+    * `minDocs − 1` OTHER documents, reported per document as
+    * (span_start, span_end, span_len) so a curation pass can excise
+    * repeated boilerplate instead of dropping whole documents.
+    *
+    * Relational re-expression of their suffix-array scan: every
+    * k-char window of every document becomes a (doc, pos, gram) row;
+    * grams occurring in ≥ minDocs distinct docs mark their positions
+    * shared; runs of CONSECUTIVE shared positions merge into maximal
+    * spans via the islands trick (pos − row_number is constant within
+    * a run), each covering [first pos, last pos + k − 1]. A span of
+    * length L > k appears as L − k + 1 consecutive shared windows, so
+    * maximal-span recovery is exact.
+    *
+    * Scale shape: the window relation has one row per character —
+    * the same linear blow-up a distributed suffix array pays — and
+    * the only wide shuffle is the groupBy on the gram. At 100 TB,
+    * swap the 2k-bit gram string for `xxhash64(gram)` in BOTH the
+    * grouping and the join (8-byte shuffle keys, identical plan;
+    * collisions at 64 bits are negligible for counting). The string
+    * form is kept here so the DuckDB oracle can reproduce the result
+    * byte-for-byte.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col(textCol)) >= k)
+      .select(col(idCol), col(textCol))
+      .withColumn("p", explode(sequence(lit(1), length(col(textCol)) - (k - 1))))
+      .select(col(idCol), col("p"), expr(s"substring($textCol, p, $k)").as("gram"))
+    val shared = grams.groupBy("gram")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram")
+    val marked = grams.join(shared, "gram").select(col(idCol), col("p"))
+    val w = Window.partitionBy(idCol).orderBy("p")
+    marked
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min("p").as("span_start"),
+        (max("p") + (k - 1)).as("span_end"),
+        (max("p") + (k - 1) - min("p") + 1).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("span_len"))
+  }
 }

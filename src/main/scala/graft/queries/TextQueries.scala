@@ -1274,6 +1274,40 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // Exact-substring dedup (Lee et al., "Deduplicating Training Data
+  // Makes Language Models Better" — the ExactSubstr step): maximal
+  // character spans of length >= 40 occurring verbatim in >= 2
+  // distinct documents, per doc, so curation can excise repeated
+  // boilerplate instead of dropping documents. Oracle replays the
+  // identical k-gram windows, cross-doc filter, and islands merge.
+  q("dd_repeated_spans",
+    """WITH g AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, len(text) - 39)) AS p
+      |  FROM documents WHERE len(text) >= 40),
+      |g2 AS (SELECT doc_id, p, substr(text, p, 40) AS gram FROM g),
+      |shared AS (
+      |  SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |sp AS (
+      |  SELECT g2.doc_id, g2.p,
+      |    row_number() OVER (PARTITION BY g2.doc_id ORDER BY g2.p) AS rn
+      |  FROM g2 JOIN shared USING (gram))
+      |SELECT doc_id,
+      |  CAST(min(p) AS BIGINT) AS span_start,
+      |  CAST(max(p) + 39 AS BIGINT) AS span_end,
+      |  CAST(max(p) + 39 - min(p) + 1 AS BIGINT) AS span_len
+      |FROM (SELECT doc_id, p, p - rn AS grp FROM sp)
+      |GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin) { (s, dir) =>
+    DedupOps.repeatedSpans(Tables.load(s, dir, "documents"),
+        "doc_id", "text", k = 40, minDocs = 2)
+      .select(col("doc_id"),
+        col("span_start").cast("long").as("span_start"),
+        col("span_end").cast("long").as("span_end"),
+        col("span_len").cast("long").as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
   // Composite: the training-shard manifest end-to-end — length gate →
   // exact dedup (keep first) → content-hash shard → per-shard doc and
   // token totals. The whole chain is one scan + two hash shuffles

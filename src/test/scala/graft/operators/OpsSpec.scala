@@ -102,6 +102,48 @@ class DedupOpsSpec extends SparkSpec {
     assert(got(12L) == ((2L, 1L)))
   }
 
+  test("repeatedSpans: shared boilerplate reported as ONE maximal span per doc") {
+    // a 30-char boilerplate block embedded at different offsets in two
+    // docs; k=10 windows inside it are all shared, and the islands
+    // merge must recover exactly [offset, offset+29] in each doc
+    val boiler = "BOILERPLATE-REPEATED-SEGMENT-X" // 30 chars
+    val d = Seq(
+      (1L, s"aaaaa${boiler}zzzzz"),           // span at 6..35
+      (2L, s"qqqqqqqqqq${boiler}rrrrr"),      // span at 11..40
+      (3L, "no shared content in this doc at all...")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.repeatedSpans(d, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == ((6, 35, 30)), s"doc 1 span ${got.get(1L)}")
+    assert(got(2L) == ((11, 40, 30)), s"doc 2 span ${got.get(2L)}")
+    assert(!got.contains(3L), "doc without cross-doc repeats emits no span")
+  }
+
+  test("repeatedSpans: same-doc repetition alone does not mark a span") {
+    // the repeated block occurs twice in ONE doc but in no other doc —
+    // cross-doc minDocs=2 must ignore it
+    val d = Seq(
+      (1L, "SAME-BLOCK-HERE!!SAME-BLOCK-HERE!!"),
+      (2L, "totally unrelated text goes here....")
+    ).toDF("doc_id", "text")
+    assert(DedupOps.repeatedSpans(d, "doc_id", "text", k = 10).isEmpty)
+  }
+
+  test("repeatedSpans: two separated shared blocks stay two spans") {
+    val a = "FIRST-SHARED-BLOCK-A"  // 20 chars
+    val b = "SECOND-SHARED-BLOCK!"  // 20 chars
+    val d = Seq(
+      (1L, s"$a-----DIVIDER-----$b"),
+      (2L, s"${b}___________________$a")
+    ).toDF("doc_id", "text")
+    val spans = DedupOps.repeatedSpans(d, "doc_id", "text", k = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(spans.count(_._1 == 1L) == 2, s"doc 1 should carry two spans: ${spans.toSeq}")
+    assert(spans.count(_._1 == 2L) == 2, s"doc 2 should carry two spans: ${spans.toSeq}")
+    assert(spans.forall(_._2 == 20), s"each span is the 20-char block: ${spans.toSeq}")
+  }
+
   test("chunkDedup: short tail chunk is its own unit, not merged or dropped") {
     // 5 tokens at chunk size 4 → chunks [a b c d][e]; the 1-token tail
     // of doc 20 matches nothing, doc 21's full text IS that tail chunk
