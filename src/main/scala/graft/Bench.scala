@@ -53,7 +53,21 @@ object Bench {
     // times-to-throw as "speedups". Failures are collected, reported
     // in both JSON lines, and force a nonzero exit code.
     val failures = scala.collection.mutable.SortedMap[String, String]()
+    // watchdog: a hung query stalls the whole (sequential) bench, so
+    // each query's three runs share a job-group that a timer cancels
+    // past the per-query budget — the query then throws into the
+    // failure path below instead of wedging the round
+    val watchdog = new java.util.Timer("bench-watchdog", true)
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_BUDGET_MIN", "10").toLong * 60000L
     val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+      val kill = new java.util.TimerTask {
+        def run(): Unit = {
+          System.err.println(s"[bench] $name exceeded ${budgetMs / 60000} min — cancelling")
+          spark.sparkContext.cancelJobGroup(s"bench-$name")
+        }
+      }
+      watchdog.schedule(kill, budgetMs)
       try {
         materialize(name, sfDir) // codegen warm; a genuinely broken query throws here
         val timed = (1 to 2).map { _ =>
@@ -61,14 +75,16 @@ object Bench {
           materialize(name, sfDir)
           (System.nanoTime() - t0) / 1e9
         }
-        clearState()
         Some(name -> timed.min)
       } catch { case e: Throwable =>
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
         failures(name) = msg
         System.err.println(s"[bench] $name FAILED: $msg")
-        clearState()
         None
+      } finally {
+        kill.cancel()
+        spark.sparkContext.clearJobGroup()
+        clearState()
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

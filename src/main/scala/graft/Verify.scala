@@ -41,23 +41,37 @@ object Verify {
     // queries vanished from CORRECTNESS_r05 and the scoreboard looked
     // all-green while the engine was broken.
     val failed = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def markFailed(name: String, msg: String): Unit = {
+      failed.put(name, msg)
+      System.err.println(s"[verify] $name FAILED: $msg")
+      new java.io.File(s"$outDir/$name").mkdirs()
+      Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
+    }
     val runs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       Future {
+        // per-query job group: the watchdog below can cancel a hung
+        // query's Spark jobs without touching the others
+        spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          failed.put(name, msg)
-          System.err.println(s"[verify] $name FAILED: $msg")
-          val d = new java.io.File(s"$outDir/$name")
-          d.mkdirs()
-          Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
-        }
+          markFailed(name, Option(e.getMessage).getOrElse(e.getClass.getName))
+        } finally spark.sparkContext.clearJobGroup()
       }
     }
-    Await.result(Future.sequence(runs), Duration.Inf)
+    // A single hung query must not stall the round forever: past the
+    // global budget, cancel every verify job group — each stuck query
+    // then throws into its own catch above and lands as an _ERROR row.
+    val budget = Duration(sys.env.getOrElse("SPARK_GRAFT_VERIFY_BUDGET_MIN", "45").toInt, "min")
+    try Await.result(Future.sequence(runs), budget)
+    catch { case _: java.util.concurrent.TimeoutException =>
+      System.err.println(s"[verify] global budget $budget exhausted — cancelling stragglers")
+      SparkEntry.queries.keys.foreach(n => spark.sparkContext.cancelJobGroup(s"verify-$n"))
+      try Await.result(Future.sequence(runs), Duration(2, "min"))
+      catch { case _: Throwable => }
+    }
     pool.shutdown()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
