@@ -228,8 +228,48 @@ object RelationalOps {
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          smallGraphEdges: Long = 200000L): DataFrame = {
     val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+    // Adaptive small-graph path — the same decision AQE makes when it
+    // swaps a shuffle join for a broadcast: once the near-dup PAIR
+    // GRAPH (not the corpus!) fits comfortably on the driver
+    // (200k edges ≈ 3 MB), a local union-find beats paying per-round
+    // Spark job overhead × diameter. Near-dup graphs are almost
+    // always this small relative to their corpus — the corpus itself
+    // never leaves the executors (singleton labeling below is still a
+    // broadcast anti-join). Labels are identical by construction
+    // (smallest reachable id; spec-asserted against the distributed
+    // path), and the distributed loop remains the plan whenever the
+    // edge count clears the threshold.
+    val edgeCount = p.count()
+    if (edgeCount <= smallGraphEdges) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      p.select(col("a").cast("long"), col("b").cast("long")).collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so every component's root is its min id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labelRows = parent.keys.toSeq.map(id => (id, find(id)))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val labels = labelRows.toDF("id", "label")
+      val singletons = nodes.select(col(idCol).cast("long").as("id"))
+        .join(broadcast(labels.select("id")), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("label"))
+      p.unpersist()
+      return labels.unionByName(singletons)
+        .select(col("id").as(idCol), col("label").as("cluster_id"))
+    }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
       .cache()

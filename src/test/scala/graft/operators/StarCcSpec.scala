@@ -15,12 +15,13 @@ class StarCcSpec extends SparkSpec {
   import spark.implicits._
 
   private def labels(nodes: DataFrame, pairs: DataFrame,
-                     star: Boolean): Map[Long, Long] = {
+                     star: Boolean, smallGraphEdges: Long = 200000L): Map[Long, Long] = {
     val cc =
       if (star) RelationalOps.connectedComponentsStar(nodes, "id", pairs, "a", "b")
       // maxIter high enough that min-label always converges here —
       // the comparison needs its FIXED POINT, not its capped output
-      else RelationalOps.connectedComponents(nodes, "id", pairs, "a", "b", maxIter = 200)
+      else RelationalOps.connectedComponents(nodes, "id", pairs, "a", "b",
+        maxIter = 200, smallGraphEdges = smallGraphEdges)
     cc.select(col("id"), col("cluster_id").cast("long"))
       .as[(Long, Long)].collect().toMap
   }
@@ -28,10 +29,16 @@ class StarCcSpec extends SparkSpec {
   private def check(nodeIds: Seq[Long], pairSeq: Seq[(Long, Long)]): Unit = {
     val nodes = nodeIds.toDF("id")
     val pairs = pairSeq.toDF("a", "b")
-    val minLabel = labels(nodes, pairs, star = false)
+    // all three strategies must agree: local union-find (the adaptive
+    // small-graph path), the distributed min-label loop (forced by
+    // zeroing the threshold), and star contraction
+    val smallPath = labels(nodes, pairs, star = false)
+    val distributed = labels(nodes, pairs, star = false, smallGraphEdges = 0L)
     val starLbl = labels(nodes, pairs, star = true)
-    assert(starLbl == minLabel,
-      s"diff=${(starLbl.toSet diff minLabel.toSet).take(5)} / ${(minLabel.toSet diff starLbl.toSet).take(5)}")
+    assert(smallPath == distributed,
+      s"union-find vs distributed diff=${(smallPath.toSet diff distributed.toSet).take(5)}")
+    assert(starLbl == distributed,
+      s"star diff=${(starLbl.toSet diff distributed.toSet).take(5)} / ${(distributed.toSet diff starLbl.toSet).take(5)}")
   }
 
   test("long chain: one 60-hop component resolves to its minimum") {
