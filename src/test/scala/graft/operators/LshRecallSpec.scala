@@ -181,6 +181,22 @@ class LshRecallSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall under quantile cap $recall (${quantileCap.size}/${exact.size})")
   }
 
+  test("auto geometry at n=2000 (6-bit bands) keeps pair recall >= 0.9 on planted dups") {
+    // the sf0.1 operating point: autoBitsPerBand(2000) = 6 — wider
+    // bands than the 5-bit floor the other specs exercise. Recall must
+    // survive the bucket growth (this is the spec version of the
+    // RecallCheck measurement: 0.92 top-k / 0.99 pair at sf0.1).
+    val big = (0 until 1810).map(i => (20000L + i, randVec()))
+    val corpus = planted.union(big.toDF("vec_id", "embedding")) // 150+40+1810 = 2000
+    val exact = pairSet(SimilarityOps.cosinePairs(corpus, "vec_id", "embedding", 0.8))
+    assert(exact.size >= 35)
+    val lsh = pairSet(SimilarityOps.embeddingLshPairsAuto(
+      corpus, "vec_id", "embedding", dim, bands = 12, minSim = 0.8))
+    assert(lsh.subsetOf(exact), "exact verification keeps precision 1.0")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall at 6-bit bands $recall (${lsh.size}/${exact.size})")
+  }
+
   test("dd_embedding_clusters_lsh agrees with the exact-pairs clusters on planted dups") {
     // the first-class LSH-edge clusters plan must reproduce the exact
     // twin's partition of the planted near-dup graph
