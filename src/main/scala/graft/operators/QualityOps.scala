@@ -31,6 +31,30 @@ object QualityOps {
     * 64-bit (`xxhash64`) when the benchmark set is large enough for
     * the broadcast to matter.
     */
+  /** Shuffle-key skew report — the preflight a 100 TB job runs BEFORE
+    * a big join/groupBy to decide whether the key needs salting or
+    * AQE skew handling: rows are bucketed by a hash of the key
+    * (md5-hex prefix, so DuckDB can replay the identical bucketing),
+    * and each bucket reports its row count and skew factor
+    * (n_rows × buckets / total — 1.0 is perfectly even; a hot key
+    * shows up as one bucket ≫ 1). One partial-aggregated exchange of
+    * (bucket, count) pairs regardless of table size; the tiny
+    * per-bucket frame then gets its global total from a single-
+    * partition window (buckets rows, not data rows).
+    */
+  def keySkewReport(df: DataFrame, keyCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = pmod(
+      conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 6), 16, 10)
+        .cast("long"),
+      lit(buckets.toLong))
+    df.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("skew", graft.functions.DetRound.r4(
+        col("n_rows") * lit(buckets.toDouble) /
+          sum("n_rows").over(Window.partitionBy())))
+  }
+
   def contaminationScan(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, n: Int): DataFrame = {
     val benchGrams = benchmark

@@ -799,6 +799,26 @@ object PipelineQueries extends QueryPack {
       .orderBy("relationship")
   }
 
+  // DQ — shuffle-key skew preflight: bucket rows by an md5-prefix hash
+  // of the join/groupBy key and report per-bucket row counts + skew
+  // factor (n × buckets / total; 1.0 = even) — the measurement that
+  // decides between a plain shuffle, salting (j9_salted_join), or AQE
+  // skew-join BEFORE paying for the wrong plan at 100 TB. The md5-hex
+  // bucketing (instead of xxhash64) keeps the bucketing replayable in
+  // the oracle byte-for-byte.
+  q("dq_key_skew",
+    s"""WITH b AS (
+       |  SELECT CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 6)) AS BIGINT) % 32 AS bucket
+       |  FROM lineitem),
+       |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY bucket)
+       |SELECT bucket, n_rows,
+       |  ${sqlR4("n_rows * 32.0 / (SELECT sum(n_rows) FROM c)")} AS skew
+       |FROM c ORDER BY bucket""".stripMargin) { (s, dir) =>
+    graft.operators.QualityOps.keySkewReport(
+        Tables.load(s, dir, "lineitem"), "l_orderkey", buckets = 32)
+      .orderBy("bucket")
+  }
+
   // DQ — single-pass column profiler: every per-column statistic
   // (non-null count, exact distinct, min/max, mean) for the whole
   // table computed in ONE wide aggregate over ONE scan — the 1-row

@@ -65,4 +65,21 @@ class QualityOpsSpec extends SparkSpec {
     assert(s4.size > 20 && s4.size < 80, s"got ${s4.size}")
     assert(s12.size > 110 && s12.size < 180, s"got ${s12.size}")
   }
+
+  test("keySkewReport: a planted hot key dominates exactly one bucket; uniform keys stay near 1.0") {
+    // 3200 rows over 3200 distinct keys → every bucket's skew ≈ 1;
+    // then one key repeated 3200× concentrates in its single hash
+    // bucket and must show skew ≫ 1 there
+    val uniform = (0 until 3200).map(i => Tuple1(i.toLong)).toDF("k")
+    val even = QualityOps.keySkewReport(uniform, "k", buckets = 32)
+      .select("skew").as[Double].collect()
+    assert(even.forall(s => s > 0.5 && s < 1.6), s"uniform skew out of band: ${even.max}")
+    val hot = uniform.union(Seq.fill(3200)(Tuple1(7L)).toDF("k"))
+    val rep = QualityOps.keySkewReport(hot, "k", buckets = 32)
+      .select("bucket", "skew").as[(Long, Double)].collect()
+    assert(rep.count(_._2 > 5.0) == 1,
+      s"exactly one hot bucket expected: ${rep.sortBy(-_._2).take(3).toSeq}")
+    val total = rep.map(_._2).sum / 32
+    assert(math.abs(total - 1.0) < 0.01, s"skew factors must average to 1, got $total")
+  }
 }
