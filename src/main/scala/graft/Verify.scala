@@ -47,16 +47,19 @@ object Verify {
       new java.io.File(s"$outDir/$name").mkdirs()
       Files.writeString(Paths.get(s"$outDir/$name/_ERROR"), msg)
     }
-    val runs = SparkEntry.queries.toSeq
+    val completed = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    val runs = selected.map { case (name, fn) =>
       Future {
         // per-query job group: the watchdog below can cancel a hung
         // query's Spark jobs without touching the others
         spark.sparkContext.setJobGroup(s"verify-$name", name, interruptOnCancel = true)
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          completed.add(name)
+        } catch { case e: Throwable =>
           markFailed(name, Option(e.getMessage).getOrElse(e.getClass.getName))
         } finally spark.sparkContext.clearJobGroup()
       }
@@ -71,6 +74,14 @@ object Verify {
       SparkEntry.queries.keys.foreach(n => spark.sparkContext.cancelJobGroup(s"verify-$n"))
       try Await.result(Future.sequence(runs), Duration(2, "min"))
       catch { case _: Throwable => }
+    }
+    // A straggler that ignores interruption past the 2-min grace never
+    // reaches its own catch — without this sweep it would be silently
+    // MISSING from the output and the run could still exit 0. Account
+    // for every selected query explicitly.
+    selected.map(_._1).foreach { name =>
+      if (!completed.contains(name) && !failed.containsKey(name))
+        markFailed(name, "unaccounted after global budget — cancelled straggler")
     }
     pool.shutdown()
 

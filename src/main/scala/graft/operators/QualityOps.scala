@@ -12,25 +12,6 @@ import graft.functions.TextFunctions.{ngrams, tokens}
   */
 object QualityOps {
 
-  /** Benchmark decontamination: flag corpus documents sharing at least
-    * one token n-gram with any document of a held-out benchmark set
-    * (the n-gram–collision test-set-leakage check used when preparing
-    * training corpora).
-    *
-    * Returns one row per corpus doc: (idCol, n_shared, contaminated)
-    * where n_shared counts the corpus doc's DISTINCT shingles that
-    * occur anywhere in the benchmark set.
-    *
-    * Scale shape: the benchmark side is tiny relative to the corpus
-    * (thousands of docs vs billions), so its distinct-shingle set is
-    * BROADCAST and the corpus-side explode never shuffles the text —
-    * each corpus partition streams its shingles past the in-memory
-    * benchmark set, then one partial-aggregated count per doc. At
-    * 100 TB the only exchange is the final per-doc count (~16 B/row).
-    * Shingles stay as strings here for oracle parity; hash them to
-    * 64-bit (`xxhash64`) when the benchmark set is large enough for
-    * the broadcast to matter.
-    */
   /** Shuffle-key skew report — the preflight a 100 TB job runs BEFORE
     * a big join/groupBy to decide whether the key needs salting or
     * AQE skew handling: rows are bucketed by a hash of the key
@@ -55,6 +36,25 @@ object QualityOps {
           sum("n_rows").over(Window.partitionBy())))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * one token n-gram with any document of a held-out benchmark set
+    * (the n-gram–collision test-set-leakage check used when preparing
+    * training corpora).
+    *
+    * Returns one row per corpus doc: (idCol, n_shared, contaminated)
+    * where n_shared counts the corpus doc's DISTINCT shingles that
+    * occur anywhere in the benchmark set.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus
+    * (thousands of docs vs billions), so its distinct-shingle set is
+    * BROADCAST and the corpus-side explode never shuffles the text —
+    * each corpus partition streams its shingles past the in-memory
+    * benchmark set, then one partial-aggregated count per doc. At
+    * 100 TB the only exchange is the final per-doc count (~16 B/row).
+    * Shingles stay as strings here for oracle parity; hash them to
+    * 64-bit (`xxhash64`) when the benchmark set is large enough for
+    * the broadcast to matter.
+    */
   def contaminationScan(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String, n: Int): DataFrame = {
     val benchGrams = benchmark

@@ -242,7 +242,23 @@ object RelationalOps {
     // (smallest reachable id; spec-asserted against the distributed
     // path), and the distributed loop remains the plan whenever the
     // edge count clears the threshold.
-    val edgeCount = p.count()
+    //
+    // Eligibility is type-gated: the union-find keys ids as Long, so
+    // only integral id columns take it (a non-castable id would decay
+    // to null here while the distributed path handles it fine), and
+    // the label frame is cast BACK to the input id type so both paths
+    // return the identical schema regardless of edge count.
+    val idType = nodes.schema(idCol).dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    // gate count is limit-bounded: deciding "≤ 200k edges?" must never
+    // cost a full scan of a huge pair set (the answer is the same once
+    // the limit row count is exceeded)
+    val edgeCount =
+      if (integralId) p.limit(smallGraphEdges.toInt + 1).count() else Long.MaxValue
     if (edgeCount <= smallGraphEdges) {
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -268,7 +284,8 @@ object RelationalOps {
         .select(col("id"), col("id").as("label"))
       p.unpersist()
       return labels.unionByName(singletons)
-        .select(col("id").as(idCol), col("label").as("cluster_id"))
+        .select(col("id").cast(idType).as(idCol),
+          col("label").cast(idType).as("cluster_id"))
     }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
@@ -362,6 +379,18 @@ object RelationalOps {
   def connectedComponentsStar(nodes: DataFrame, idCol: String,
                               pairs: DataFrame, aCol: String, bCol: String,
                               maxIter: Int = 50): DataFrame = {
+    // The convergence potential sums endpoints cast to decimal(38,0);
+    // a non-numeric id would cast to null, making the potential a
+    // constant ZERO — convergence could then be declared while edges
+    // still change, silently mislabeling. Fail loudly instead:
+    // callers with string ids should hash to long (xxhash64) first.
+    Seq(idCol -> nodes.schema(idCol).dataType,
+        aCol -> pairs.schema(aCol).dataType,
+        bCol -> pairs.schema(bCol).dataType).foreach { case (c, t) =>
+      require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"connectedComponentsStar needs numeric ids; column '$c' is $t — " +
+          "hash ids to long (xxhash64) before calling")
+    }
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     // m(u) = min(N(u) ∪ {u}) over the symmetrized edge set

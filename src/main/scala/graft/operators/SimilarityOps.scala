@@ -139,9 +139,13 @@ object SimilarityOps {
     if (maxBucket.isEmpty && capQuantile.isEmpty) return banded
     val counts = banded.groupBy("band", "band_val").count()
     val cap: Long = maxBucket.map(_.toLong).getOrElse {
-      math.max(256L, counts.stat
-        .approxQuantile("count", Array(capQuantile.get), 0.001)
-        .headOption.map(_.toLong).getOrElse(Long.MaxValue))
+      // EXACT quantile over the bucket-stats frame (≤ bands·2^bits
+      // rows — microscopic next to the corpus): approxQuantile's
+      // result is partitioning-sensitive, and a candidate set that
+      // differs across cluster configs would break the repo's
+      // determinism contract (and the recall rows the driver hashes)
+      val row = counts.agg(expr(s"percentile(count, ${capQuantile.get})")).head()
+      if (row.isNullAt(0)) Long.MaxValue else math.max(256L, row.getDouble(0).toLong)
     }
     banded.join(counts.filter(col("count") <= cap).select("band", "band_val"),
       Seq("band", "band_val"))
@@ -301,12 +305,26 @@ object SimilarityOps {
   def twoStageTopK(queries: DataFrame, corpus: DataFrame,
                    idCol: String, vecCol: String, scale: Double,
                    candK: Int, k: Int): DataFrame = {
-    def quantized(df: DataFrame, id: String, qv: String): DataFrame =
-      df.select(col(idCol).as(id),
-        quantizeInt8(col(vecCol), scale).cast("array<float>").as(qv))
-    val qq = quantized(queries, "query_id", "qq")
-    val cq = quantized(corpus, "neighbor_id", "cq")
-    val stage1 = cq.join(broadcast(qq), col("query_id") =!= col("neighbor_id"))
+    // ONE corpus derivation (id, full vector, norm, quantized vector),
+    // cached: the plan below reads the corpus in stage 1 (quantized
+    // scan) AND in the rescore join — without sharing a
+    // materialization each consumer re-runs the scan + quantize +
+    // norm work (the r6 bench measured that recompute as a 10×
+    // regression once per-query cache isolation stopped hiding it).
+    // cache (lazy) beats localCheckpoint (eager) here: no extra
+    // materialization job, the first consumer fills it in-stage.
+    // O(corpus) rows of ~5·dim bytes — the same defensible build-step
+    // materialization the LSH signature table uses.
+    val v = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cv"), vecNorm(col(vecCol)).as("cn"),
+        quantizeInt8(col(vecCol), scale).cast("array<float>").as("cq"))
+      .cache()
+    val qv = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("zv"), vecNorm(col(vecCol)).as("zn"),
+      quantizeInt8(col(vecCol), scale).cast("array<float>").as("qq"))
+    val stage1 = v.select(col("neighbor_id"), col("cq"))
+      .join(broadcast(qv.select(col("query_id"), col("qq"))),
+        col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", vecDot(col("qq"), col("cq")).cast("long"))
     val wCand = Window.partitionBy("query_id")
       .orderBy(col("qdot").desc, col("neighbor_id").asc)
@@ -314,11 +332,10 @@ object SimilarityOps {
       .withColumn("crank", row_number().over(wCand))
       .filter(col("crank") <= candK)
       .select("query_id", "neighbor_id", "qdot")
-    val full = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-    val qFull = withNorm(queries, idCol, vecCol, "query_id", "zv", "zn")
     val wFinal = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand.join(full, "neighbor_id").join(broadcast(qFull), "query_id")
+    cand.join(v.select(col("neighbor_id"), col("cv"), col("cn")), "neighbor_id")
+      .join(broadcast(qv.select(col("query_id"), col("zv"), col("zn"))), "query_id")
       .withColumn("cos", vecDot(col("zv"), col("cv")) / (col("zn") * col("cn")))
       .withColumn("rank", row_number().over(wFinal))
       .filter(col("rank") <= k)

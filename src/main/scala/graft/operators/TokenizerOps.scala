@@ -52,6 +52,10 @@ object TokenizerOps {
         .select(col("m.pa").as("pa"), col("m.pb").as("pb"),
           (-col("m.nc")).as("cnt"))
         .localCheckpoint() // referenced twice: merge row + corpus update
+      // per-iteration EAGER truncation: cache-based variants were
+      // measured slower here (lazy caches serialize the iteration's
+      // two consumers into one long job and re-analyze the grown
+      // plan); one small localCheckpoint job per round is the floor
       corpus = corpus.crossJoin(broadcast(top))
         .select(col("freq"),
           // pa is null once every word is a single symbol (iters > learnable
@@ -60,7 +64,7 @@ object TokenizerOps {
             .otherwise(expr(
               "replace(s, ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
             .as("s"))
-        .localCheckpoint() // truncate per-iteration lineage
+        .localCheckpoint()
       top.select(lit(i).as("iter"), col("pa"), col("pb"), col("cnt"))
     }
     merges.reduce(_ unionAll _).filter(col("pa").isNotNull)

@@ -267,13 +267,19 @@ object PipelineQueries extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
-  // SQL — RECURSIVE CTE surface (Spark 4 WITH RECURSIVE, executed as
-  // iterative frontier joins): binary-heap hierarchy over customer
-  // keys (parent(k) = ⌊k/2⌋), descendants of the root with depth,
-  // aggregated per level. Both engines run the SAME recursive SQL —
-  // semantics checked engine-to-engine, ~⌈log2 N⌉ iterations, each a
-  // key equi-join of the table against the previous frontier (no
-  // driver loop; the fixpoint lives in the engine).
+  // SQL — recursive-hierarchy traversal: binary-heap hierarchy over
+  // customer keys (parent(k) = ⌊k/2⌋), descendants of the root with
+  // depth, aggregated per level. The oracle states the semantics as a
+  // recursive CTE; the Spark side runs the equivalent ITERATIVE
+  // frontier loop over a cached 2-column key frame — each round is
+  // one equi-join of the frontier against the keys (broadcast here;
+  // the same loop shuffle-joins when a frontier outgrows broadcast),
+  // with lineage truncated every 4 rounds (the connectedComponents
+  // cadence: the logical plan would otherwise double per round).
+  // Spark 4's native WITH RECURSIVE surface is exercised by
+  // `sql_recursive_cte_native` below; the native loop re-executes its
+  // body plan per iteration with fixed per-stage cost that dominates
+  // at ⌈log2 N⌉ depths, so the hand-rolled loop is the headline plan.
   q("sql_recursive_cte",
     """WITH RECURSIVE d(k, depth) AS (
       |  SELECT CAST(1 AS BIGINT), 0
@@ -283,13 +289,59 @@ object PipelineQueries extends QueryPack {
       |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n,
       |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
       |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
+    val keys = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("k"),
+        floor(col("c_custkey") / 2.0).cast("long").as("parent_k"))
+      .cache()
+    // depth bound is structural, not discovered: parent(k) = ⌊k/2⌋
+    // puts key k at depth ⌊log2 k⌋, so ⌊log2 max(k)⌋ rounds suffice —
+    // ONE scalar aggregate replaces a per-round emptiness check
+    val maxK = keys.agg(max("k")).head().getLong(0)
+    val maxDepth = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxK))).toInt
+    var frontier = s.range(1, 2).select(col("id").as("k"), lit(0).as("depth"))
+    val levels = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    levels += frontier
+    for (d <- 1 to maxDepth) {
+      frontier = keys.join(broadcast(frontier.select(col("k").as("pk"))),
+          col("parent_k") === col("pk"))
+        .select(col("k"), lit(d).as("depth"))
+      // every frontier is referenced TWICE (next round's broadcast +
+      // the final per-level union): cache each so neither consumer
+      // re-executes the join chain; truncate lineage every 4 rounds
+      frontier = if (d % 4 == 0) frontier.localCheckpoint() else frontier.cache()
+      levels += frontier
+    }
+    levels.result().reduce(_ unionAll _)
+      .groupBy(col("depth").cast("int").as("depth"))
+      .agg(count(lit(1)).as("n"),
+        min("k").cast("long").as("min_k"), max("k").cast("long").as("max_k"))
+      .orderBy("depth")
+  }
+
+  // SQL — native WITH RECURSIVE surface (Spark 4 UnionLoop): BOTH
+  // engines run the SAME recursive SQL text, checked engine-to-engine
+  // — the declarative fixpoint lives in the engine, no driver loop.
+  // Scoped to the top 10 levels of the hierarchy: the surface check
+  // needs the recursion semantics, not the full depth (the headline
+  // full-depth traversal is sql_recursive_cte above).
+  q("sql_recursive_cte_native",
+    """WITH RECURSIVE d(k, depth) AS (
+      |  SELECT CAST(1 AS BIGINT), 0
+      |  UNION ALL
+      |  SELECT c.c_custkey, d.depth + 1
+      |  FROM customer c JOIN d ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = d.k
+      |  WHERE c.c_custkey < 1024)
+      |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+      |FROM d GROUP BY depth ORDER BY depth""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
     s.sql(
       """WITH RECURSIVE d(k, depth) AS (
         |  SELECT CAST(1 AS BIGINT), 0
         |  UNION ALL
         |  SELECT c.c_custkey, d.depth + 1
-        |  FROM customer c JOIN d ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = d.k)
+        |  FROM customer c JOIN d ON CAST(floor(c.c_custkey / 2.0) AS BIGINT) = d.k
+        |  WHERE c.c_custkey < 1024)
         |SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin)
