@@ -1178,24 +1178,46 @@ object CoreQueries extends QueryPack {
   }
 
   // A6b — the 100TB-scale distinct-count variant: HLL++ sketch
-  // (approx_count_distinct). Sketch internals differ per engine →
-  // rows-only check; the spec suite bounds its error vs exact.
-  q("a6_approx_distinct", null) { (s, dir) =>
+  // (approx_count_distinct). Sketch internals differ per engine, so
+  // the driver-hashed row carries the EXACT count plus a boolean
+  // pinning the estimate inside its error bound (rsd 0.05 default;
+  // the pin is 3×rsd — HLL on a fixed dataset is deterministic, so a
+  // locally-verified margin holds on the driver). The oracle computes
+  // the exact count and a literal true.
+  q("a6_approx_distinct",
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  true AS within_bound
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(approx_count_distinct("o_custkey").as("approx_customers"))
+      .agg(countDistinct("o_custkey").as("exact_customers"),
+        approx_count_distinct("o_custkey").as("__est"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("__est") - col("exact_customers")) <=
+          col("exact_customers") * lit(0.15)).as("within_bound"))
       .orderBy("o_orderpriority")
   }
 
   // A6c — our own mergeable sketch aggregate (TypedImperativeAggregate
-  // with serialized partial buffers): KMV distinct estimate.
-  // Deterministic and partitioning-insensitive, but hash-specific →
-  // rows-only; KmvSketchSpec bounds its error.
-  q("a6_kmv_distinct", null) { (s, dir) =>
+  // with serialized partial buffers): KMV distinct estimate, k=256 →
+  // rsd ≈ 1/√(k−2) ≈ 6.3%; the hashed row pins |est−exact| ≤ 20%
+  // (deterministic + partitioning-insensitive per KmvSketchSpec, so
+  // the locally-measured margin transfers). Exact column + literal
+  // true on the oracle side.
+  q("a6_kmv_distinct",
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_customers,
+      |  true AS within_bound
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "orders")
       .groupBy("o_orderpriority")
-      .agg(org.apache.spark.sql.graftx.KmvDistinctSketch
-        .kmvDistinct(col("o_custkey"), k = 256).as("kmv_customers"))
+      .agg(countDistinct("o_custkey").as("exact_customers"),
+        org.apache.spark.sql.graftx.KmvDistinctSketch
+          .kmvDistinct(col("o_custkey"), k = 256).as("__est"))
+      .select(col("o_orderpriority"), col("exact_customers"),
+        (abs(col("__est") - col("exact_customers")) <=
+          col("exact_customers") * lit(0.20)).as("within_bound"))
       .orderBy("o_orderpriority")
   }
 
@@ -1203,21 +1225,51 @@ object CoreQueries extends QueryPack {
   // per-segment sketches built in one pass, then inclusion–exclusion
   // (|A|+|B|−|A∪B|) over the unioned sketches — the cross-segment
   // overlap question answered from per-segment summaries without ever
-  // re-scanning or joining the raw membership sets. Deterministic but
-  // hash-specific → rows-only; KmvOverlapSpec bounds the error.
-  q("a6_kmv_overlap", null) { (s, dir) =>
+  // re-scanning or joining the raw membership sets. Hash-specific
+  // estimates → the hashed row carries the EXACT audience sizes plus
+  // booleans pinning each estimate in its KMV error envelope
+  // (per-segment/union 20% relative; the overlap difference 15% of
+  // the union, since it compounds three estimates). Deterministic and
+  // partitioning-insensitive (KmvOverlapSpec), so locally-verified
+  // margins transfer to the driver.
+  q("a6_kmv_overlap",
+    """SELECT
+      |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS exact_click,
+      |  count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS exact_purchase,
+      |  count(DISTINCT user_id) AS exact_union,
+      |  count(DISTINCT CASE WHEN event_type = 'click' THEN user_id END)
+      |    + count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END)
+      |    - count(DISTINCT user_id) AS exact_overlap,
+      |  true AS click_ok, true AS purchase_ok, true AS union_ok, true AS overlap_ok
+      |FROM events WHERE event_type IN ('click', 'purchase')""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.KmvDistinctSketch.{kmvDistinct, kmvSketch, kmvUnionEstimate}
-    val perType = Tables.load(s, dir, "events")
+    val seg = Tables.load(s, dir, "events")
       .filter(col("event_type").isin("click", "purchase"))
+    // k=1024 (rsd ≈ 3.1%): the overlap difference compounds three
+    // estimates, so the sketch gets 4× the budget of the single-set
+    // query — still 8 KB per segment, nothing at 100 TB
+    val est = seg
       .groupBy("event_type")
-      .agg(kmvSketch(col("user_id")).as("sk"),
-        kmvDistinct(col("user_id")).as("est"))
-    perType.agg(
-      max(when(col("event_type") === "click", col("est"))).as("est_click"),
-      max(when(col("event_type") === "purchase", col("est"))).as("est_purchase"),
-      kmvUnionEstimate(col("sk")).as("est_union"))
+      .agg(kmvSketch(col("user_id"), k = 1024).as("sk"),
+        kmvDistinct(col("user_id"), k = 1024).as("est"))
+      .agg(
+        max(when(col("event_type") === "click", col("est"))).as("est_click"),
+        max(when(col("event_type") === "purchase", col("est"))).as("est_purchase"),
+        kmvUnionEstimate(col("sk"), k = 1024).as("est_union"))
       .select(col("est_click"), col("est_purchase"), col("est_union"),
         (col("est_click") + col("est_purchase") - col("est_union")).as("est_overlap"))
+    val exact = seg.agg(
+      countDistinct(when(col("event_type") === "click", col("user_id"))).as("exact_click"),
+      countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("exact_purchase"),
+      countDistinct(col("user_id")).as("exact_union"))
+      .withColumn("exact_overlap",
+        col("exact_click") + col("exact_purchase") - col("exact_union"))
+    exact.crossJoin(est).select(
+      col("exact_click"), col("exact_purchase"), col("exact_union"), col("exact_overlap"),
+      (abs(col("est_click") - col("exact_click")) <= col("exact_click") * lit(0.20)).as("click_ok"),
+      (abs(col("est_purchase") - col("exact_purchase")) <= col("exact_purchase") * lit(0.20)).as("purchase_ok"),
+      (abs(col("est_union") - col("exact_union")) <= col("exact_union") * lit(0.20)).as("union_ok"),
+      (abs(col("est_overlap") - col("exact_overlap")) <= col("exact_union") * lit(0.15)).as("overlap_ok"))
   }
 
   // A16 — Count-Min-Sketch frequency estimates (completing the sketch
@@ -1225,17 +1277,32 @@ object CoreQueries extends QueryPack {
   // frequencies). The few-KB mergeable sketch is the only thing that
   // leaves the executors; probe items are estimated against it on the
   // driver — the serve-frequencies-without-a-groupBy pattern.
-  // Hash-layout-specific bytes → rows-only; CmsFreqSpec bounds the
-  // overestimate at eps·N and checks the one-sided guarantee.
-  q("a16_cms_freq", null) { (s, dir) =>
+  // Hash-layout-specific bytes → the hashed row carries the EXACT
+  // per-type count plus a boolean pinning the CMS guarantee:
+  // exact ≤ est ≤ exact + eps·N (one-sided overcount, eps = 0.001,
+  // fixed seed → deterministic on fixed data; CmsFreqSpec proves the
+  // envelope under merges). Oracle: exact counts + literal true.
+  q("a16_cms_freq",
+    """SELECT event_type, count(*) AS exact_count, true AS within_bound
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val bytes = Tables.load(s, dir, "events")
+    val ev = Tables.load(s, dir, "events")
+    val bytes = ev
       .select(count_min_sketch(col("event_type"), lit(0.001), lit(0.99), lit(42)).as("sk"))
       .head.getAs[Array[Byte]](0)
     val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
       new java.io.ByteArrayInputStream(bytes))
-    PipelineQueries.eventTypes.map(t => (t, cms.estimateCount(t)))
-      .toDF("event_type", "est_count").orderBy("event_type")
+    val est = PipelineQueries.eventTypes.map(t => (t, cms.estimateCount(t)))
+      .toDF("event_type", "est_count")
+    val exact = ev.groupBy("event_type").agg(count(lit(1)).as("exact_count"))
+    val total = exact.agg(sum("exact_count").as("__n"))
+    exact.join(est, Seq("event_type"))
+      .crossJoin(total)
+      .select(col("event_type"), col("exact_count"),
+        (col("est_count") >= col("exact_count") &&
+          col("est_count") <= col("exact_count") + ceil(col("__n") * lit(0.001)))
+          .as("within_bound"))
+      .orderBy("event_type")
   }
 
   // J5 — as-of join (engine extra; the classic event-to-dimension-
@@ -1597,67 +1664,146 @@ object CoreQueries extends QueryPack {
   }
 
   // A11b — the sketch variant for 100TB: approx_percentile (Spark's
-  // Greenwald-Khanna quantile summary, bounded memory, mergeable);
-  // rows-only (sketch internals differ).
-  // Projected to SCALAR columns (element_at) — the driver checker
-  // sorts rows by every column and cannot hash array cells.
-  q("a11_approx_percentiles", null) { (s, dir) =>
+  // Greenwald-Khanna quantile summary, bounded memory, mergeable).
+  // Sketch internals differ per engine, so the hashed row carries the
+  // EXACT percentiles plus booleans pinning each estimate inside the
+  // rank window [q−0.01, q+0.01] computed over the exact data —
+  // 10× the summary's 1/accuracy=0.001 rank-error guarantee, and
+  // rank windows are partitioning-insensitive where raw estimates are
+  // not. Oracle: exact quantiles + literal trues.
+  q("a11_approx_percentiles",
+    s"""SELECT l_returnflag,
+       |  ${sqlR4("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+       |  ${sqlR4("quantile_cont(l_quantity, 0.9)")} AS p90_qty,
+       |  true AS p50_ok, true AS p90_ok
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("approx_q"))
-      .select(col("l_returnflag"),
-        element_at(col("approx_q"), 1).as("p50_qty"),
-        element_at(col("approx_q"), 2).as("p90_qty"))
+      .agg(
+        expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("__est"),
+        r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+        r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        expr("percentile(l_quantity, 0.49)").as("__lo50"),
+        expr("percentile(l_quantity, 0.51)").as("__hi50"),
+        expr("percentile(l_quantity, 0.89)").as("__lo90"),
+        expr("percentile(l_quantity, 0.91)").as("__hi90"))
+      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
+        element_at(col("__est"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
+        element_at(col("__est"), 2).between(col("__lo90"), col("__hi90")).as("p90_ok"))
       .orderBy("l_returnflag")
   }
 
   // A11c — t-digest quantiles (own mergeable TypedImperativeAggregate,
   // graftx.TDigestQuantiles): rank error proportional to q(1-q), so
   // tails (p99) beat a uniform-error summary of the same size.
-  // Merge-order dependent → rows-only; TDigestSpec bounds the error.
-  q("a11_tdigest", null) { (s, dir) =>
+  // Merge-order dependent values → the hashed row carries the EXACT
+  // quantiles plus booleans pinning each digest estimate inside a
+  // rank window over the exact data (±0.02 at the median, [0.975, 1]
+  // at p99 — both ≥2× the TDigestSpec error envelope, and rank
+  // windows survive any partitioning). Oracle: exact + literal trues.
+  q("a11_tdigest",
+    s"""SELECT l_returnflag,
+       |  ${sqlR4("quantile_cont(l_extendedprice, 0.5)")} AS p50_price,
+       |  ${sqlR4("quantile_cont(l_extendedprice, 0.99)")} AS p99_price,
+       |  true AS p50_ok, true AS p99_ok
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.TDigest.tdigestQuantiles
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(tdigestQuantiles(col("l_extendedprice"), Seq(0.5, 0.99), 100).as("qq"))
-      .select(col("l_returnflag"),
-        element_at(col("qq"), 1).as("p50_price"),
-        element_at(col("qq"), 2).as("p99_price"))
+      .agg(tdigestQuantiles(col("l_extendedprice"), Seq(0.5, 0.99), 100).as("__qq"),
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
+        r4(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"),
+        expr("percentile(l_extendedprice, 0.48)").as("__lo50"),
+        expr("percentile(l_extendedprice, 0.52)").as("__hi50"),
+        expr("percentile(l_extendedprice, 0.975)").as("__lo99"),
+        max(col("l_extendedprice")).as("__hi99"))
+      .select(col("l_returnflag"), col("p50_price"), col("p99_price"),
+        element_at(col("__qq"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
+        element_at(col("__qq"), 2).between(col("__lo99"), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 
   // A11e — WEIGHTED quantiles (importance-weighted corpora): each
   // price contributes its quantity as sample weight. Plain SQL has no
   // weighted percentile short of row explosion; the digest takes the
-  // weight directly. Rows-only; TDigestWeightedSpec checks against
-  // the exact weight-expanded multiset.
-  q("a11_tdigest_weighted", null) { (s, dir) =>
+  // weight directly. The hashed row pins each digest estimate inside
+  // a weighted-RANK window computed exactly Spark-side (cumulative
+  // weight over the per-group price sort: value at rank (q±δ)·W),
+  // alongside the total weight the oracle can state in plain SQL.
+  q("a11_tdigest_weighted",
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_w,
+      |  true AS p50_ok, true AS p99_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.TDigest.tdigestWeightedQuantiles
-    Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(tdigestWeightedQuantiles(col("l_extendedprice"),
-        col("l_quantity").cast("long"), Seq(0.5, 0.99), 100).as("qq"))
-      .select(col("l_returnflag"),
-        element_at(col("qq"), 1).as("p50_price_wtd"),
-        element_at(col("qq"), 2).as("p99_price_wtd"))
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("w"))
+    // exact weighted rank: cumulative weight over the price sort; the
+    // window value at rank r·W is min(price | cumw ≥ r·W) — ties in
+    // price give identical answers under any within-tie order
+    val cum = li
+      .withColumn("cw", sum("w").over(
+        Window.partitionBy("l_returnflag").orderBy("price")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("W", sum("w").over(Window.partitionBy("l_returnflag")))
+    val bounds = cum.groupBy("l_returnflag").agg(
+      max("W").as("total_w"),
+      min(when(col("cw") >= col("W") * 0.48, col("price"))).as("__lo50"),
+      min(when(col("cw") >= col("W") * 0.52, col("price"))).as("__hi50"),
+      min(when(col("cw") >= col("W") * 0.975, col("price"))).as("__lo99"),
+      max(col("price")).as("__hi99"))
+    val est = li.groupBy("l_returnflag")
+      .agg(tdigestWeightedQuantiles(col("price"), col("w"),
+        Seq(0.5, 0.99), 100).as("__qq"))
+    bounds.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("total_w"),
+        element_at(col("__qq"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
+        element_at(col("__qq"), 2).between(col("__lo99"), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 
   // A11d — the t-digest ROLLUP pattern at 100 TB: one digest per
   // (returnflag, shard) materialized in a single pass, then
   // per-returnflag quantiles recovered by unioning shard digests —
-  // no raw re-scan. TDigestAlgebraSpec bounds union-vs-direct error.
-  q("a11_tdigest_rollup", null) { (s, dir) =>
+  // no raw re-scan. The hashed row pins the union-digest estimates
+  // inside rank windows over the exact data (±0.03 at the median —
+  // wider than the direct digest, since TDigestAlgebraSpec bounds the
+  // extra union-vs-direct drift; [0.97, 1] at p99).
+  q("a11_tdigest_rollup",
+    s"""SELECT l_returnflag,
+       |  ${sqlR4("quantile_cont(l_extendedprice, 0.5)")} AS p50_price,
+       |  ${sqlR4("quantile_cont(l_extendedprice, 0.99)")} AS p99_price,
+       |  true AS p50_ok, true AS p99_ok
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.TDigest.{tdigestSketch, tdigestUnionQuantiles}
-    val perShard = Tables.load(s, dir, "lineitem")
+    val li = Tables.load(s, dir, "lineitem")
+    val perShard = li
       .groupBy(col("l_returnflag"), pmod(col("l_suppkey"), lit(16)).as("shard"))
       .agg(tdigestSketch(col("l_extendedprice"), 100).as("dig"))
-    perShard
+    val est = perShard
       .groupBy("l_returnflag")
-      .agg(tdigestUnionQuantiles(col("dig"), Seq(0.5, 0.99), 100).as("qq"))
-      .select(col("l_returnflag"),
-        element_at(col("qq"), 1).as("p50_price"),
-        element_at(col("qq"), 2).as("p99_price"))
+      .agg(tdigestUnionQuantiles(col("dig"), Seq(0.5, 0.99), 100).as("__qq"))
+    val exact = li.groupBy("l_returnflag").agg(
+      r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
+      r4(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"),
+      expr("percentile(l_extendedprice, 0.47)").as("__lo50"),
+      expr("percentile(l_extendedprice, 0.53)").as("__hi50"),
+      expr("percentile(l_extendedprice, 0.97)").as("__lo99"),
+      max(col("l_extendedprice")).as("__hi99"))
+    exact.join(est, "l_returnflag")
+      .select(col("l_returnflag"), col("p50_price"), col("p99_price"),
+        element_at(col("__qq"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
+        element_at(col("__qq"), 2).between(col("__lo99"), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 

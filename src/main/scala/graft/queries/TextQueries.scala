@@ -642,16 +642,39 @@ object TextQueries extends QueryPack {
   // One-pass heavy hitters over the token stream (Misra-Gries k=12):
   // the "top domains/tokens in 100 TB" answer with 12 counters per
   // partial buffer instead of a groupBy over every distinct key.
-  // Rows-only: MG counts are partitioning-dependent lower bounds; the
-  // coverage + error-bound guarantees are spec-asserted.
-  q("tx_heavy_hitters", null) { (s, dir) =>
+  // MG counts are partitioning-dependent lower bounds, so the hashed
+  // row pins the sketch's WORST-CASE GUARANTEES against an exact
+  // count twin instead of the counts themselves: (a) every token with
+  // true count > N/(k+1) is present ("heavy_covered"), (b) every
+  // reported count is ≤ truth and undercounts by at most N/(k+1)
+  // ("bounds_ok") — both deterministic properties of the algorithm
+  // (MgSketchSpec proves them under 1 and 13 partitions). Oracle:
+  // the token total + literal trues.
+  q("tx_heavy_hitters",
+    """SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  true AS heavy_covered, true AS bounds_ok
+      |FROM documents""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.MgHeavyHitters.mgHeavyHitters
-    Tables.load(s, dir, "documents")
+    val k = 12
+    val tok = Tables.load(s, dir, "documents")
       .select(explode(tokens(col("text"))).as("token"))
-      .agg(mgHeavyHitters(col("token"), k = 12).as("hh"))
+    val exact = tok.groupBy("token").agg(count(lit(1)).as("c")).cache()
+    val nRow = exact.agg(sum("c").as("n_tokens"))
+    val mg = tok.agg(mgHeavyHitters(col("token"), k = k).as("hh"))
       .select(explode(col("hh")).as("e"))
       .select(col("e.item").as("item"), col("e.min_count").as("min_count"))
-      .orderBy(col("min_count").desc, col("item"))
+    val boundsOk = mg.join(exact, mg("item") === exact("token"))
+      .crossJoin(nRow)
+      .agg(coalesce(min(
+        col("min_count") <= col("c") &&
+          col("min_count") >= col("c") - floor(col("n_tokens") / lit(k + 1))),
+        lit(true)).as("bounds_ok"))
+    val covered = exact.crossJoin(nRow)
+      .filter(col("c") > col("n_tokens") / lit((k + 1).toDouble))
+      .join(mg, exact("token") === mg("item"), "left_anti")
+      .agg((count(lit(1)) === 0).as("heavy_covered"))
+    nRow.crossJoin(covered).crossJoin(boundsOk)
+      .select(col("n_tokens"), col("heavy_covered"), col("bounds_ok"))
   }
 
   // Incremental exact dedup: docs < 250 play the historical corpus
