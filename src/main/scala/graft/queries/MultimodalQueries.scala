@@ -59,26 +59,38 @@ object MultimodalQueries extends QueryPack {
   // (byte-8-gram feature hashing — locality-sensitive like a real
   // encoder, so near-identical payloads land at cosine ≈1 while
   // unrelated ones sit ≤0.62 on this corpus) → banded RHP LSH
-  // near-dup pairs at τ=0.9 — the media twin of dd_simhash.
-  // Rows-only: the byte-gram embedding is not SQL-expressible.
-  q("mm_embed_neardup", null) { (s, dir) =>
+  // near-dup pairs at τ=0.9 — the media twin of dd_simhash. The
+  // byte-gram embedding is not SQL-expressible, so the hashed row
+  // pins measured recall vs the brute-force cosine twin over the SAME
+  // stub embeddings at ≥ 0.9 (measured 1.0 at every sf). Oracle: doc
+  // count + literal true.
+  q("mm_embed_neardup",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS recall_ok
+      |FROM documents""".stripMargin) { (s, dir) =>
     import graft.operators.SimilarityOps
-    import graft.functions.DetRound.r4
     // materialize the encoder output once (the in-job stand-in for the
     // persisted embeddings table a real pipeline writes) — the LSH pair
-    // op references its input 4×, and an unmaterialized plan would
-    // re-run extraction each time (see Multimodal.stubEmbedding docs)
+    // op references its input 4× and the exact twin twice more; an
+    // unmaterialized plan would re-run extraction each time
+    val docs = Tables.load(s, dir, "documents")
     val emb = Multimodal.stubEmbedding(
-      Multimodal.withPayload(Tables.load(s, dir, "documents")), dim = 64)
+      Multimodal.withPayload(docs), dim = 64)
       .localCheckpoint()
     // 24 bands × 12 bits: ≥99.9% recall for pairs at cos ≥0.944 (the
     // weakest true pair on this corpus) while buckets stay ~singleton
     // (4096/band for 5k docs), so candidate volume ≈ true pairs — the
     // geometry that scales: more docs → raise bitsPerBand, not buckets
-    SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
+    val lsh = SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
         dim = 64, bands = 24, bitsPerBand = 12, minSim = 0.9)
-      .withColumn("cos", r4(col("cos")))
-      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+    val exact = SimilarityOps.cosinePairs(emb, "doc_id", "embedding", minSim = 0.9)
+      .select(col("id_a"), col("id_b"))
+    val stats = exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("__n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(stats)
+      .select(col("n_docs"),
+        (coalesce(col("__hits"), lit(0)) >= col("__n_exact") * lit(0.9)).as("recall_ok"))
   }
 
   // Segment-hash media near-dup: docs sharing ≥1 identical full

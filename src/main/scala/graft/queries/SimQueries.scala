@@ -65,33 +65,64 @@ object SimQueries extends QueryPack {
   }
 
   // LSH-bucketed ANN — the 100TB scale path (bucket join instead of a
-  // cross join): 6 independent 10-bit hash tables from one 60-bit RHP
-  // signature, skew-capped buckets, exact cosine only on candidates.
-  // Deterministic random-hyperplane construction, but not
-  // ANSI-SQL-expressible → rows-only check.
-  q("ann_lsh_topk", null) { (s, dir) =>
-    // 8 tables, radius-1 multiprobe, bits/band = log₂(n/32) — the band
-    // width GROWS with the corpus so E[bucket] stays ~32 (fixed 5-bit
-    // bands were the r5 scale flaw: E[bucket] ∝ n, candidates ∝ n²,
-    // and the old absolute bucket cap then zeroed recall at 100×).
-    // Measured recall vs brute force: 0.966 sf0.001 / 0.969 sf0.01
-    // (5 bits there) — the sf-pinned corpus-recall spec guards drift.
-    // IVF probe search (ann_ivf_search) remains the other scale path.
-    SimilarityOps.lshTopKAuto(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", dim = 64, bands = 8, k = 5)
-      .orderBy("query_id", "rank")
+  // cross join): 8 independent hash tables, radius-1 multiprobe,
+  // bits/band = log₂(n/32) so E[bucket] stays ~32 as the corpus grows
+  // (fixed 5-bit bands were the r5 scale flaw: E[bucket] ∝ n,
+  // candidates ∝ n², and the old absolute bucket cap then zeroed
+  // recall at 100×). The LSH hyperplanes are deterministic but not
+  // ANSI-SQL-expressible, so the driver-hashed row pins the MEASURED
+  // top-5 recall against the brute-force twin computed in the same
+  // query: recall ≥ 0.9 (measured 0.97 sf0.01 / 0.92 sf0.1; the
+  // LshRecallSpec threshold). Oracle: corpus counts + literal true.
+  q("ann_lsh_topk",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(5 * count(*) AS BIGINT) AS n_exact,
+      |  true AS recall_ok
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val lsh = SimilarityOps.lshTopKAuto(emb, "vec_id", "embedding",
+        dim = 64, bands = 8, k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val exact = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val stats = exact.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    emb.agg(count(lit(1)).as("n_vectors")).crossJoin(stats)
+      .select(col("n_vectors"), col("n_exact"),
+        (col("__hits") >= col("n_exact") * lit(0.9)).as("recall_ok"))
   }
 
   // IVF probe search end-to-end: centroids seeded from `label`, corpus
   // re-assigned to nearest centroid, each query probes the 3 nearest
   // cells and runs exact top-k inside them (the other scale path:
   // cell = equi-join key, queries scan ~nprobe/nCells of the corpus).
-  // Rows-only: probe pruning is not ANSI-SQL-expressible.
-  q("ann_ivf_search", null) { (s, dir) =>
+  // The hashed row pins measured recall vs the brute-force twin at
+  // ≥ 0.4: THIS corpus is near-isotropic, so IVF recall is bounded by
+  // probe mass (3 of 8 cells ≈ 0.375) plus geometric concentration —
+  // measured 0.48–0.58 across sf. On a corpus with cluster structure
+  // (where IVF is the right index) the same operator holds ≥ 0.9
+  // (LshRecallSpec's clustered-geometry test); the pin here checks
+  // the probe machinery finds MORE than its probe mass, i.e. the
+  // cells are geometric and not arbitrary.
+  q("ann_ivf_search",
+    """SELECT CAST(count(CASE WHEN vec_id < 10 THEN 1 END) AS BIGINT) AS n_queries,
+      |  CAST(5 * count(CASE WHEN vec_id < 10 THEN 1 END) AS BIGINT) AS n_exact,
+      |  true AS recall_ok
+      |FROM embeddings""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
-    SimilarityOps.ivfSearch(emb.filter(col("vec_id") < 10), emb,
+    val q10 = emb.filter(col("vec_id") < 10)
+    val ivf = SimilarityOps.ivfSearch(q10, emb,
         "vec_id", "embedding", "label", nprobe = 3, k = 5)
-      .orderBy("query_id", "rank")
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val exact = SimilarityOps.bruteForceTopK(q10, emb, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val stats = exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    q10.agg(count(lit(1)).as("n_queries")).crossJoin(stats)
+      .select(col("n_queries"), col("n_exact"),
+        (col("__hits") >= col("n_exact") * lit(0.4)).as("recall_ok"))
   }
 
   // Int8 scalar quantization roundtrip: per-vector quantized checksum
@@ -176,30 +207,69 @@ object SimQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
-  // IVF training end-to-end: 3 Lloyd iterations from deterministic
-  // hash init, reported as per-cell population + mean
-  // centroid-affinity. Deterministic but iterative float avgs are not
-  // reasonably ANSI-SQL-expressible → rows-only; the k-means
-  // distortion-descent invariant is spec-asserted.
-  q("ann_ivf_train", null) { (s, dir) =>
-    SimilarityOps.trainIvf(Tables.load(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 3)
-      .groupBy(col("assigned_cell"))
-      .agg(count(lit(1)).as("n"), r4(avg(col("cos"))).as("mean_cos"))
-      .orderBy("assigned_cell")
+  // IVF training end-to-end: Lloyd iterations from deterministic hash
+  // init. Iterative float means aren't reasonably ANSI-SQL-expressible,
+  // so the hashed row pins the training INVARIANTS instead of raw
+  // centroids: every vector assigned exactly once to a valid cell,
+  // and mean centroid-affinity after 3 iterations ≥ after 1 (the
+  // k-means descent direction; measured +21% at every sf). Oracle:
+  // corpus count + literal trues.
+  q("ann_ivf_train",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  true AS all_assigned, true AS cells_valid, true AS affinity_improved
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val after1 = SimilarityOps.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 1)
+      .agg(avg("cos").as("__a1"))
+    val a3 = SimilarityOps.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val stats3 = a3.agg(count(lit(1)).as("__n_assigned"),
+      countDistinct(col("id")).as("__n_ids"),
+      min("assigned_cell").as("__min_c"), max("assigned_cell").as("__max_c"),
+      avg("cos").as("__a3"))
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(stats3).crossJoin(after1)
+      .select(col("n_vectors"),
+        (col("__n_assigned") === col("n_vectors") &&
+          col("__n_ids") === col("n_vectors")).as("all_assigned"),
+        (col("__min_c") >= 0 && col("__max_c") <= 7).as("cells_valid"),
+        (col("__a3") >= col("__a1")).as("affinity_improved"))
   }
 
   // Embedding near-dup, FIRST-CLASS plan: banded RHP LSH candidates
   // (radius-1 multiprobe) + exact-cosine verification — equi-joins
   // only, no BroadcastNestedLoopJoin (asserted in the plan spec).
   // Threshold 0.45 sits where this corpus actually HAS pairs (its
-  // strongest pair is cos≈0.51), so the check returns rows instead of
-  // vacuously matching on empty; recall vs the exact twin is
-  // spec-asserted on planted geometry.
-  q("dd_embedding_lsh", null) { (s, dir) =>
-    SimilarityOps.embeddingLshPairsAuto(Tables.load(s, dir, "embeddings"),
+  // strongest pair is cos≈0.51), so the check pins a non-vacuous
+  // recall. The hashed row carries the exact-twin PAIR COUNT (the
+  // oracle recomputes it with DuckDB list arithmetic — bit-identical
+  // cosine folds) plus measured recall ≥ 0.9 (measured 1.0 sf0.01 /
+  // 0.993 sf0.1).
+  q("dd_embedding_lsh",
+    """WITH v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings)
+      |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val lsh = SimilarityOps.embeddingLshPairsAuto(emb,
         "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.45)
-      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+    val exact = SimilarityOps.cosinePairs(emb, "vec_id", "embedding", minSim = 0.45)
+      .select(col("id_a"), col("id_b"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .select(col("n_exact_pairs"),
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact_pairs") * lit(0.9)).as("recall_ok"))
   }
 
   // Embedding-cosine near-duplicate detection, the exact oracle twin
@@ -285,13 +355,52 @@ object SimQueries extends QueryPack {
   // checked by `gr_components_star` + StarCcSpec) is the right tool
   // when diameter is unknown/deep; min-label now WARNS if it exits
   // unconverged instead of silently mislabeling.
-  q("dd_embedding_clusters_lsh", null) { (s, dir) =>
+  // The hashed row pins per-vector label AGREEMENT between the LSH
+  // plan and the exact-pairs plan at ≥ 0.95 (the LshRecallSpec
+  // threshold; measured 1.0 sf0.01 / 0.959 sf0.1) alongside the
+  // exact cluster count the oracle recomputes via transitive closure.
+  q("dd_embedding_clusters_lsh",
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |  WHERE list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(generate_series(1, len(a.embedding)),
+      |          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.4),
+      |edges AS (
+      |  SELECT id_a AS a, id_b AS b FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT e.a, reach.r FROM reach JOIN edges e ON e.b = reach.id),
+      |cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_exact_clusters,
+      |  true AS agreement_ok
+      |FROM cl""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
-    val pairs = SimilarityOps.embeddingLshPairsAuto(
-      emb, "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.4)
-    graft.operators.RelationalOps.connectedComponents(
+    def cc(pairs: org.apache.spark.sql.DataFrame) =
+      graft.operators.RelationalOps.connectedComponents(
         emb.select(col("vec_id")), "vec_id", pairs, "id_a", "id_b")
-      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"))
-      .orderBy("vec_id")
+    val exact = cc(SimilarityOps.cosinePairs(emb, "vec_id", "embedding", minSim = 0.4))
+      .select(col("vec_id"), col("cluster_id").as("__ce"))
+    val lsh = cc(SimilarityOps.embeddingLshPairsAuto(
+        emb, "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.4))
+      .select(col("vec_id"), col("cluster_id").as("__cl"))
+    exact.join(lsh, "vec_id")
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("__ce")).as("n_exact_clusters"),
+        avg(when(col("__ce") === col("__cl"), 1.0).otherwise(0.0)).as("__agree"))
+      .select(col("n_vectors"), col("n_exact_clusters"),
+        (col("__agree") >= 0.95).as("agreement_ok"))
   }
 }

@@ -623,20 +623,70 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
-  // MinHash+LSH near-dup candidates, exact-verified (deterministic but
-  // not ANSI-SQL-expressible → rows-only correctness check).
-  q("dd_minhash_lsh", null) { (s, dir) =>
-    DedupOps.minHashLshPairs(Tables.load(s, dir, "documents"),
+  // MinHash+LSH near-dup candidates, exact-verified. The minhash
+  // construction isn't ANSI-SQL-expressible, so the hashed row pins
+  // measured recall vs the UNCAPPED exact n-gram Jaccard twin at
+  // ≥ 0.9 (measured 1.0 at every sf — banded signatures + exact
+  // verification recover the full pair set on this corpus), alongside
+  // the exact-twin pair count the oracle recomputes in SQL.
+  q("dd_minhash_lsh",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |ngr AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(t) >= 3 THEN list_transform(
+      |      generate_series(1, len(t) - 2),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [] END) AS ng
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ng FROM ngr),
+      |ex AS (SELECT doc_id, unnest(ng) AS g FROM ngr),
+      |shared AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs, true AS recall_ok
+      |FROM shared
+      |JOIN sizes sa ON sa.doc_id = id_a
+      |JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE shared / (sa.n_ng + sb.n_ng - shared) >= 0.2""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val lsh = DedupOps.minHashLshPairs(docs,
         "doc_id", "text", n = 3, bands = 8, rowsPerBand = 4, minSim = 0.2)
-      .withColumn("jaccard", r4(col("jaccard")))
-      .orderBy("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minSim = 0.2, maxPosting = None)
+      .select(col("id_a"), col("id_b"))
+    exact.join(lsh, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact_pairs"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+      .select(col("n_exact_pairs"),
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact_pairs") * lit(0.9)).as("recall_ok"))
   }
 
-  // SimHash near-dup pairs, Hamming ≤ 3 (rows-only: bit-level op).
-  q("dd_simhash", null) { (s, dir) =>
-    DedupOps.simHashPairs(Tables.load(s, dir, "documents"),
-        "doc_id", "text", maxHamming = 3)
-      .orderBy("id_a", "id_b")
+  // SimHash near-dup pairs, Hamming ≤ 3. The 4×16-band pigeonhole is
+  // COMPLETE for ≤3 bit flips, so this one pins EXACTNESS, not
+  // recall: the banded candidate join must return the identical pair
+  // set as a brute-force Hamming scan over the same signatures
+  // (SimHashExactnessSpec proves the property; here the driver hashes
+  // it against the real corpus). Oracle: doc count + literal true.
+  q("dd_simhash",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS exactness_ok
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents")
+    val sigs = docs.select(col("doc_id"), DedupOps.simHash(col("text")).as("sim"))
+      .localCheckpoint() // two consumers: banded path + brute twin
+    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        lit(1).as("__b"))
+    val banded = DedupOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b"), lit(1).as("__s"))
+    val sym = brute.join(banded, Seq("id_a", "id_b"), "full_outer")
+      .agg(coalesce(min(col("__b").isNotNull && col("__s").isNotNull), lit(true))
+        .as("exactness_ok"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(sym)
+      .select(col("n_docs"), col("exactness_ok"))
   }
 
   // One-pass heavy hitters over the token stream (Misra-Gries k=12):
@@ -853,19 +903,27 @@ object TextQueries extends QueryPack {
   // on the even-id half of the corpus gates the odd-id half. Features
   // are scan-stage Column expressions; scoring is a broadcast-model
   // projection (no shuffle — plan-spec'd in MlGateSpec). Learned
-  // coefficients aren't SQL-oracle-able → rows-only; MlGateSpec
-  // checks separation and generalization.
-  q("tx_ml_gate", null) { (s, dir) =>
+  // coefficients aren't SQL-oracle-able, so the hashed row pins the
+  // model's GENERALIZATION: prediction agrees with the held-out
+  // half's weak label on ≥ 95% of docs (MlGateSpec's separation
+  // threshold; measured 0.99 across sf). Oracle: held-out count +
+  // literal true.
+  q("tx_ml_gate",
+    """SELECT CAST(count(CASE WHEN doc_id % 2 = 1 THEN 1 END) AS BIGINT) AS n_scored,
+      |  true AS agreement_ok
+      |FROM documents""".stripMargin) { (s, dir) =>
     import graft.operators.MlGate
     val docs = Tables.load(s, dir, "documents")
     val reference = docs.filter(col("doc_id") % 2 === 0)
     val incoming = docs.filter(col("doc_id") % 2 === 1)
     val model = MlGate.train(reference, "text", tau = 0.1)
     MlGate.score(model, incoming, "text")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("prediction") === 1.0, 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("source")
+      .withColumn("__weak",
+        when(graft.functions.TextFunctions.qualityScore(col("text")) >= 0.1, 1.0)
+          .otherwise(0.0))
+      .agg(count(lit(1)).as("n_scored"),
+        avg(when(col("prediction") === col("__weak"), 1.0).otherwise(0.0)).as("__agree"))
+      .select(col("n_scored"), (col("__agree") >= 0.95).as("agreement_ok"))
   }
 
   // F19 — array SET algebra (intersect/union/except), the token-set

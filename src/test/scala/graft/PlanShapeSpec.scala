@@ -74,16 +74,27 @@ class PlanShapeSpec extends SparkSpec {
       s"expected broadcast + native dot in:\n$s")
   }
 
-  test("dd_embedding_lsh: equi-joins only — no BroadcastNestedLoopJoin, no cartesian") {
-    val s = planString("dd_embedding_lsh")
+  // The LSH-shape assertions target the OPERATORS directly: since r7
+  // the registered queries also run the brute-force exact twin to pin
+  // recall in a hashed row, so the query plans legitimately contain a
+  // BNLJ (the twin) — the scale claim lives in the LSH path itself.
+  private def embPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("embeddingLshPairs operator: equi-joins only — no BNLJ, no cartesian") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val s = embPlan(graft.operators.SimilarityOps.embeddingLshPairsAuto(
+      emb, "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.45))
     assert(!s.contains("BroadcastNestedLoopJoin"),
       s"embedding near-dup must not plan an all-pairs join:\n$s")
     assert(!s.contains("CartesianProduct"),
       s"embedding near-dup must not plan a cartesian product:\n$s")
   }
 
-  test("ann_lsh_topk: banded candidates join without BNLJ/cartesian") {
-    val s = planString("ann_lsh_topk")
+  test("lshTopK operator: banded candidates join without BNLJ/cartesian") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val s = embPlan(graft.operators.SimilarityOps.lshTopKAuto(
+      emb, "vec_id", "embedding", dim = 64, bands = 8, k = 5))
     assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
       s"LSH top-k must stay on equi-join buckets:\n$s")
   }
@@ -102,7 +113,11 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("dd_embedding_lsh: band exchanges carry no vector payload") {
-    val exchanges = collectAll(plan("dd_embedding_lsh")) {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val opPlan = graft.operators.SimilarityOps.embeddingLshPairsAuto(
+      emb, "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.45)
+      .queryExecution.executedPlan
+    val exchanges = collectAll(opPlan) {
       case e: org.apache.spark.sql.execution.exchange.Exchange => e
     }
     val bandExchanges = exchanges.filter(_.output.exists(_.name == "band_val"))
@@ -125,7 +140,13 @@ class PlanShapeSpec extends SparkSpec {
     // IVF assignment is vectors × the k-row broadcast centroid table —
     // O(n·k) with k ≪ n bounded by construction; the BNLJ build side
     // is the centroid aggregate (grouped, so not scalar-detectable)
-    "ann_ivf_search", "ann_ivf_train"
+    "ann_ivf_search", "ann_ivf_train",
+    // r7 recall-pinned rows: these queries RUN their brute-force exact
+    // twin alongside the LSH path to hash a measured-recall boolean —
+    // the twin's BNLJ is the point; the LSH paths themselves are
+    // asserted equi-join-only by the operator-level tests above
+    "ann_lsh_topk", "dd_embedding_lsh", "dd_embedding_clusters_lsh",
+    "dd_simhash", "mm_embed_neardup"
   )
 
   test("engine-wide sweep: no accidental cartesian/nested-loop join in ANY query") {
