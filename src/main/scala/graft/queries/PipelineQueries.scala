@@ -135,6 +135,86 @@ object PipelineQueries extends QueryPack {
       .orderBy("event_id")
   }
 
+  // S3 — the paginated-REST landing zone read through the
+  // DataSourceV2 connector (reference: etls/openaq_etl.py:39-105
+  // pages /v3/locations; the Lambda lands each page as a file). The
+  // fixture stage writes the supplier table as page-per-file NDJSON
+  // (5 Spark partitions → 5 page files, exactly the landing layout);
+  // the read side goes through graft.sources.PagedJsonSource — one
+  // InputPartition PER PAGE (cluster-parallel, column-pruned) — and
+  // the oracle checks the whole roundtrip against the parquet table.
+  q("s3_paged_source",
+    s"""SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n_suppliers,
+      |  ${sqlR2("sum(s_acctbal)")} AS sum_acctbal
+      |FROM supplier GROUP BY 1 ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    val landing = tmpDir("graft_paged")
+    Tables.load(s, dir, "supplier")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .repartition(5)
+      .write.mode("overwrite").json(landing)
+    val pageSchema = StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", LongType),
+      StructField("s_acctbal", DoubleType)))
+    s.read.format("graft.sources.PagedJsonSource")
+      .schema(pageSchema).option("path", landing).load()
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"), r2(sum("s_acctbal")).as("sum_acctbal"))
+      .orderBy("nationkey")
+  }
+
+  // S4 — per-key REST fan-out with retry + quarantine (reference:
+  // etls/openaq_etl.py:185-260 GETs /sensors/{id}/measurements
+  // serially; dags/openaq_dag.py:13-23 retry policy). Keys fan out
+  // across executors via RestFanout.fetchPerKeyResilient; the
+  // injected fetcher reads the per-key landing directory the fixture
+  // stage wrote (customer rows partitioned by nation — the file twin
+  // of the per-sensor endpoint; HTTP in production, same code path).
+  // Key 99 has no landing dir and exhausts its retries into a
+  // QUARANTINE row instead of failing the partition — the oracle
+  // states that row explicitly.
+  q("s4_rest_fanout",
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nationkey, true AS ok,
+      |  count(*) AS n_records, ${sqlR2("sum(c_acctbal)")} AS sum_acctbal
+      |FROM customer GROUP BY 1
+      |UNION ALL SELECT CAST(99 AS BIGINT), false, CAST(0 AS BIGINT), 0.0
+      |ORDER BY nationkey""".stripMargin) { (s, dir) =>
+    import graft.sources.RestFanout
+    val landing = tmpDir("graft_fanout")
+    Tables.load(s, dir, "customer")
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+      .write.mode("overwrite").partitionBy("c_nationkey").json(landing)
+    val keys = Tables.load(s, dir, "nation")
+      .select(col("n_nationkey").cast("long")).distinct()
+      .union(s.range(99, 100).select(col("id")))
+      .as[java.lang.Long](org.apache.spark.sql.Encoders.LONG)
+    val fetcher: Long => Seq[String] = { id =>
+      val d = new java.io.File(s"$landing/c_nationkey=$id")
+      val files = Option(d.listFiles()).getOrElse(
+        throw new java.io.FileNotFoundException(s"no landing dir for key $id"))
+      files.filter(f => f.isFile && f.getName.endsWith(".json")).sortBy(_.getName)
+        .toSeq.flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines()
+          .filter(_.trim.nonEmpty).toList)
+    }
+    val outcomes = RestFanout.fetchPerKeyResilient(keys, fetcher,
+      maxAttempts = 2, baseBackoffMs = 1L, sleeper = _ => ())
+    val recSchema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_acctbal", DoubleType)))
+    val ok = outcomes.filter(col("ok"))
+      .select(col("id").as("nationkey"), col("ok"),
+        explode(col("records")).as("__r"))
+      .select(col("nationkey"), col("ok"),
+        from_json(col("__r"), recSchema).as("__j"))
+      .groupBy("nationkey", "ok")
+      .agg(count(lit(1)).as("n_records"),
+        r2(sum(col("__j.c_acctbal"))).as("sum_acctbal"))
+    val quarantined = outcomes.filter(!col("ok"))
+      .select(col("id").as("nationkey"), col("ok"),
+        lit(0L).as("n_records"), lit(0.0).as("sum_acctbal"))
+    ok.unionByName(quarantined).orderBy("nationkey")
+  }
+
   // S6/K8 — CSV sink + scan roundtrip (explicit schema, header,
   // ISO-8601 µs timestamps): the third interchange format after
   // NDJSON and parquet; lossless ⇒ oracle is the identity query.
