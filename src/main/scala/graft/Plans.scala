@@ -57,7 +57,9 @@ object Plans {
     "w14_pattern_quantifier", // islands + island adjacency: every hop hashes on user_id
     "ts_interpolate",      // both-side neighbor struct carry: one partitioning, no range join
     "dq_profile",          // all per-column stats in ONE scan (multi-distinct = one Expand)
-    "sql_recursive_cte",   // WITH RECURSIVE: engine-iterated frontier joins, no driver loop
+    "sql_recursive_cte",   // frontier loop over a cached key frame, lineage truncated every 4 rounds
+    "sql_recursive_cte_native", // WITH RECURSIVE: engine-iterated frontier joins, no driver loop
+    "s3_paged_source",     // DataSourceV2 paged landing scan: one InputPartition per page
     "a11_tdigest_rollup",  // per-shard digest agg, union agg over sketch bytes only
     "j12_point_in_polygon", // broadcast cell+edge dims, cross-product verify as agg
     "k17_parquet_bloom",   // point-lookup scan over the bloom-written layout

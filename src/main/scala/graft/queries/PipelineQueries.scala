@@ -215,6 +215,33 @@ object PipelineQueries extends QueryPack {
     ok.unionByName(quarantined).orderBy("nationkey")
   }
 
+  // K19 — ASYNC query protocol (the reference's Athena client,
+  // utils/athena_utils.py:38-145: start_query_execution → poll →
+  // get_query_results with string-typed rows): submit the SQL on a
+  // background thread, poll to SUCCEEDED, then read the result set
+  // back STRING-TYPED (header-first CSV at the output location — the
+  // Athena result contract). The oracle states the same aggregation
+  // with every value cast to VARCHAR, so the driver hashes the
+  // string-typed protocol output itself.
+  q("k19_async_query",
+    """SELECT CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+      |  CAST(count(*) AS VARCHAR) AS n,
+      |  CAST(count(DISTINCT o_custkey) AS VARCHAR) AS n_customers
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val out = tmpDir("graft_async_q")
+    val id = graft.io.AsyncQuery.submit(s,
+      """SELECT o_orderpriority, count(*) AS n,
+        |count(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderpriority""".stripMargin, out)
+    val terminal = graft.io.AsyncQuery.waitFor(id)
+    require(terminal == graft.io.AsyncQuery.Succeeded,
+      s"async query did not succeed: $terminal")
+    graft.io.AsyncQuery.resultsDf(s, id)
+      .orderBy("o_orderpriority")
+  }
+
   // S6/K8 — CSV sink + scan roundtrip (explicit schema, header,
   // ISO-8601 µs timestamps): the third interchange format after
   // NDJSON and parquet; lossless ⇒ oracle is the identity query.
