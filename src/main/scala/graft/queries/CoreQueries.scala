@@ -1657,9 +1657,12 @@ object CoreQueries extends QueryPack {
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
-        r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
-        r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        expr("percentile(l_quantity, array(0.5, 0.9))").as("__q"),
         r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"))
+      .select(col("l_returnflag"),
+        r4(element_at(col("__q"), 1)).as("p50_qty"),
+        r4(element_at(col("__q"), 2)).as("p90_qty"),
+        col("p50_price"))
       .orderBy("l_returnflag")
   }
 
@@ -1679,19 +1682,19 @@ object CoreQueries extends QueryPack {
        |FROM lineitem
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    // one array-percentile buffer per group, not six (see a11_tdigest)
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(
         expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)").as("__est"),
-        r4(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
-        r4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
-        expr("percentile(l_quantity, 0.49)").as("__lo50"),
-        expr("percentile(l_quantity, 0.51)").as("__hi50"),
-        expr("percentile(l_quantity, 0.89)").as("__lo90"),
-        expr("percentile(l_quantity, 0.91)").as("__hi90"))
-      .select(col("l_returnflag"), col("p50_qty"), col("p90_qty"),
-        element_at(col("__est"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
-        element_at(col("__est"), 2).between(col("__lo90"), col("__hi90")).as("p90_ok"))
+        expr("percentile(l_quantity, array(0.5, 0.9, 0.49, 0.51, 0.89, 0.91))").as("__ex"))
+      .select(col("l_returnflag"),
+        r4(element_at(col("__ex"), 1)).as("p50_qty"),
+        r4(element_at(col("__ex"), 2)).as("p90_qty"),
+        element_at(col("__est"), 1)
+          .between(element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p50_ok"),
+        element_at(col("__est"), 2)
+          .between(element_at(col("__ex"), 5), element_at(col("__ex"), 6)).as("p90_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -1712,18 +1715,21 @@ object CoreQueries extends QueryPack {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.TDigest.tdigestQuantiles
+    // ONE array-percentile aggregate, not six scalar ones: each
+    // scalar `percentile` keeps its own full per-group value buffer —
+    // six copies cost 11 s at sf0.1; the array form shares one buffer
     Tables.load(s, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(tdigestQuantiles(col("l_extendedprice"), Seq(0.5, 0.99), 100).as("__qq"),
-        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
-        r4(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"),
-        expr("percentile(l_extendedprice, 0.48)").as("__lo50"),
-        expr("percentile(l_extendedprice, 0.52)").as("__hi50"),
-        expr("percentile(l_extendedprice, 0.975)").as("__lo99"),
+        expr("percentile(l_extendedprice, array(0.5, 0.99, 0.48, 0.52, 0.975))").as("__ex"),
         max(col("l_extendedprice")).as("__hi99"))
-      .select(col("l_returnflag"), col("p50_price"), col("p99_price"),
-        element_at(col("__qq"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
-        element_at(col("__qq"), 2).between(col("__lo99"), col("__hi99")).as("p99_ok"))
+      .select(col("l_returnflag"),
+        r4(element_at(col("__ex"), 1)).as("p50_price"),
+        r4(element_at(col("__ex"), 2)).as("p99_price"),
+        element_at(col("__qq"), 1)
+          .between(element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p50_ok"),
+        element_at(col("__qq"), 2)
+          .between(element_at(col("__ex"), 5), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -1793,17 +1799,18 @@ object CoreQueries extends QueryPack {
     val est = perShard
       .groupBy("l_returnflag")
       .agg(tdigestUnionQuantiles(col("dig"), Seq(0.5, 0.99), 100).as("__qq"))
+    // one array-percentile buffer per group, not five (see a11_tdigest)
     val exact = li.groupBy("l_returnflag").agg(
-      r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"),
-      r4(expr("percentile(l_extendedprice, 0.99)")).as("p99_price"),
-      expr("percentile(l_extendedprice, 0.47)").as("__lo50"),
-      expr("percentile(l_extendedprice, 0.53)").as("__hi50"),
-      expr("percentile(l_extendedprice, 0.97)").as("__lo99"),
+      expr("percentile(l_extendedprice, array(0.5, 0.99, 0.47, 0.53, 0.97))").as("__ex"),
       max(col("l_extendedprice")).as("__hi99"))
     exact.join(est, "l_returnflag")
-      .select(col("l_returnflag"), col("p50_price"), col("p99_price"),
-        element_at(col("__qq"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
-        element_at(col("__qq"), 2).between(col("__lo99"), col("__hi99")).as("p99_ok"))
+      .select(col("l_returnflag"),
+        r4(element_at(col("__ex"), 1)).as("p50_price"),
+        r4(element_at(col("__ex"), 2)).as("p99_price"),
+        element_at(col("__qq"), 1)
+          .between(element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p50_ok"),
+        element_at(col("__qq"), 2)
+          .between(element_at(col("__ex"), 5), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 
