@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer training as relational dataflow.
@@ -38,7 +38,7 @@ object TokenizerOps {
     var corpus = words.select(col("freq"),
       concat(lit(" "), array_join(split(col("word"), ""), "  "), lit(" ")).as("s"))
       .localCheckpoint()
-    val merges = (1 to iters).map { i =>
+    val mergeRows = (1 to iters).map { i =>
       val pairs = corpus
         .select(col("freq"), split(trim(col("s")), "  ").as("sym"))
         .filter(size(col("sym")) >= 2) // sequence(1,0) would DESCEND
@@ -67,6 +67,31 @@ object TokenizerOps {
         .localCheckpoint()
       top.select(lit(i).as("iter"), col("pa"), col("pb"), col("cnt"))
     }
-    merges.reduce(_ unionAll _).filter(col("pa").isNotNull)
+    mergeRows.reduce(_ unionAll _).filter(col("pa").isNotNull)
+  }
+
+  /** BPE ENCODE — apply a learned merge table to text (the tokenize
+    * step a training pipeline runs over the whole corpus after
+    * [[bpeTrain]] learns the merges). Returns the symbol array per
+    * row: each whitespace word is exploded to characters, then the
+    * merges replay IN TRAINING ORDER with the same greedy-left
+    * double-space replace as training ("a a a" + merge(a,a) →
+    * ["aa","a"]).
+    *
+    * The merge table is a MODEL ARTIFACT (like MlGate's coefficients):
+    * O(vocab) rows held driver-side and folded into ONE codegen'd
+    * projection — the corpus streams through a single narrow select
+    * with no join, no shuffle, no per-row driver work. That is the
+    * 100 TB shape: tokenization cost is exactly one scan.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    val encodeWord = (w: Column) => {
+      val padded = concat(lit(" "), array_join(split(w, ""), "  "), lit(" "))
+      val mergedS = merges.foldLeft(padded) { case (c, (pa, pb)) =>
+        call_function("replace", c, lit(s" $pa  $pb "), lit(s" $pa$pb "))
+      }
+      split(trim(mergedS), "  ")
+    }
+    flatten(transform(split(text, " "), encodeWord))
   }
 }

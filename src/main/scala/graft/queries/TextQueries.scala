@@ -1331,6 +1331,65 @@ object TextQueries extends QueryPack {
       .orderBy("iter")
   }
 
+  // BPE ENCODE — the tokenize step after tx_bpe_train: the learned
+  // 5-merge table (a driver-held model artifact, like MlGate's
+  // coefficients) folds into ONE codegen'd projection and the corpus
+  // streams through a single scan — no join, no shuffle. The oracle
+  // re-derives the merges with the same unrolled training CTEs and
+  // replays the identical greedy-left replace chain per document, so
+  // the whole train→encode tokenizer pipeline is hash-checked end to
+  // end (per-doc token count + the encoded symbol stream itself).
+  q("tx_bpe_apply", {
+    val iters = (1 to 5).map { m =>
+      s""",
+         |e$m AS (SELECT freq, string_split(trim(s), '  ') AS sym FROM c${m - 1}),
+         |x$m AS (SELECT freq, sym, unnest(generate_series(1, len(sym)-1)) AS i
+         |        FROM e$m WHERE len(sym) >= 2),
+         |p$m AS (SELECT sym[i] AS pa, sym[i+1] AS pb,
+         |          CAST(sum(freq) AS BIGINT) AS cnt
+         |        FROM x$m GROUP BY 1, 2),
+         |m$m AS (SELECT pa, pb, cnt FROM p$m ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |c$m AS (SELECT freq,
+         |          replace(s, ' '||pa||'  '||pb||' ', ' '||pa||pb||' ') AS s
+         |        FROM c${m - 1} CROSS JOIN m$m)""".stripMargin
+    }.mkString
+    val applies = (1 to 5).map { m =>
+      s""",
+         |a$m AS (SELECT doc_id, i,
+         |          replace(s, ' '||pa||'  '||pb||' ', ' '||pa||pb||' ') AS s
+         |        FROM a${m - 1} CROSS JOIN m$m)""".stripMargin
+    }.mkString
+    s"""WITH w AS (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY 1),
+       |c0 AS (SELECT freq,
+       |  ' ' || array_to_string(string_split(word, ''), '  ') || ' ' AS s
+       |  FROM w)$iters,
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd,
+       |         generate_subscripts(string_split(text, ' '), 1) AS i
+       |       FROM documents),
+       |a0 AS (SELECT doc_id, i,
+       |  ' ' || array_to_string(string_split(wd, ''), '  ') || ' ' AS s
+       |  FROM dw)$applies,
+       |sym AS (SELECT doc_id, i, string_split(trim(s), '  ') AS sy FROM a5)
+       |SELECT doc_id, CAST(sum(len(sy)) AS BIGINT) AS n_tokens,
+       |  string_agg(array_to_string(sy, ' '), ' ' ORDER BY i) AS encoded
+       |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }) { (s, dir) =>
+    import graft.operators.TokenizerOps
+    val docs = Tables.load(s, dir, "documents")
+    // the merge table is the trained model — k rows, driver-held
+    val merges = TokenizerOps.bpeTrain(docs, "text", iters = 5)
+      .orderBy("iter").select("pa", "pb")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val enc = TokenizerOps.bpeEncode(col("text"), merges)
+    docs.select(col("doc_id"),
+        size(enc).cast("long").as("n_tokens"),
+        array_join(enc, " ").as("encoded"))
+      .orderBy("doc_id")
+  }
+
   // Chunk-level global dedup (C4's repeated-line rule on token streams,
   // RefinedWeb-style): every 10-token chunk kept only at its first
   // corpus occurrence; per-doc retention audit. The oracle replays the

@@ -208,6 +208,38 @@ class DedupOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "a", "a", 11L), (2, "aa", "a", 4L)))
   }
 
+  test("bpeEncode applies learned merges greedy-left across a document") {
+    // merges (a,a)→aa then (aa,a)→aaa: 'aaaa' → [aa,aa] after merge 1
+    // (greedy-left pairs), then merge 2 finds no ' aa  a ' → [aa,aa];
+    // 'aaa' → [aa,a] → [aaa]; words tokenize independently
+    val df = Seq((1L, "aaaa aaa b ab")).toDF("doc_id", "text")
+    val enc = df.select(TokenizerOps.bpeEncode($"text",
+      Seq(("a", "a"), ("aa", "a"))).as("sym"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("aa", "aa", "aaa", "b", "a", "b"))
+  }
+
+  test("bpeEncode with merges learned by bpeTrain reproduces training's corpus state") {
+    // after training k merges, encoding the same corpus must yield
+    // exactly the symbol stream training's corpus update produced —
+    // i.e. pair counts over the encoded output match iteration k+1's
+    // selected pair
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = TokenizerOps.bpeTrain(docs, "text", iters = 2)
+      .orderBy("iter").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = docs.select(TokenizerOps.bpeEncode($"text", merges).as("sym"))
+      .as[Seq[String]].head()
+    // 'newest' → n e w est, 'widest' → w i d est after (e,s),(es,t)
+    assert(enc.containsSlice(Seq("n", "e", "w", "est")))
+    assert(enc.containsSlice(Seq("w", "i", "d", "est")))
+    // next-best pair on the encoded stream is (l,o) with count 7 —
+    // exactly what bpeTrain picks at iter 3
+    val pairs = enc.sliding(2).toSeq.groupBy(identity).view.mapValues(_.size)
+    assert(pairs(Seq("l", "o")) == 7)
+  }
+
   test("incrementalNgramPairs == full pairs whose greater id is in the batch") {
     val history = docs.filter($"doc_id" < 2)
     val batch = docs.filter($"doc_id" >= 2)
