@@ -387,7 +387,8 @@ object SimilarityOps {
     * lineage-truncated, the driver sees no data.
     */
   def trainIvf(vectors: DataFrame, idCol: String, vecCol: String,
-               k: Int, iters: Int): DataFrame = {
+               k: Int, iters: Int,
+               onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
     require(iters >= 1, "need at least one Lloyd iteration")
     var assigned = vectors
       .select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -399,6 +400,11 @@ object SimilarityOps {
       val re = ivfAssign(assigned, "id", "v", cents)
         .select(col("id"), col("assigned_cell"), col("cos"))
       result = re
+      // observation hook (e.g. per-iteration affinity for descent
+      // checks) — runs while this iteration's input is still cached,
+      // so a caller-side aggregate here costs one small job, not a
+      // second training run; the default is a no-op
+      onIteration(i, re)
       if (i < iters) {
         val next = assigned.drop("cell")
           .join(re.select(col("id"), col("assigned_cell").as("cell")), "id")

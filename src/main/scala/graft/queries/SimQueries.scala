@@ -224,20 +224,24 @@ object SimQueries extends QueryPack {
       |  true AS all_assigned, true AS cells_valid, true AS affinity_improved
       |FROM embeddings""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
-    val after1 = SimilarityOps.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 1)
-      .agg(avg("cos").as("__a1"))
-    val a3 = SimilarityOps.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 3)
+    // ONE training run: the iteration hook captures mean affinity
+    // after iteration 1 while its input is still cached (a second
+    // trainIvf(iters=1) run would repeat the whole first iteration)
+    var after1 = Double.NaN
+    val a3 = SimilarityOps.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 3,
+      onIteration = (i, re) =>
+        if (i == 1) after1 = re.agg(avg("cos")).head().getDouble(0))
     val stats3 = a3.agg(count(lit(1)).as("__n_assigned"),
       countDistinct(col("id")).as("__n_ids"),
       min("assigned_cell").as("__min_c"), max("assigned_cell").as("__max_c"),
       avg("cos").as("__a3"))
     emb.agg(count(lit(1)).as("n_vectors"))
-      .crossJoin(stats3).crossJoin(after1)
+      .crossJoin(stats3)
       .select(col("n_vectors"),
         (col("__n_assigned") === col("n_vectors") &&
           col("__n_ids") === col("n_vectors")).as("all_assigned"),
         (col("__min_c") >= 0 && col("__max_c") <= 7).as("cells_valid"),
-        (col("__a3") >= col("__a1")).as("affinity_improved"))
+        (col("__a3") >= lit(after1)).as("affinity_improved"))
   }
 
   // Embedding near-dup, FIRST-CLASS plan: banded RHP LSH candidates
