@@ -43,7 +43,13 @@ object Bench {
     // later queries (measured: dd_embedding_clusters_lsh 37.7 s inside
     // a full bench vs 14.2 s isolated, same session config). Dropping
     // all persisted state between queries restores per-query isolation.
-    def clearState(): Unit = {
+    // SPARK_GRAFT_BENCH_WARM=1 keeps persisted state across queries —
+    // the pre-r6 methodology. The driver-run default stays isolated
+    // (honest per-query attribution); the warm total is recorded in
+    // BENCHNOTES.md alongside it so cross-round deltas that straddle
+    // the r6 methodology change have a same-methodology comparator.
+    val warmMode = sys.env.get("SPARK_GRAFT_BENCH_WARM").contains("1")
+    def clearState(): Unit = if (!warmMode) {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()

@@ -457,4 +457,53 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), r4(col("cos")).as("cos"))
   }
+
+  /** Top-k principal-component basis of an `array<float>` embedding
+    * column, via [[org.apache.spark.mllib.linalg.distributed.RowMatrix]]:
+    * the d×d covariance Gramian is accumulated per partition and
+    * tree-reduced (one O(d²) buffer per partition crosses the wire —
+    * never the vectors), then eigen-decomposed on the driver (d is
+    * model-sized: 64–4096, so the O(d³) driver step is microseconds).
+    * This is the standard embedding-preprocessing step before ANN:
+    * project to k ≪ d dims, search in the reduced space, rescore
+    * survivors at full precision (same two-stage shape as
+    * [[twoStageTopK]]).
+    *
+    * Returns (basis rows of length d, one per component; explained-
+    * variance fraction per component). Deterministic for a fixed
+    * input partitioning (LAPACK syevd on an exactly-reduced Gramian).
+    */
+  def pcaBasis(vectors: DataFrame, vecCol: String, k: Int)
+      : (Array[Array[Double]], Array[Double]) = {
+    import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = vectors.select(vecCol).rdd.map { r =>
+      val s = r.getSeq[Float](0)
+      val a = new Array[Double](s.length)
+      var i = 0
+      while (i < s.length) { a(i) = s(i).toDouble; i += 1 }
+      MlVectors.dense(a)
+    }
+    val (pc, ev) = new RowMatrix(rows)
+      .computePrincipalComponentsAndExplainedVariance(k)
+    (Array.tabulate(k)(j => Array.tabulate(pc.numRows)(i => pc(i, j))),
+      ev.toArray)
+  }
+
+  /** Project each vector onto the top-k PCA basis: output keeps the id
+    * plus an `array<double>` of k scores. The basis is a broadcast
+    * literal (k·d doubles); the projection is k codegen'd zip_with
+    * folds per row — no shuffle, no UDF. Variance is shift-invariant,
+    * so projections of UNcentered vectors carry the same per-component
+    * variance as true (centered) PCA scores — callers that need
+    * centered scores subtract the projected mean.
+    */
+  def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
+                 basis: Array[Array[Double]]): DataFrame = {
+    val dotD = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val vD = transform(col(vecCol), x => x.cast("double"))
+    val projs = basis.map(b => dotD(vD, typedLit(b.toSeq)))
+    vectors.select(col(idCol).as("id"), array(projs: _*).as("proj"))
+  }
 }

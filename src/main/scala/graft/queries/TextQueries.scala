@@ -1581,4 +1581,70 @@ object TextQueries extends QueryPack {
       .filter(col("fval") =!= 0)
       .orderBy("doc_id", "fidx")
   }
+
+  // Adaptive per-language quality gate (the FineWeb-style curation
+  // pattern: a fixed global threshold over-prunes low-resource
+  // languages, so the cut is a PER-LANGUAGE quantile). Two passes:
+  // (1) per-lang exact interpolated percentile of the det-rounded
+  // quality score — a groupBy producing one row per language;
+  // (2) broadcast-join the 5-row threshold table back and keep docs at
+  // or above their language's cut. At 100 TB pass 1 swaps to the
+  // t-digest sketch (plans.ApproxPercentileRewrite is the one-flag
+  // switch); the threshold table stays O(languages) and broadcast.
+  // Both engines interpolate identically (index = p·(n−1), linear),
+  // and both compare the SAME det-rounded doubles, so the gate
+  // boundary cannot flip on ulp drift.
+  q("tx_quality_quantile_gate",
+    s"""WITH sc AS (
+      |  SELECT doc_id, lang,
+      |    ${sqlR4("least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0)" +
+         " * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)" +
+         "     / len(string_split(text, ' ')))" +
+         " * (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text))")} AS quality
+      |  FROM documents),
+      |thr AS (
+      |  SELECT lang, ${sqlR4("quantile_cont(quality, 0.3)")} AS lang_threshold
+      |  FROM sc GROUP BY lang)
+      |SELECT sc.doc_id, sc.lang, sc.quality, thr.lang_threshold
+      |FROM sc JOIN thr USING (lang)
+      |WHERE sc.quality >= thr.lang_threshold
+      |ORDER BY sc.doc_id""".stripMargin) { (s, dir) =>
+    val sc = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        r4(qualityScore(col("text"))).as("quality"))
+    val thr = sc.groupBy("lang")
+      .agg(r4(expr("percentile(quality, 0.3D)")).as("lang_threshold"))
+    sc.join(broadcast(thr), "lang")
+      .filter(col("quality") >= col("lang_threshold"))
+      .select(col("doc_id"), col("lang"), col("quality"), col("lang_threshold"))
+      .orderBy("doc_id")
+  }
+
+  // Top-k most frequent tokens per language through the custom
+  // TopKPerGroup physical operator (graftx.TopKPerGroupExec): the
+  // vocabulary-head report every tokenizer-training run starts from.
+  // The heap operator caps shuffle volume at k rows per (lang,
+  // partition) — the window formulation would shuffle EVERY distinct
+  // (lang, term) count and sort it. Tie-break: count desc, term asc.
+  q("tx_topk_tokens_heap",
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (
+      |  SELECT lang, term, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, term, n,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rn
+      |  FROM c)
+      |SELECT lang, term, n FROM r WHERE rn <= 5
+      |ORDER BY lang, n DESC, term""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.graftx.GraftPlans
+    val counts = Tables.load(s, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("term"))
+      .groupBy("lang", "term")
+      .agg(count(lit(1)).as("n"))
+    GraftPlans.topKPerGroup(counts,
+      groupCols = Seq("lang"),
+      order = Seq("n" -> false, "term" -> true), k = 5)
+      .orderBy(col("lang"), col("n").desc, col("term"))
+  }
 }
