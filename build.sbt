@@ -31,5 +31,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench runs 215+ queries × 3 executions in ONE
+  // JVM; at 8g the accumulated old-gen (codegen classes, broadcast
+  // cleanup backlog) inflated late-alphabet queries 2-3× over their
+  // isolated times (sql_scalar_udf 8.5 s in-bench vs 1.3 s isolated).
+  // The box has 128 GiB; tests and single-query runs are unaffected.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -37,6 +37,13 @@ object DebugRecall {
       val lshK = topkSet(SimilarityOps.lshTopKAuto(emb, "vec_id", "embedding", 64, 8, 5))
       println(s"sf$sf ann_lsh_topk recall=${(lshK & exactK).size.toDouble / exactK.size} n_exact=${exactK.size}")
 
+      // 1b. ann_pca_topk: 1-in-4 sample, 16-dim stage 1, top-50 candidates
+      val sample = emb.filter(col("vec_id") % 4 === 0)
+      val (basis, _) = SimilarityOps.pcaBasis(emb, "embedding", 16)
+      val exactS = topkSet(SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5))
+      val pcaK = topkSet(SimilarityOps.pcaTopK(sample, emb, "vec_id", "embedding", basis, math.max(50, (emb.count() / 20).toInt), 5))
+      println(s"sf$sf ann_pca_topk recall=${(pcaK & exactS).size.toDouble / exactS.size} n_exact=${exactS.size}")
+
       // 2. ann_ivf_search (queries vec_id<10)
       val q10 = emb.filter(col("vec_id") < 10)
       val exact10 = topkSet(SimilarityOps.bruteForceTopK(q10, emb, "vec_id", "embedding", 5))

@@ -72,7 +72,10 @@ object Plans {
     "ts_m4_downsample",    // single hash aggregate: min/max/min_by/max_by in one pass
     "dd_embedding_clusters_lsh", // LSH-edge CC: label assembly over checkpointed loop state, paired-node broadcast
     "gr_components_star",  // star-contraction CC: converged star edges + broadcast singleton anti-join
-    "dd_repeated_spans")   // exact-substring dedup: 8-byte hash shuffle pass 1, string verify on candidates only
+    "dd_repeated_spans",   // exact-substring dedup: O(n) WindowHashes pass 1, string verify on candidates only
+    "ann_pca_topk",        // PCA 16-dim stage-1 scan + full-width rescore on candidates only
+    "tx_quality_quantile_gate", // 5-row per-lang threshold broadcast back over the corpus
+    "tx_topk_tokens_heap") // TopKPerGroupExec over (lang, term) counts: heap stages, no sort
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

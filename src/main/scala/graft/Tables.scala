@@ -48,7 +48,20 @@ object Tables {
 
   /** Register every table as a temp view so `spark.sql` queries use the
     * same names the DuckDB oracle sees.
+    *
+    * Idempotent per (session, dir): re-registering the same parquet
+    * paths costs ~1 s of footer reads + analysis, and the SQL-surface
+    * queries each call this on every run (3× per query under the
+    * bench). The views are pure path bindings — same dir ⇒ same
+    * definition — so a repeat call with an unchanged dir is a no-op.
+    * A dir change (sf switch within one session) re-registers.
     */
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+  @volatile private var registeredFor: Option[(Int, String)] = None
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    val key = (System.identityHashCode(spark), dir)
+    if (!registeredFor.contains(key)) {
+      names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+      registeredFor = Some(key)
+    }
+  }
 }

@@ -406,25 +406,27 @@ object DedupOps {
     *
     * Scale shape: the window relation has one row per character —
     * the same linear blow-up a distributed suffix array pays — but
-    * the wide shuffle never carries gram STRINGS. Pass 1 groups
-    * 8-byte `xxhash64(gram)` keys to find candidate hashes touching
-    * ≥ minDocs docs (a superset of the true shared grams — hash
-    * collisions only ADD candidates); pass 2 recomputes the gram
-    * string for candidate positions only and applies the exact
-    * cross-doc filter there. For a mostly-unique corpus the exact
-    * verification runs on a small fraction of the windows, so the
-    * result is byte-identical to the naive single-pass string plan
-    * (and to the DuckDB oracle) at ~1/5 the shuffle volume.
+    * the wide shuffle never carries gram STRINGS. Pass 1 computes all
+    * window hashes per document in ONE O(n) Karp–Rabin sweep
+    * ([[org.apache.spark.sql.graftx.WindowHashes]] — the naive form
+    * pays O(n·k) substring allocations before hashing) and groups the
+    * 8-byte keys to find candidate hashes touching ≥ minDocs docs (a
+    * superset of the true shared grams — hash collisions only ADD
+    * candidates); pass 2 recomputes the gram string for candidate
+    * positions only and applies the exact cross-doc filter there. For
+    * a mostly-unique corpus the exact verification runs on a small
+    * fraction of the windows, so the result is byte-identical to the
+    * naive single-pass string plan (and to the DuckDB oracle) at ~1/5
+    * the shuffle volume.
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val positions = docs
+    import org.apache.spark.sql.graftx.GraftFunctions.windowHashes
+    val hashed = docs
       .filter(length(col(textCol)) >= k)
-      .select(col(idCol), col(textCol))
-      .withColumn("p", explode(sequence(lit(1), length(col(textCol)) - (k - 1))))
-    val hashed = positions
-      .select(col(idCol), col("p"), xxhash64(expr(s"substring($textCol, p, $k)")).as("h"))
+      .select(col(idCol), posexplode(windowHashes(col(textCol), k)).as(Seq("p0", "h")))
+      .select(col(idCol), (col("p0") + 1).as("p"), col("h"))
     // pass 1: candidate hashes — 8-byte shuffle keys, no strings
     val candHashes = hashed.groupBy("h")
       .agg(count_distinct(col(idCol)).as("nd"))

@@ -506,4 +506,44 @@ object SimilarityOps {
     val projs = basis.map(b => dotD(vD, typedLit(b.toSeq)))
     vectors.select(col(idCol).as("id"), array(projs: _*).as("proj"))
   }
+
+  /** PCA two-stage top-k: stage 1 ranks candidates by cosine in the
+    * reduced PCA space (basis.length dims — a d/k'× cheaper scan than
+    * full-width brute force), stage 2 rescores the `candidates`
+    * survivors per query at full precision and keeps the true top-k
+    * of the candidate set. The same filter-then-rescore shape as
+    * [[twoStageTopK]] with dimensionality reduction instead of int8
+    * quantization as the cheap stage; compose with LSH/IVF bucketing
+    * when the stage-1 scan itself must go sub-linear.
+    */
+  def pcaTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String,
+              basis: Array[Array[Double]],
+              candidates: Int, k: Int): DataFrame = {
+    val dotD = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val qp = pcaProject(queries, idCol, vecCol, basis)
+      .select(col("id").as("query_id"), col("proj").as("qp"))
+      .withColumn("qpn", sqrt(dotD(col("qp"), col("qp"))))
+    val cpj = pcaProject(corpus, idCol, vecCol, basis)
+      .select(col("id").as("neighbor_id"), col("proj").as("cp"))
+      .withColumn("cpn", sqrt(dotD(col("cp"), col("cp"))))
+    val wCand = Window.partitionBy("query_id")
+      .orderBy(col("pcos").desc, col("neighbor_id").asc)
+    val cand = cpj.join(broadcast(qp), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pcos", dotD(col("qp"), col("cp")) / (col("qpn") * col("cpn")))
+      .withColumn("crn", row_number().over(wCand))
+      .filter(col("crn") <= candidates)
+      .select("query_id", "neighbor_id")
+    // stage 2: exact rescore of candidates only, full-width vectors
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.join(broadcast(q), "query_id").join(c, "neighbor_id")
+      .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), r4(col("cos")).as("cos"))
+  }
 }

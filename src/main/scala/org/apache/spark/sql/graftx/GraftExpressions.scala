@@ -145,6 +145,45 @@ object GraftHashOps {
     acc
   }
 
+  /** All k-codepoint window hashes of a string in ONE O(n) pass
+    * (Karp–Rabin): h(i+1) = (h(i) − cp[i]·B^(k−1))·B + cp[i+k], 64-bit
+    * wraparound arithmetic, B = 1000003. Array slot j (0-based) is the
+    * hash of `substring(s, j+1, k)` under SQL 1-based codepoint
+    * positions — exactly the windows `substring` materializes, without
+    * the O(n·k) per-position string allocation. Shorter-than-k input →
+    * empty array.
+    */
+  def windowHashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val n = str.codePointCount(0, str.length)
+    if (n < k) return new GenericArrayData(new Array[Long](0))
+    val cps = new Array[Int](n)
+    var i = 0
+    var ci = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(ci) = cp
+      ci += 1
+      i += Character.charCount(cp)
+    }
+    val B = 1000003L
+    var bk = 1L // B^(k-1), wrapped
+    var j = 0
+    while (j < k - 1) { bk *= B; j += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    j = 0
+    while (j < k) { h = h * B + cps(j); j += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= n - k) {
+      h = (h - cps(p - 1) * bk) * B + cps(p + k - 1)
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rhpSignature(v: ArrayData, planes: Array[Array[Double]], dim: Int): Long = {
     val n = math.min(dim, v.numElements())
     var sig = 0L
@@ -225,6 +264,32 @@ case class MinHashSignature(child: Expression, k: Int)
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graftx.GraftHashOps.minHashSignature($c, $refA, $refB);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Karp–Rabin window hashes: `array<long>` of every k-codepoint
+  * window's rolling hash, one O(n) pass — the candidate-generation
+  * primitive for exact-substring dedup. Replaces per-position
+  * `xxhash64(substring(text, p, k))` (O(n·k) work + a k-char
+  * allocation per position) in [[graft.operators.DedupOps.repeatedSpans]]'s
+  * first pass; collisions only ever ADD candidates, which the second
+  * (exact-string) pass filters, so the hash family is free to change.
+  */
+case class WindowHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.windowHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graftx.GraftHashOps.windowHashes($c, $k);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -396,6 +461,9 @@ object GraftFunctions {
 
   def rollingHash31(s: Column): Column =
     ExpressionUtils.column(RollingHash31(expr(s)))
+
+  def windowHashes(s: Column, k: Int): Column =
+    ExpressionUtils.column(WindowHashes(expr(s), k))
 
   /** Generator form of n-gram shingling: SELECT with
     * `ngramGen(tokens, n)` emits (pos, ngram) rows directly. */

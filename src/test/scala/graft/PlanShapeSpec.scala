@@ -146,7 +146,11 @@ class PlanShapeSpec extends SparkSpec {
     // the twin's BNLJ is the point; the LSH paths themselves are
     // asserted equi-join-only by the operator-level tests above
     "ann_lsh_topk", "dd_embedding_lsh", "dd_embedding_clusters_lsh",
-    "dd_simhash", "mm_embed_neardup"
+    "dd_simhash", "mm_embed_neardup",
+    // PCA two-stage: stage 1 IS a reduced-width scan of corpus ×
+    // broadcast queries (the documented d/k'-cheaper brute force, same
+    // family as ann_two_stage's int8 stage 1) + the brute-force twin
+    "ann_pca_topk"
   )
 
   test("engine-wide sweep: no accidental cartesian/nested-loop join in ANY query") {

@@ -104,4 +104,39 @@ class ExtensionsSpec extends graft.SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh == Map("a" -> 3L, "b" -> 1L))
   }
+
+  test("WindowHashes: slot j == hash of substring(s, j+1, k); equal windows collide") {
+    import spark.implicits._
+    val s = "abcabcxabc"
+    val k = 3
+    val df = Seq(s).toDF("t")
+    val all = df.select(GraftFunctions.windowHashes($"t", k).as("h"))
+      .as[Seq[Long]].head()
+    assert(all.length == s.length - k + 1)
+    // rolling value at j equals a fresh hash of just that window
+    (0 until all.length).foreach { j =>
+      val single = Seq(s.substring(j, j + k)).toDF("t")
+        .select(GraftFunctions.windowHashes($"t", k).as("h"))
+        .as[Seq[Long]].head()
+      assert(all(j) == single.head, s"pos $j")
+    }
+    // identical substrings ("abc" at 0, 3, 7) share a hash
+    assert(all(0) == all(3) && all(3) == all(7))
+    assert(all(0) != all(1))
+  }
+
+  test("WindowHashes: codepoint positions (multibyte), short input, empty") {
+    import spark.implicits._
+    // 'é' is 2 bytes / 1 codepoint: windows advance by CODEPOINT like
+    // SQL substring, so "ééa" with k=2 has 2 windows
+    val r = Seq(("ééaééa", "é", "")).toDF("a", "b", "c")
+      .select(GraftFunctions.windowHashes($"a", 2).as("ha"),
+        GraftFunctions.windowHashes($"b", 2).as("hb"),
+        GraftFunctions.windowHashes($"c", 2).as("hc"))
+      .head()
+    val ha = r.getSeq[Long](0)
+    assert(ha.length == 5)
+    assert(ha(0) == ha(3)) // "éé" repeats at codepoint 1 and 4
+    assert(r.getSeq[Long](1).isEmpty && r.getSeq[Long](2).isEmpty)
+  }
 }

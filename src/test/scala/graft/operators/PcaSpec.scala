@@ -63,6 +63,33 @@ class PcaSpec extends SparkSpec {
     assert(pv / tv > 0.7)
   }
 
+  test("pcaTopK: high recall vs brute force on clustered geometry") {
+    // 4 well-separated cluster directions + small noise: the regime
+    // PCA pruning is built for (few directions hold the variance)
+    def h(i: Int, j: Int): Double = {
+      val x = (i * 2654435761L + j * 40503L) & 0xffff
+      x.toDouble / 0xffff - 0.5
+    }
+    val centers = Array.tabulate(4, d)((c, j) =>
+      if (j == c * 2) 3.0 else 0.0)
+    val df = (0 until 160).map { i =>
+      val ctr = centers(i % 4)
+      (i.toLong, Array.tabulate(d)(j => (ctr(j) + 0.3 * h(i, j)).toFloat).toSeq)
+    }.toDF("id", "vec").withColumn("vec", col("vec").cast("array<float>"))
+    val (basis, _) = SimilarityOps.pcaBasis(df, "vec", 4)
+    val approx = SimilarityOps.pcaTopK(df, df, "id", "vec", basis,
+        candidates = 20, k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val exact = SimilarityOps.bruteForceTopK(df, df, "id", "vec", k = 5)
+      .select("query_id", "neighbor_id")
+    val (n, hits) = {
+      val r = exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)), sum(coalesce(col("hit"), lit(0)))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(hits.toDouble / n >= 0.95, s"recall=${hits.toDouble / n}")
+  }
+
   test("basis is partitioning-invariant (exact Gramian reduce)") {
     val df = planted(300, 2.0)
     val (b1, _) = SimilarityOps.pcaBasis(df.repartition(1), "vec", 3)
