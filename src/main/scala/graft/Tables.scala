@@ -56,12 +56,20 @@ object Tables {
     * definition — so a repeat call with an unchanged dir is a no-op.
     * A dir change (sf switch within one session) re-registers.
     */
-  @volatile private var registeredFor: Option[(Int, String)] = None
+  // Weak session reference, not identityHashCode: identity hashes can
+  // be reused after GC, so a hash key could silently no-op for a NEW
+  // session that collided with a dead one's key. Reference equality
+  // can't collide, and the weak ref lets a discarded session be
+  // collected.
+  @volatile private var registeredFor
+      : Option[(java.lang.ref.WeakReference[SparkSession], String)] = None
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    val key = (System.identityHashCode(spark), dir)
-    if (!registeredFor.contains(key)) {
+    val hit = registeredFor.exists { case (ref, d) =>
+      (ref.get eq spark) && d == dir
+    }
+    if (!hit) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
-      registeredFor = Some(key)
+      registeredFor = Some((new java.lang.ref.WeakReference(spark), dir))
     }
   }
 }

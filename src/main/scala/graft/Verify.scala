@@ -75,6 +75,13 @@ object Verify {
       try Await.result(Future.sequence(runs), Duration(2, "min"))
       catch { case _: Throwable => }
     }
+    // Drain the pool BEFORE the accounting sweep: a plain shutdown()
+    // still runs queued-not-yet-started futures, and such a task would
+    // overwrite-write its output dir AFTER the sweep below marked it
+    // failed — deleting the _ERROR sentinel and making the on-disk
+    // state disagree with the exit code. shutdownNow() discards the
+    // queue and interrupts stragglers, so nothing runs after the sweep.
+    pool.shutdownNow()
     // A straggler that ignores interruption past the 2-min grace never
     // reaches its own catch — without this sweep it would be silently
     // MISSING from the output and the run could still exit 0. Account
@@ -83,7 +90,6 @@ object Verify {
       if (!completed.contains(name) && !failed.containsKey(name))
         markFailed(name, "unaccounted after global budget — cancelled straggler")
     }
-    pool.shutdown()
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -37,30 +37,38 @@ object AsyncQuery {
   case object Cancelled extends State
 
   private final case class Handle(id: String, outputLocation: String,
-                                  @volatile var state: State)
+      state: java.util.concurrent.atomic.AtomicReference[State])
 
   private val handles = new ConcurrentHashMap[String, Handle]()
 
   /** Start `sql` asynchronously; results are written header-first CSV
     * under `outputLocation/<id>/`. Returns the query-execution id.
+    *
+    * State transitions are CAS-guarded: a cancel() landing between
+    * submit() and the runner thread's first instruction wins — the
+    * runner's Queued→Running CAS fails and it never executes (the
+    * un-guarded version would clobber CANCELLED back to RUNNING and
+    * burn the full query's compute).
     */
   def submit(spark: SparkSession, sql: String, outputLocation: String): String = {
     val id = UUID.randomUUID().toString
     val dest = s"$outputLocation/$id"
-    val handle = Handle(id, dest, Queued)
+    val handle = Handle(id, dest,
+      new java.util.concurrent.atomic.AtomicReference[State](Queued))
     handles.put(id, handle)
     val runner = new Thread(() => {
-      handle.state = Running
-      try {
-        spark.sparkContext.setJobGroup(s"async-$id", s"async query $id",
-          interruptOnCancel = true)
-        spark.sql(sql)
-          .write.mode("overwrite").option("header", "true").csv(dest)
-        if (handle.state != Cancelled) handle.state = Succeeded
-      } catch {
-        case e: Throwable => if (handle.state != Cancelled)
-          handle.state = Failed(Option(e.getMessage).getOrElse(e.getClass.getName))
-      } finally spark.sparkContext.clearJobGroup()
+      if (handle.state.compareAndSet(Queued, Running)) {
+        try {
+          spark.sparkContext.setJobGroup(s"async-$id", s"async query $id",
+            interruptOnCancel = true)
+          spark.sql(sql)
+            .write.mode("overwrite").option("header", "true").csv(dest)
+          handle.state.compareAndSet(Running, Succeeded)
+        } catch {
+          case e: Throwable => handle.state.compareAndSet(Running,
+            Failed(Option(e.getMessage).getOrElse(e.getClass.getName)))
+        } finally spark.sparkContext.clearJobGroup()
+      }
     }, s"graft-async-$id")
     runner.setDaemon(true)
     runner.start()
@@ -71,7 +79,7 @@ object AsyncQuery {
   def status(id: String): State = {
     val h = handles.get(id)
     require(h != null, s"unknown query execution id $id")
-    h.state
+    h.state.get()
   }
 
   /** Block until the query reaches a terminal state (the reference's
@@ -95,11 +103,16 @@ object AsyncQuery {
   def cancel(spark: SparkSession, id: String): Unit = {
     val h = handles.get(id)
     require(h != null, s"unknown query execution id $id")
-    h.state match {
-      case Queued | Running =>
-        h.state = Cancelled
-        spark.sparkContext.cancelJobGroup(s"async-$id")
-      case _ => ()
+    // CAS loop: only a non-terminal state may move to Cancelled (a
+    // concurrent Succeeded/Failed wins and sticks)
+    var done = false
+    while (!done) {
+      h.state.get() match {
+        case s @ (Queued | Running) =>
+          done = h.state.compareAndSet(s, Cancelled)
+          if (done) spark.sparkContext.cancelJobGroup(s"async-$id")
+        case _ => done = true
+      }
     }
   }
 
@@ -112,7 +125,8 @@ object AsyncQuery {
                    maxResults: Int = 1000): Seq[Seq[String]] = {
     val h = handles.get(id)
     require(h != null, s"unknown query execution id $id")
-    require(h.state == Succeeded, s"query $id not in SUCCEEDED state: ${h.state}")
+    require(h.state.get() == Succeeded,
+      s"query $id not in SUCCEEDED state: ${h.state.get()}")
     val df = resultsDf(spark, id)
     val header = df.columns.toSeq
     header +: df.limit(maxResults).collect().toSeq

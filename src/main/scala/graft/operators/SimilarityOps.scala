@@ -315,6 +315,12 @@ object SimilarityOps {
     // materialization job, the first consumer fills it in-stage.
     // O(corpus) rows of ~5·dim bytes — the same defensible build-step
     // materialization the LSH signature table uses.
+    // LIFETIME: the cache entry outlives this call (the returned
+    // DataFrame depends on it, so it cannot be unpersisted here).
+    // Long-lived sessions issuing many of these should clear the
+    // DataFrame cache between searches (as Bench.clearState does) or
+    // reuse one search session per corpus — the entry is keyed by
+    // plan, so repeated calls with the same corpus hit, not grow.
     val v = corpus.select(col(idCol).as("neighbor_id"),
         col(vecCol).as("cv"), vecNorm(col(vecCol)).as("cn"),
         quantizeInt8(col(vecCol), scale).cast("array<float>").as("cq"))

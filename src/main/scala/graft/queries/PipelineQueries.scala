@@ -185,8 +185,12 @@ object PipelineQueries extends QueryPack {
     Tables.load(s, dir, "customer")
       .select("c_custkey", "c_acctbal", "c_nationkey")
       .write.mode("overwrite").partitionBy("c_nationkey").json(landing)
-    val keys = Tables.load(s, dir, "nation")
-      .select(col("n_nationkey").cast("long")).distinct()
+    // fan-out keys come from the landed data itself (customer's
+    // distinct nations), not the nation dim: a nation with zero
+    // customers has no landing dir, and fetching it would emit a
+    // quarantine row the oracle (grouped over customer) never states
+    val keys = Tables.load(s, dir, "customer")
+      .select(col("c_nationkey").cast("long")).distinct()
       .union(s.range(99, 100).select(col("id")))
       .as[java.lang.Long](org.apache.spark.sql.Encoders.LONG)
     val fetcher: Long => Seq[String] = { id =>
@@ -409,7 +413,14 @@ object PipelineQueries extends QueryPack {
     val levels = Seq.newBuilder[org.apache.spark.sql.DataFrame]
     levels += frontier
     for (d <- 1 to maxDepth) {
-      frontier = keys.join(broadcast(frontier.select(col("k").as("pk"))),
+      // the frontier at depth d holds at most 2^d keys (binary heap),
+      // so the broadcast hint is STRUCTURALLY safe through d=22 (4M
+      // 8-byte keys ≈ 32 MB); past that the hint comes off and the
+      // round degrades to a shuffle join instead of OOMing the driver
+      // — a forced broadcast of the deepest frontier (~half of all
+      // keys) would be the classic 100TB driver-kill
+      val pk = frontier.select(col("k").as("pk"))
+      frontier = keys.join(if (d <= 22) broadcast(pk) else pk,
           col("parent_k") === col("pk"))
         .select(col("k"), lit(d).as("depth"))
       // every frontier is referenced TWICE (next round's broadcast +

@@ -95,7 +95,7 @@ object SimQueries extends QueryPack {
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))
     emb.agg(count(lit(1)).as("n_vectors")).crossJoin(stats)
       .select(col("n_vectors"), col("n_exact"),
-        (col("__hits") >= col("n_exact") * lit(0.9)).as("recall_ok"))
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.9)).as("recall_ok"))
   }
 
   // IVF probe search end-to-end: centroids seeded from `label`, corpus
@@ -127,7 +127,7 @@ object SimQueries extends QueryPack {
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))
     q10.agg(count(lit(1)).as("n_queries")).crossJoin(stats)
       .select(col("n_queries"), col("n_exact"),
-        (col("__hits") >= col("n_exact") * lit(0.4)).as("recall_ok"))
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.4)).as("recall_ok"))
   }
 
   // Int8 scalar quantization roundtrip: per-vector quantized checksum
@@ -444,7 +444,7 @@ object SimQueries extends QueryPack {
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))
     emb.agg(count(lit(1)).as("n_vectors")).crossJoin(stats)
       .select(col("n_vectors"), col("n_exact"),
-        (col("__hits") >= col("n_exact") * lit(0.5)).as("recall_ok"))
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.5)).as("recall_ok"))
   }
 
   // PCA dimensionality reduction before ANN (SimilarityOps.pcaBasis /

@@ -1340,6 +1340,13 @@ object TextQueries extends QueryPack {
   // the whole train→encode tokenizer pipeline is hash-checked end to
   // end (per-doc token count + the encoded symbol stream itself).
   q("tx_bpe_apply", {
+    // m$m must never be EMPTY: a corpus whose pairs are exhausted
+    // before iteration 5 would otherwise empty every downstream CTE
+    // through the CROSS JOIN and the oracle would return zero rows
+    // while the Spark side (which simply stops learning merges)
+    // returns every document. A chr(1) sentinel merge is a no-op on
+    // the corpus (control chars never appear as symbols), mirroring
+    // the Scala side's shorter merge list.
     val iters = (1 to 5).map { m =>
       s""",
          |e$m AS (SELECT freq, string_split(trim(s), '  ') AS sym FROM c${m - 1}),
@@ -1348,7 +1355,11 @@ object TextQueries extends QueryPack {
          |p$m AS (SELECT sym[i] AS pa, sym[i+1] AS pb,
          |          CAST(sum(freq) AS BIGINT) AS cnt
          |        FROM x$m GROUP BY 1, 2),
-         |m$m AS (SELECT pa, pb, cnt FROM p$m ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |m$m AS (SELECT pa, pb FROM (
+         |          SELECT pa, pb, 0 AS pri FROM
+         |            (SELECT pa, pb FROM p$m ORDER BY cnt DESC, pa, pb LIMIT 1)
+         |          UNION ALL SELECT chr(1), chr(1), 1)
+         |        ORDER BY pri LIMIT 1),
          |c$m AS (SELECT freq,
          |          replace(s, ' '||pa||'  '||pb||' ', ' '||pa||pb||' ') AS s
          |        FROM c${m - 1} CROSS JOIN m$m)""".stripMargin

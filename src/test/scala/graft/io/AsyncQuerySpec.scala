@@ -64,8 +64,14 @@ class AsyncQuerySpec extends SparkSpec {
       "SELECT count(*) FROM async_big x JOIN async_big y ON x.a % 97 = y.a % 97",
       outDir)
     AsyncQuery.cancel(spark, id)
+    // the CAS protocol makes CANCELLED sticky: even a cancel landing
+    // before the runner thread starts must win (the runner's
+    // Queued→Running CAS fails and it never executes)
     val terminal = AsyncQuery.waitFor(id, timeoutMs = 60000L)
-    assert(terminal == AsyncQuery.Cancelled || terminal == AsyncQuery.Succeeded)
+    assert(terminal == AsyncQuery.Cancelled)
+    // and it stays terminal — no late transition back to RUNNING
+    Thread.sleep(200)
+    assert(AsyncQuery.status(id) == AsyncQuery.Cancelled)
     AsyncQuery.forget(id)
   }
 
