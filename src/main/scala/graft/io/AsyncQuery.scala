@@ -61,9 +61,16 @@ object AsyncQuery {
         try {
           spark.sparkContext.setJobGroup(s"async-$id", s"async query $id",
             interruptOnCancel = true)
-          spark.sql(sql)
-            .write.mode("overwrite").option("header", "true").csv(dest)
-          handle.state.compareAndSet(Running, Succeeded)
+          // analysis/planning can take seconds and submits NO jobs — a
+          // cancel in that window has nothing to kill, so re-check the
+          // state before submitting work (cancel() also uses
+          // cancelJobGroupAndFutureJobs, so any job this thread
+          // submits after a cancel is killed at submission)
+          val planned = spark.sql(sql)
+          if (handle.state.get() == Running) {
+            planned.write.mode("overwrite").option("header", "true").csv(dest)
+            handle.state.compareAndSet(Running, Succeeded)
+          }
         } catch {
           case e: Throwable => handle.state.compareAndSet(Running,
             Failed(Option(e.getMessage).getOrElse(e.getClass.getName)))
@@ -110,7 +117,10 @@ object AsyncQuery {
       h.state.get() match {
         case s @ (Queued | Running) =>
           done = h.state.compareAndSet(s, Cancelled)
-          if (done) spark.sparkContext.cancelJobGroup(s"async-$id")
+          // ...AndFutureJobs: plain cancelJobGroup only kills ACTIVE
+          // jobs, so a cancel landing between two of the query's jobs
+          // (or during planning) would let the remaining jobs run
+          if (done) spark.sparkContext.cancelJobGroupAndFutureJobs(s"async-$id")
         case _ => done = true
       }
     }

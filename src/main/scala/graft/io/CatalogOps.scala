@@ -76,7 +76,10 @@ object CatalogOps {
                  partitionCols: Seq[String]): DataFrame = {
     val listed = spark.sql(s"SHOW PARTITIONS $name")
     partitionCols.zipWithIndex.foldLeft(listed) { case (df, (c, i)) =>
-      df.withColumn(c, regexp_extract(col("partition"), s"$c=([^/]*)", 1))
+      // anchor at a segment start: unanchored `c=(...)` would match a
+      // key that is a SUFFIX of another (uid=42/id=7 → "id" hits
+      // "uid=42"); group 2 is the value
+      df.withColumn(c, regexp_extract(col("partition"), s"(^|/)$c=([^/]*)", 2))
     }.select(partitionCols.map(col): _*)
   }
 

@@ -1,8 +1,9 @@
 package graft.io
 
 import java.io.File
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** Table-maintenance operators.
   *
@@ -25,32 +26,81 @@ object Maintenance {
 
   /** Rewrite `path` with files sized toward `targetBytes`.
     *
-    * Implementation: read with partition discovery, then let a
-    * per-partition repartition bring file count to
-    * ceil(partitionBytes / targetBytes). Uses a temp dir + atomic-ish
-    * swap (write new, move old away, move new in) so a crash leaves
-    * either the old or the new table, never a mix.
+    * File-count control is PER HIVE PARTITION: each leaf partition's
+    * byte size (from the file listing) sets its own budget
+    * ceil(partitionBytes / targetBytes), and a per-row hash salt
+    * spreads the partition's rows across exactly that many shuffle
+    * partitions. (Repartitioning on the partition columns alone hashes
+    * every row of a partition to ONE task — a 5 GB partition would
+    * compact to a single 5 GB file; a global round-robin repartition
+    * would make every task write a sliver of every partition — the
+    * small-files problem reborn ×nFiles.) Partition values are matched
+    * as strings against the directory names, so values that hive-escape
+    * (URL-encoded chars) are not supported here.
+    *
+    * Swap semantics (two renames, not atomic): write new table to
+    * `path__compact_tmp`, move old to `path__compact_old`, move tmp in,
+    * delete old. A crash BETWEEN the renames leaves the table parked at
+    * `path__compact_old` and nothing at `path` — recovery is a single
+    * manual rename back; content is never mixed or lost. (True atomic
+    * swap needs a catalog pointer — see [[Snapshots]] for the
+    * manifest-committed version of this pattern.)
     */
   def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val totalBytes = dataFiles(path).map(_.length).sum
-    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.parquet(path)
-    val tmp = path + "__compact_tmp"
-    val writer =
-      (if (partitionCols.isEmpty) df.repartition(nFiles)
-       else df.repartition(nFiles, partitionCols.map(col): _*))
-        .write.mode("overwrite")
-    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
-      .parquet(tmp)
-    val old = new File(path + "__compact_old")
-    require(new File(path).renameTo(old), s"cannot move $path aside")
-    require(new File(tmp).renameTo(new File(path)), s"cannot move $tmp into place")
-    def rm(f: File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    // partition-column values must round-trip as the literal dir-name
+    // strings for the budget join below; restore the session conf after
+    val inferenceKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val priorInference = spark.conf.getOption(inferenceKey)
+    spark.conf.set(inferenceKey, "false")
+    try {
+      val files = dataFiles(path)
+      val df = spark.read.parquet(path)
+      val tmp = path + "__compact_tmp"
+      val dataCols = df.columns.filterNot(partitionCols.contains).map(col).toSeq
+      if (partitionCols.isEmpty) {
+        val totalBytes = files.map(_.length).sum
+        val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        df.repartition(nFiles).write.mode("overwrite").parquet(tmp)
+      } else {
+        // leaf-partition byte sizes from the listing → per-partition
+        // file budgets, joined back (broadcast: one row per partition)
+        val rootUri = new File(path).toURI
+        val budgets = files
+          .groupBy { f =>
+            rootUri.relativize(f.getParentFile.toURI).getPath
+              .split("/").filter(_.contains("="))
+              .map(seg => seg.split("=", 2)).map(kv => kv(0) -> kv(1)).toMap
+          }
+          .map { case (vals, fs) =>
+            val n = math.max(1,
+              math.ceil(fs.map(_.length).sum.toDouble / targetBytes).toInt)
+            partitionCols.map(vals.getOrElse(_,
+              sys.error(s"partition col not in layout: $vals"))) :+ n
+          }.toSeq
+        val budgetSchema = StructType(
+          partitionCols.map(StructField(_, StringType)) :+
+            StructField("__files", IntegerType))
+        val budgetDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(budgets.map(Row.fromSeq), 1), budgetSchema)
+        val nFiles = math.max(1, budgets.map(_.last.asInstanceOf[Int]).sum)
+        df.join(broadcast(budgetDf), partitionCols)
+          .withColumn("__salt", pmod(hash(dataCols: _*), col("__files")))
+          .repartition(nFiles, (partitionCols.map(col) :+ col("__salt")): _*)
+          .drop("__files", "__salt")
+          .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
+      }
+      val old = new File(path + "__compact_old")
+      require(new File(path).renameTo(old), s"cannot move $path aside")
+      require(new File(tmp).renameTo(new File(path)), s"cannot move $tmp into place")
+      def rm(f: File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(old)
+    } finally priorInference match {
+      case Some(v) => spark.conf.set(inferenceKey, v)
+      case None    => spark.conf.unset(inferenceKey)
     }
-    rm(old)
   }
 }

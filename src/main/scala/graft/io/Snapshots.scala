@@ -45,24 +45,26 @@ object Snapshots {
   private def manifestFile(tableDir: String, v: Int) =
     new File(manifestDir(tableDir), f"v$v%05d.json")
 
-  /** Committed versions, ascending. */
+  /** Committed versions, ascending. Accepts 5+ digits and parses
+    * numerically: the `%05d` zero-pad keeps names sortable only up to
+    * v99999, and a fixed `\d{5}` match would make every manifest from
+    * v100000 on INVISIBLE — publishes would "succeed" while read()
+    * serves v99999 forever.
+    */
   def versions(tableDir: String): Seq[Int] = {
     val d = manifestDir(tableDir)
     if (!d.isDirectory) Seq.empty
     else d.listFiles().toSeq.map(_.getName)
-      .collect { case n if n.matches("v\\d{5}\\.json") => n.substring(1, 6).toInt }
+      .collect { case n if n.matches("v\\d{5,}\\.json") =>
+        n.stripPrefix("v").stripSuffix(".json").toInt }
       .sorted
   }
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  private def listParquet(dir: File): Seq[File] = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
-      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-    walk(dir)
-  }
+  private def listParquet(dir: File): Seq[File] =
+    Maintenance.dataFiles(dir.getPath)
 
   private def claimFile(tableDir: String, v: Int) =
     new File(manifestDir(tableDir), f"v$v%05d.claim")

@@ -97,8 +97,10 @@ final class PagedJsonReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
-  private val lines = scala.io.Source.fromFile(file, "UTF-8").getLines()
-    .filter(_.trim.nonEmpty)
+  // keep the Source so close() can release the file descriptor — a
+  // no-op close leaks one fd per page file until GC finalization
+  private val source = scala.io.Source.fromFile(file, "UTF-8")
+  private val lines = source.getLines().filter(_.trim.nonEmpty)
   private var current: InternalRow = _
 
   private def convert(node: JsonNode, dt: DataType): Any = {
@@ -125,5 +127,5 @@ final class PagedJsonReader(file: String, required: StructType)
     }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = source.close()
 }

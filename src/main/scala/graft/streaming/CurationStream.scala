@@ -69,8 +69,11 @@ object CurationStream {
                       delay: String): DataFrame =
     stream.withWatermark(eventTimeCol, delay)
       .groupBy(window(col(eventTimeCol), windowDur).as("win"),
-        least(lit(nBuckets - 1),
-          floor((col(valueCol) - lo) / ((hi - lo) / nBuckets)))
+        // clamp BOTH tails: values below `lo` must land in bucket 0,
+        // not a negative id that psi()'s 0..n-1 spine join silently
+        // drops — under-range drift is exactly what the monitor is for
+        greatest(lit(0L), least(lit(nBuckets - 1),
+          floor((col(valueCol) - lo) / ((hi - lo) / nBuckets))))
           .cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
       .select(col("win.start").as("window_start"), col("bucket"), col("n"))

@@ -30,8 +30,42 @@ object Sessionize {
   implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
-  private def toSession(userId: Long, s: SessionState): Session =
+  private[streaming] def toSession(userId: Long, s: SessionState): Session =
     Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+
+  /** Fold one event into the open-session state, appending any session
+    * it closes to `out`; returns the new open state. Shared by both
+    * streaming APIs ([[Sessionize]] and [[SessionizeV2]]).
+    *
+    * An event merges when it lands within `gapMs` of the session SPAN
+    * (start − gap … lastTs + gap) — and a late-but-admitted event may
+    * extend the span BACKWARD, so `start` is min-updated. (The naive
+    * `t − lastTs ≤ gap` guard folded ANY event older than the span in
+    * without fixing `start`, silently corrupting session_start.) An
+    * event more than a gap BEFORE the open session belongs to an
+    * earlier, definitionally-closed session: it is emitted as its own
+    * 1-event session and the open session stays untouched — the naive
+    * form instead closed the CURRENT session and re-opened at the
+    * stale timestamp.
+    */
+  private[streaming] def foldEvent(gapMs: Long, userId: Long, e: Event,
+      cur: Option[SessionState],
+      out: ArrayBuffer[Session]): Option[SessionState] = {
+    val t = e.ts.getTime
+    cur match {
+      case Some(s) if t >= s.start - gapMs && t <= s.lastTs + gapMs =>
+        Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
+          s.n + 1, s.total + e.value))
+      case Some(s) if t < s.start - gapMs =>
+        out += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
+        Some(s)
+      case Some(s) =>
+        out += toSession(userId, s)
+        Some(SessionState(t, t, 1, e.value))
+      case None =>
+        Some(SessionState(t, t, 1, e.value))
+    }
+  }
 
   private def step(gapMs: Long)(
       userId: Long, events: Iterator[Event],
@@ -44,17 +78,7 @@ object Sessionize {
     val out = ArrayBuffer.empty[Session]
     var cur = state.getOption
     events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-      val t = e.ts.getTime
-      cur match {
-        case Some(s) if t - s.lastTs <= gapMs =>
-          cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
-            total = s.total + e.value))
-        case Some(s) =>
-          out += toSession(userId, s)
-          cur = Some(SessionState(t, t, 1, e.value))
-        case None =>
-          cur = Some(SessionState(t, t, 1, e.value))
-      }
+      cur = foldEvent(gapMs, userId, e, cur, out)
     }
     cur.foreach { s =>
       state.update(s)

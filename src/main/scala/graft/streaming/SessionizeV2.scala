@@ -33,22 +33,19 @@ object SessionizeV2 {
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[Session] = {
       val out = ArrayBuffer.empty[Session]
-      var cur = Option(session.get())
+      val prior = Option(session.get())
+      var cur = prior
       rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastTs <= gapMs =>
-            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), n = s.n + 1,
-              total = s.total + e.value))
-          case Some(s) =>
-            out += toSession(key, s)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
+        cur = Sessionize.foldEvent(gapMs, key, e, cur, out)
       }
       cur.foreach { s =>
         session.update(s)
+        // one live timer per key: delete the previous expiry before
+        // registering the new one — re-registering every batch without
+        // cleanup accumulates a stale timer per extension, each firing
+        // later just to be discarded by the expiry guard
+        prior.filter(p => p.lastTs != s.lastTs)
+          .foreach(p => getHandle.deleteTimer(p.lastTs + gapMs))
         getHandle.registerTimer(s.lastTs + gapMs)
       }
       out.iterator

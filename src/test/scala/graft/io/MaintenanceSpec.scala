@@ -25,4 +25,26 @@ class MaintenanceSpec extends SparkSpec {
     assert(re.select("part").distinct().count() == 2) // partition col survives
     assert(new java.io.File(path + "/part=p0").isDirectory)
   }
+
+  test("compact: an OVERSIZED partition splits into multiple target-size files") {
+    val path = Files.createTempDirectory("compact_big").toString + "/t"
+    // one big partition + one small one; tiny target forces a split
+    val df = (1 to 20000).map(i =>
+      (i.toLong, if (i <= 19000) "big" else "small",
+        s"payload-$i-${"x" * 50}")).toDF("id", "part", "v")
+    df.repartition(4).write.partitionBy("part").parquet(path)
+    val sumBefore = spark.read.parquet(path).agg(sum("id")).head().getLong(0)
+    val bigBytes = Maintenance.dataFiles(path)
+      .filter(_.getPath.contains("part=big")).map(_.length).sum
+
+    Maintenance.compact(spark, path, Seq("part"), targetBytes = bigBytes / 3)
+
+    // budget = ceil(bytes/target) ≥ 3 for big; small stays at 1 file —
+    // per-partition sizing, not one-file-per-partition or global spray
+    val bigFiles = Maintenance.dataFiles(path).count(_.getPath.contains("part=big"))
+    val smallFiles = Maintenance.dataFiles(path).count(_.getPath.contains("part=small"))
+    assert(bigFiles >= 3, s"oversized partition not split: $bigFiles files")
+    assert(smallFiles == 1, s"small partition should stay single-file: $smallFiles")
+    assert(spark.read.parquet(path).agg(sum("id")).head().getLong(0) == sumBefore)
+  }
 }

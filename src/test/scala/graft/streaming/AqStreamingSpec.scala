@@ -77,6 +77,48 @@ class SessionizeStreamSpec extends graft.SparkSpec {
     assert(s.getAs[java.sql.Timestamp]("session_start").toInstant.toString
       == "2024-01-01T10:00:00Z")
   }
+
+  test("a late in-gap event extends the session BACKWARD (start min-updated)") {
+    val dir = Files.createTempDirectory("sess_late")
+    val out = Files.createTempDirectory("sess_late_out").toString
+    val ckpt = Files.createTempDirectory("sess_late_ckpt").toString
+    def rec(ts: String, v: Double) =
+      s"""{"user_id": 1, "ts": "$ts", "value": $v}"""
+    // batch 1 opens the session at 10:00; batch 2 delivers a LATE
+    // 09:50 event (inside the 10-min default watermark, inside the
+    // 30-min gap of the session span) plus a far-future event that
+    // closes the session. The naive t−lastTs guard folded the late
+    // event in but left session_start at 10:00.
+    Files.writeString(dir.resolve("f1.json"), Seq(
+      rec("2024-01-01T10:00:00.000Z", 1.0)).mkString("\n"))
+    Files.writeString(dir.resolve("f2.json"), Seq(
+      rec("2024-01-01T09:50:00.000Z", 2.0),
+      rec("2024-01-01T13:00:00.000Z", 9.0)).mkString("\n"))
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    val q = Sessionize.sessionizeStream(stream, gapMinutes = 30,
+        watermarkDelay = "4 hours")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val sessions = spark.read.parquet(out)
+      .orderBy("session_start").collect()
+    assert(sessions.length == 1, s"got ${sessions.toSeq}")
+    val s = sessions.head
+    assert(s.getAs[Long]("n_events") == 2L, s"late event not merged: $s")
+    assert(s.getAs[java.sql.Timestamp]("session_start").toInstant.toString
+      == "2024-01-01T09:50:00Z", s"start not min-updated: $s")
+    assert(s.getAs[Double]("total_value") == 3.0)
+  }
 }
 
 /** Stream ≡ batch: the hourly aggregation computed over the real
