@@ -30,8 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => SimHash64(es.head)))
     ext.injectFunction((
       FunctionIdentifier("token_ngrams"),
-      info("token_ngrams", "_FUNC_(tokens) - token 3-gram shingles"),
-      (es: Seq[Expression]) => TokenNgrams(es.head, 3)))
+      info("token_ngrams", "_FUNC_(tokens[, n]) - token n-gram shingles (default n=3)"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graftx.GraftFunctions.tokenNgramsBuilder(es)))
     ext.injectFunction((
       FunctionIdentifier("rhp_signature64"),
       info("rhp_signature64", "_FUNC_(vec) - 16-bit random-hyperplane LSH bucket of a 64-dim float vector"),

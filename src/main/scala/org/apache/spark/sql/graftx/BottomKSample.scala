@@ -4,7 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -39,9 +39,15 @@ case class BottomKByKey(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(String, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(String, Long)]]
+  with ExpectsInputTypes {
 
   require(k >= 1, s"k must be >= 1, got $k")
+
+  // analysis-time contract: update() casts payload to Long and the
+  // sortKey is compared as a string — reject other types at analysis
+  // instead of ClassCastException on the first row
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, LongType)
 
   override def children: Seq[Expression] = Seq(sortKey, payload)
   override def nullable: Boolean = false
@@ -83,7 +89,13 @@ case class BottomKByKey(
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (s, p) => out.writeUTF(s); out.writeLong(p) }
+    // length-prefixed UTF-8, not writeUTF: writeUTF throws
+    // UTFDataFormatException past 65535 bytes, so a raw-text sortKey
+    // (instead of the intended md5) would kill the job at shuffle time
+    buf.foreach { case (s, p) =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length); out.write(b); out.writeLong(p)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -92,7 +104,13 @@ case class BottomKByKey(
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf.enqueue((in.readUTF(), in.readLong())))
+    (0 until n).foreach { _ =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.enqueue((new String(b, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong()))
+    }
     buf
   }
 

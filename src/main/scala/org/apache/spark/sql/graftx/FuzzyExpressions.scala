@@ -39,6 +39,16 @@ object GraftFuzzyOps {
     val lb = b.length
     if (la == 0) return lb
     if (lb == 0) return la
+    // O(la·lb) ints: unguarded, two ~47k-char strings overflow the
+    // array size into NegativeArraySizeException (and well before
+    // that allocate gigabytes). Edit distance on whole documents is
+    // the wrong tool — q-gram-block + verify (FuzzyOps) is the
+    // scalable path — so refuse loudly past a 16M-cell budget (64 MB
+    // scratch), instead of dying mid-task with an opaque error.
+    if (la.toLong * lb > 16L * 1024 * 1024)
+      throw new IllegalArgumentException(
+        s"damerau_levenshtein: ${la}x$lb chars exceeds the 16M-cell DP budget; " +
+          "block long texts (FuzzyOps q-gram candidates) before exact verify")
     val maxd = la + lb
     // last row index (1-based) at which each char of `a` was seen
     val da = new java.util.HashMap[Character, Integer]()

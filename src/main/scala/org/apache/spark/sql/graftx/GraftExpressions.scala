@@ -23,6 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * `aggregate(zip_with(...))` fold AND to DuckDB `list_reduce`, so
   * oracle hash-matching is preserved while gaining a codegen'd
   * primitive loop. Null array → null; arrays are dense by contract.
+  * A LENGTH MISMATCH throws: silently dotting the common prefix would
+  * turn an upstream data bug (truncated embedding) into plausible but
+  * wrong similarity scores.
   */
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -35,7 +38,8 @@ case class FloatVecDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    GraftHashOps.checkSameLength(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -51,7 +55,9 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |org.apache.spark.sql.graftx.GraftHashOps.checkSameLength(
+         |  $a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
@@ -70,6 +76,12 @@ case class FloatVecDot(left: Expression, right: Expression)
   * row-materializing eval.
   */
 object GraftHashOps {
+  /** Loud guard for vector-length mismatches (callable from codegen). */
+  def checkSameLength(a: Int, b: Int): Unit =
+    if (a != b) throw new IllegalArgumentException(
+      s"float_vec_dot: vector lengths differ ($a vs $b) — " +
+        "upstream embedding corruption, refusing to dot the common prefix")
+
   def simHash64(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
@@ -112,25 +124,30 @@ object GraftHashOps {
     new GenericArrayData(sig)
   }
 
+  /** Windows containing a NULL token are skipped (the input type
+    * admits containsNull arrays; an unguarded getUTF8String would NPE
+    * the whole task on one null element).
+    */
   def tokenNgrams(arr: ArrayData, n: Int): ArrayData = {
     val sz = arr.numElements()
-    val out = if (sz < n) new Array[AnyRef](0) else {
-      val res = new Array[AnyRef](sz - n + 1)
-      var i = 0
-      while (i <= sz - n) {
-        val sb = new java.lang.StringBuilder()
-        var j = 0
-        while (j < n) {
+    val res = new scala.collection.mutable.ArrayBuffer[AnyRef](math.max(0, sz - n + 1))
+    var i = 0
+    while (i <= sz - n) {
+      val sb = new java.lang.StringBuilder()
+      var ok = true
+      var j = 0
+      while (ok && j < n) {
+        if (arr.isNullAt(i + j)) ok = false
+        else {
           if (j > 0) sb.append(' ')
           sb.append(arr.getUTF8String(i + j).toString)
           j += 1
         }
-        res(i) = UTF8String.fromString(sb.toString)
-        i += 1
       }
-      res
+      if (ok) res += UTF8String.fromString(sb.toString)
+      i += 1
     }
-    new GenericArrayData(out)
+    new GenericArrayData(res.toArray)
   }
 
   def rollingHash31(s: UTF8String): Long = {
@@ -420,16 +437,19 @@ case class NgramGenerator(child: Expression, n: Int)
       val a = v.asInstanceOf[ArrayData]
       val m = a.numElements() - n + 1
       if (m <= 0) Iterator.empty
-      else (0 until m).iterator.map { i =>
-        val sb = new java.lang.StringBuilder
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(a.getUTF8String(i + j).toString)
-          j += 1
+      else (0 until m).iterator
+        // a window containing a NULL token is skipped (not NPE'd)
+        .filter(i => (0 until n).forall(j => !a.isNullAt(i + j)))
+        .map { i =>
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(a.getUTF8String(i + j).toString)
+            j += 1
+          }
+          InternalRow(i + 1, UTF8String.fromString(sb.toString))
         }
-        InternalRow(i + 1, UTF8String.fromString(sb.toString))
-      }
     }
   }
 
@@ -472,6 +492,20 @@ object GraftFunctions {
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** SQL builder for `token_ngrams(tokens[, n])`: optional FOLDABLE n
+    * (default 3). A silently-ignored second argument is worse than an
+    * error — `token_ngrams(toks, 2)` returning 3-grams is wrong
+    * results with no signal — so wrong arity / non-literal n throw at
+    * analysis like the builtins do.
+    */
+  def tokenNgramsBuilder(es: Seq[Expression]): Expression = es match {
+    case Seq(tokens) => TokenNgrams(tokens, 3)
+    case Seq(tokens, n) if n.foldable && n.eval() != null =>
+      TokenNgrams(tokens, n.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "token_ngrams expects (array<string> tokens[, integer literal n])")
+  }
+
   /** Register as SQL functions (K5/§3.3 surface: usable from
     * `spark.sql`, e.g. `SELECT float_vec_dot(a, b)`).
     */
@@ -482,6 +516,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash64",
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_ngrams",
-      es => TokenNgrams(es.head, 3), "built-in")
+      tokenNgramsBuilder, "built-in")
   }
 }

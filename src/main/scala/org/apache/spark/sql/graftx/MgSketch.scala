@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.classic.ExpressionUtils
@@ -34,8 +34,13 @@ case class MgHeavyHitters(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with ExpectsInputTypes {
 
+  // analysis-time type check: update() blind-casts to UTF8String, so a
+  // non-string column must fail with an AnalysisException, not a
+  // per-row ClassCastException in the executor
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

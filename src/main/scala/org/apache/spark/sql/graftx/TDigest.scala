@@ -39,8 +39,14 @@ final class TDig(val delta: Int) {
 
   def totalWeight: Long = pts.iterator.map(_._2).sum
 
+  // set on add/merge, cleared by compress(): lets quantile() skip the
+  // O(c log c) re-sort when nothing changed (eval maps over P
+  // percentages — only the first should pay for compression)
+  private var dirty = true
+
   def add(x: Double, w: Long = 1L): Unit = {
     pts += ((x, w))
+    dirty = true
     if (x < lo) lo = x
     if (x > hi) hi = x
     if (pts.length > 8 * delta) compress()
@@ -48,6 +54,7 @@ final class TDig(val delta: Int) {
 
   def mergeIn(other: TDig): Unit = {
     other.pts.foreach { case (m, w) => pts += ((m, w)) }
+    dirty = true
     if (other.lo < lo) lo = other.lo
     if (other.hi > hi) hi = other.hi
     if (pts.length > 8 * delta) compress()
@@ -57,6 +64,8 @@ final class TDig(val delta: Int) {
     delta / (2 * math.Pi) * math.asin(2 * math.min(1.0, math.max(0.0, q)) - 1)
 
   def compress(): Unit = {
+    if (!dirty) return
+    dirty = false
     if (pts.length <= 1) return
     val sorted = pts.sortBy(_._1)
     val w = sorted.iterator.map(_._2).sum.toDouble

@@ -35,6 +35,11 @@ import org.apache.spark.util.BoundedPriorityQueue
 case class TopKPerGroup(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
                         k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"k must be positive, got $k")
+  // empty grouping would reach ClusteredDistribution(Nil)'s require at
+  // planning time as an internal-looking crash; reject it here with a
+  // usable message (global top-k is TakeOrderedAndProject's job)
+  require(groupExprs.nonEmpty,
+    "topKPerGroup needs at least one group column; for GLOBAL top-k use orderBy(...).limit(k)")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -53,6 +58,13 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
                             k: Int, partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
+
+  // the final stage's rows are still clustered however EnsureRequirements
+  // satisfied ClusteredDistribution(groupExprs) — advertise it so a
+  // downstream groupBy/join on the same keys reuses the exchange
+  // instead of shuffling the top-k output again
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil

@@ -105,6 +105,33 @@ class ExtensionsSpec extends graft.SparkSpec {
     assert(hh == Map("a" -> 3L, "b" -> 1L))
   }
 
+  test("token_ngrams honors an explicit n and skips null-token windows") {
+    // n=2 must yield bigrams, not silently fall back to trigrams
+    val bi = spark.sql("SELECT token_ngrams(array('a','b','c'), 2) AS ng")
+      .head().getSeq[String](0)
+    assert(bi == Seq("a b", "b c"))
+    // a null element must not NPE; windows containing it are skipped
+    val withNull = spark.sql(
+      "SELECT token_ngrams(array('a', CAST(NULL AS STRING), 'b', 'c', 'd'), 2) AS ng")
+      .head().getSeq[String](0)
+    assert(withNull == Seq("b c", "c d"))
+    val gen = spark.sql(
+      "SELECT ngram_gen(array('a', CAST(NULL AS STRING), 'b', 'c'), 2) AS (pos, ng)")
+      .collect().map(_.getString(1)).toSeq
+    assert(gen == Seq("b c"))
+  }
+
+  test("float_vec_dot refuses mismatched vector lengths loudly") {
+    val e = intercept[Exception] {
+      spark.sql("""SELECT float_vec_dot(
+        array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        array(CAST(1.0 AS FLOAT)))""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("vector lengths differ")), e.toString)
+  }
+
   test("WindowHashes: slot j == hash of substring(s, j+1, k); equal windows collide") {
     import spark.implicits._
     val s = "abcabcxabc"
