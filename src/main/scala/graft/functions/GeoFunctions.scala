@@ -17,7 +17,10 @@ object GeoFunctions {
     val dLon = radians(lon2 - lon1)
     val a = pow(sin(dLat / 2), 2) +
       cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
-    lit(2) * r * asin(sqrt(a))
+    // near-antipodal pairs can round `a` to 1 + few-ulp; unclamped,
+    // asin(sqrt(a)) would be NaN and any distance predicate silently
+    // false — clamp is a no-op everywhere else
+    lit(2) * r * asin(sqrt(least(lit(1.0), a)))
   }
 
   /** Coordinate sanity predicate (reference quality invariant:
@@ -49,14 +52,19 @@ object GeoFunctions {
       : org.apache.spark.sql.DataFrame = {
     // longitude wraps at ±180 (the haversine itself is wrap-safe, the
     // GRID must be too): lon cells live modulo nLon so a probe at the
-    // antimeridian reaches its true neighbor on the other side
-    val nLon = math.ceil(360.0 / cellDeg).toLong
+    // antimeridian reaches its true neighbor on the other side.
+    // UNIFORM cells via floor (width 360/nLon ≥ cellDeg): ceil would
+    // make the SEAM cell narrower than cellDeg whenever 360 % cellDeg
+    // ≠ 0, letting a pair inside the coverage contract sit 2 cells
+    // apart across the seam and silently escape the 3×3 probe
+    val nLon = math.floor(360.0 / cellDeg).toLong
     // nLon < 3 would alias the +1/-1 probes onto the same cell and
     // emit pairs twice — cellDeg must leave at least 3 lon cells
     require(nLon >= 3, s"cellDeg=$cellDeg leaves only $nLon lon cells (need >= 3)")
+    val lonWidth = 360.0 / nLon
     def latCell(c: Column) = floor(c / cellDeg).cast("long")
     def lonCell(c: Column) =
-      pmod(floor((c + 180.0) / cellDeg).cast("long"), lit(nLon))
+      pmod(floor((c + 180.0) / lonWidth).cast("long"), lit(nLon))
     val probes = a
       .withColumn("__dlat", explode(sequence(lit(-1), lit(1))))
       .withColumn("__dlon", explode(sequence(lit(-1), lit(1))))

@@ -128,7 +128,13 @@ object Multimodal {
     */
   def segmentNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                           chunkLen: Int, minShared: Long): DataFrame = {
+    // DISTINCT (doc, fp) before the self-join: `shared` counts distinct
+    // fingerprints present in both docs. Joining raw occurrence rows
+    // would square within-doc repeats (two unrelated payloads that each
+    // contain the same 4 filler chunks — silence, zero runs — would
+    // count 4×4=16 "shared" and false-positive the near-dup gate).
     val fp = segmentFingerprints(docs, idCol, textCol, chunkLen)
+      .select("doc_id", "fp").distinct()
     fp.as("a")
       .join(fp.hint("SHUFFLE_HASH").as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -48,6 +48,7 @@ object GraphOps {
     val hasDangling = !base.filter(col("tot").isNull).isEmpty
 
     var ranks = base.withColumn("rank", lit(1.0 / nNodes))
+    val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iters) {
       // rank mass sitting on nodes with no out-edges, as a 1-row DF
       val dangling = ranks.filter(col("tot").isNull)
@@ -69,8 +70,17 @@ object GraphOps {
       // contributions): without a cache per level the lineage
       // re-evaluates 2^iters times — cache makes it linear
       ranks = if (i % 4 == 0) next.localCheckpoint() else next.cache()
+      cached += ranks
     }
-    ranks.select(col("n"), col("rank"))
+    // materialize the final ranks (eager checkpoint cuts lineage to the
+    // per-level caches), then RELEASE every per-iteration cache plus
+    // the edge/base frames — without this, each pageRank call parks
+    // iters+2 cached plans in the session for its whole lifetime
+    val result = ranks.select(col("n"), col("rank")).localCheckpoint()
+    cached.foreach(_.unpersist(blocking = false))
+    base.unpersist(blocking = false)
+    e.unpersist(blocking = false)
+    result
   }
 
   /** Single-source shortest hop distances (BFS), `iters` rounds of

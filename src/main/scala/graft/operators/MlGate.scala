@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -26,13 +26,24 @@ object MlGate {
   /** Column-expression features (no UDFs — same primitives the
     * heuristic score uses, so the classifier can only refine, not
     * hallucinate, the signal).
+    *
+    * Degenerate rows are defended here, not in VectorAssembler: an
+    * empty string makes the ratio features 0.0/0 = NaN and a null text
+    * makes them null — either one kills the WHOLE train/score job
+    * inside the assembler (handleInvalid defaults to "error"). One
+    * garbage row must score as garbage, not fail the gate.
     */
-  def featurize(docs: DataFrame, textCol: String): DataFrame =
+  def featurize(docs: DataFrame, textCol: String): DataFrame = {
+    def safe(c: Column): Column = {
+      val guarded = when(length(col(textCol)) > 0, c).otherwise(lit(0.0))
+      coalesce(nanvl(guarded, lit(0.0)), lit(0.0))
+    }
     docs
-      .withColumn("f_tokens", TextFunctions.tokenCount(col(textCol)).cast("double"))
-      .withColumn("f_stop", TextFunctions.stopwordRatio(col(textCol)))
-      .withColumn("f_punct", TextFunctions.punctRatio(col(textCol)))
-      .withColumn("f_chars", length(col(textCol)).cast("double"))
+      .withColumn("f_tokens", safe(TextFunctions.tokenCount(col(textCol)).cast("double")))
+      .withColumn("f_stop", safe(TextFunctions.stopwordRatio(col(textCol))))
+      .withColumn("f_punct", safe(TextFunctions.punctRatio(col(textCol))))
+      .withColumn("f_chars", safe(length(col(textCol)).cast("double")))
+  }
 
   private def assemble(df: DataFrame): DataFrame =
     new VectorAssembler().setInputCols(featureCols.toArray)

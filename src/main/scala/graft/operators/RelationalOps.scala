@@ -302,11 +302,20 @@ object RelationalOps {
     // computation on eviction — the checkpoint cuts that lineage
     val pairedNodes = edges.select(col("src").as("id")).distinct().localCheckpoint()
     var labels = pairedNodes.select(col("id"), col("id").as("label"))
-    // labels only ever decrease, so their (overflow-safe) sum strictly
-    // decreases while anything changes — convergence is ONE scalar
-    // aggregate per iteration, not a self-join diff
+    // Convergence potential, ONE scalar aggregate per iteration (not a
+    // self-join diff). Integral ids: labels only ever decrease, so
+    // their overflow-safe sum strictly decreases while anything
+    // changes. Non-integral ids (string/UUID labels) can't be summed —
+    // under ANSI the decimal cast THROWS mid-job, and with ANSI off it
+    // nulls out to a constant ZERO that declares convergence after one
+    // round, silently splitting clusters — so their potential is the
+    // sum of 64-bit label hashes: not monotone, but any label-vector
+    // change moves it except under a 2⁻⁶⁴-scale hash-sum collision.
+    val labelPotential: Column =
+      if (integralId) sum(col("label").cast("decimal(38,0)"))
+      else sum(xxhash64(col("label").cast("string")).cast("decimal(38,0)"))
     def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      val s = df.agg(labelPotential).head().getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // no paired nodes at all
     }
     var prevSum = labelSum(labels)

@@ -29,6 +29,16 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Double-precision fold dot product over two numeric arrays — the
+    * HOF (zip_with + aggregate) form, shared by every centroid/PCA
+    * scoring path so a future numeric change (Kahan, native swap)
+    * lands in ONE place. Inputs are cast per element, so float and
+    * double arrays mix freely.
+    */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** id + vector + precomputed norm — the shape every pair op joins on. */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
                        id: String, vec: String, nrm: String): DataFrame =
@@ -367,8 +377,6 @@ object SimilarityOps {
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 cents: DataFrame): DataFrame = {
-    val dotD = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val vecD = transform(col("v"), x => x.cast("double"))
     val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(broadcast(cents))
@@ -419,8 +427,12 @@ object SimilarityOps {
         assigned = next.cache()
       }
     }
-    assigned.unpersist()
-    result
+    // materialize the final assignment BEFORE releasing its cached
+    // input — unpersisting first would hand the caller a plan whose
+    // first action replays the whole last re-assignment from source
+    val out = result.localCheckpoint()
+    assigned.unpersist(blocking = false)
+    out
   }
 
   /** End-to-end IVF probe search: build centroids from a seed cell
@@ -444,8 +456,6 @@ object SimilarityOps {
     val corpusByCell = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .join(assigned, "neighbor_id")
     // probe: nprobe nearest centroids per query (centroids broadcast)
-    val dotD = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
     val qD = transform(col("qv"), x => x.cast("double"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
@@ -506,8 +516,6 @@ object SimilarityOps {
     */
   def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
                  basis: Array[Array[Double]]): DataFrame = {
-    val dotD = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val vD = transform(col(vecCol), x => x.cast("double"))
     val projs = basis.map(b => dotD(vD, typedLit(b.toSeq)))
     vectors.select(col(idCol).as("id"), array(projs: _*).as("proj"))
@@ -526,8 +534,6 @@ object SimilarityOps {
               idCol: String, vecCol: String,
               basis: Array[Array[Double]],
               candidates: Int, k: Int): DataFrame = {
-    val dotD = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val qp = pcaProject(queries, idCol, vecCol, basis)
       .select(col("id").as("query_id"), col("proj").as("qp"))
       .withColumn("qpn", sqrt(dotD(col("qp"), col("qp"))))

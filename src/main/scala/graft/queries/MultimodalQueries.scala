@@ -95,14 +95,17 @@ object MultimodalQueries extends QueryPack {
 
   // Segment-hash media near-dup: docs sharing ≥1 identical full
   // 64-byte chunk — the per-segment-hash technique video/audio dedup
-  // uses. Fully SQL-expressible on the stub payload, so hash-oracled.
+  // uses. `shared` counts DISTINCT fingerprints in both docs (raw
+  // occurrence rows would square within-doc repeats of filler chunks
+  // into false-positive pairs). Fully SQL-expressible on the stub
+  // payload, so hash-oracled.
   q("mm_segment_neardup",
     """WITH chunks AS (
       |  SELECT doc_id, unnest(generate_series(0,
       |    CAST(floor(length(text) / 64) AS INTEGER))) AS ck
       |  FROM documents),
       |fp AS (
-      |  SELECT c.doc_id, md5(substring(d.text, c.ck * 64 + 1, 64)) AS fp
+      |  SELECT DISTINCT c.doc_id, md5(substring(d.text, c.ck * 64 + 1, 64)) AS fp
       |  FROM chunks c JOIN documents d USING (doc_id)
       |  WHERE length(substring(d.text, c.ck * 64 + 1, 64)) = 64)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
