@@ -84,10 +84,28 @@ object Maintenance {
         val budgetDf = spark.createDataFrame(
           spark.sparkContext.parallelize(budgets.map(Row.fromSeq), 1), budgetSchema)
         val nFiles = math.max(1, budgets.map(_.last.asInstanceOf[Int]).sum)
-        df.join(broadcast(budgetDf), partitionCols)
-          .withColumn("__salt", pmod(hash(dataCols: _*), col("__files")))
+        // Null partition values write to __HIVE_DEFAULT_PARTITION__ dirs and
+        // read back as null, while the budget table holds the literal dir
+        // string — a plain equi-join would silently drop those rows. Join on
+        // null-coalesced key columns instead so both sides carry the hive
+        // default-partition sentinel.
+        val hiveDefault = "__HIVE_DEFAULT_PARTITION__"
+        val keyCols = partitionCols.map(p => s"__pk_$p")
+        val keyed = partitionCols.zip(keyCols).foldLeft(df) { case (d, (p, k)) =>
+          d.withColumn(k, coalesce(col(p).cast(StringType), lit(hiveDefault)))
+        }
+        val budgetKeyed = partitionCols.zip(keyCols).foldLeft(budgetDf) {
+          case (d, (p, k)) => d.withColumnRenamed(p, k)
+        }
+        // a partition-cols-only table has no data columns to hash; salt by
+        // a per-row id instead so rows still spread across the file budget
+        val saltSrc =
+          if (dataCols.isEmpty) hash(monotonically_increasing_id())
+          else hash(dataCols: _*)
+        keyed.join(broadcast(budgetKeyed), keyCols)
+          .withColumn("__salt", pmod(saltSrc, col("__files")))
           .repartition(nFiles, (partitionCols.map(col) :+ col("__salt")): _*)
-          .drop("__files", "__salt")
+          .drop((keyCols :+ "__files" :+ "__salt"): _*)
           .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
       }
       val old = new File(path + "__compact_old")

@@ -76,6 +76,38 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
   }
 
+  /** Modulus k such that `id % k == 0` keeps ≈ `target` of `n`
+    * densely-numbered ids — the deterministic thinning every
+    * brute-force RECALL TWIN samples its query side with. A
+    * proportional sample (id % 4) makes a twin O(n²/c): at 100× data
+    * it does 10,000× the work. A FIXED-size sample keeps verification
+    * at O(n·s) — the twin's cost grows only linearly with the corpus,
+    * while the recall estimate stays unbiased (the thinning is
+    * uncorrelated with embedding geometry).
+    */
+  def sampleModulus(n: Long, target: Int): Long = math.max(1L, n / target)
+
+  /** Exact cosine pairs INCIDENT TO a query sample: every unordered
+    * pair {q, c} with cos ≥ minSim and q drawn from `queries` ⊆
+    * corpus. O(|queries| · n) — the sample-capped exact twin the LSH
+    * pair paths pin recall against (full [[cosinePairs]] is O(n²) and
+    * reserved for small-n oracle baselines). Pairs with BOTH ends
+    * sampled arrive twice with identical (least, greatest, cos) and
+    * dedupe exactly.
+    */
+  def cosinePairsFor(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, minSim: Double): DataFrame = {
+    val q = withNorm(queries, idCol, vecCol, "id_q", "vq", "nq")
+    val c = withNorm(corpus, idCol, vecCol, "id_c", "vc", "nc")
+    c.join(broadcast(q), col("id_q") =!= col("id_c"))
+      .withColumn("cos", vecDot(col("vq"), col("vc")) / (col("nq") * col("nc")))
+      .filter(col("cos") >= minSim)
+      .select(least(col("id_q"), col("id_c")).as("id_a"),
+        greatest(col("id_q"), col("id_c")).as("id_b"),
+        r4(col("cos")).as("cos"))
+      .distinct()
+  }
+
   /** Random-hyperplane LSH signature: sign bits of `nBits` fixed
     * pseudo-random hyperplanes. Hyperplane components are deterministic
     * hash-derived values in [-1,1] — reproducible across runs/engines
@@ -282,6 +314,25 @@ object SimilarityOps {
                             targetBucket: Int = 32): DataFrame = {
     val bits = autoBitsPerBand(vectors.count(), targetBucket)
     embeddingLshPairs(vectors, idCol, vecCol, dim, bands, bits, minSim)
+  }
+
+  /** Embedding duplicate clusters: near-dup edges → min-label
+    * connected components, every vector labeled (singletons label
+    * themselves). The DEFAULT edge build is the banded-LSH candidate
+    * path ([[embeddingLshPairsAuto]]: equi-joins only, O(candidates))
+    * — the plan that survives 100×. `exact = true` switches to the
+    * all-pairs O(n²) build and exists ONLY for small-n oracle
+    * baselines (`dd_embedding_clusters`); production callers never
+    * set it.
+    */
+  def embeddingClusters(vectors: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, minSim: Double, bands: Int = 12,
+                        exact: Boolean = false): DataFrame = {
+    val pairs =
+      if (exact) cosinePairs(vectors, idCol, vecCol, minSim)
+      else embeddingLshPairsAuto(vectors, idCol, vecCol, dim, bands, minSim)
+    RelationalOps.connectedComponents(
+      vectors.select(col(idCol)), idCol, pairs, "id_a", "id_b")
   }
 
   /** Scalar int8 quantization of an embedding column — 4× smaller

@@ -83,7 +83,13 @@ object MultimodalQueries extends QueryPack {
     val lsh = SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
         dim = 64, bands = 24, bitsPerBand = 12, minSim = 0.9)
       .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
-    val exact = SimilarityOps.cosinePairs(emb, "doc_id", "embedding", minSim = 0.9)
+    // exact twin sampled to a fixed ~512-doc modulus slice: recall is
+    // pinned on pairs incident to the sample (O(n·s), not O(n²) — the
+    // LSH path itself answers the full corpus)
+    val k = SimilarityOps.sampleModulus(docs.count(), 512)
+    val exact = SimilarityOps.cosinePairsFor(
+        emb.filter(col("doc_id") % k === 0), emb,
+        "doc_id", "embedding", minSim = 0.9)
       .select(col("id_a"), col("id_b"))
     val stats = exact.join(lsh, Seq("id_a", "id_b"), "left")
       .agg(count(lit(1)).as("__n_exact"),

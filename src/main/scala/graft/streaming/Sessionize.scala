@@ -43,28 +43,64 @@ object Sessionize {
     * `t − lastTs ≤ gap` guard folded ANY event older than the span in
     * without fixing `start`, silently corrupting session_start.) An
     * event more than a gap BEFORE the open session belongs to an
-    * earlier, definitionally-closed session: it is emitted as its own
-    * 1-event session and the open session stays untouched — the naive
-    * form instead closed the CURRENT session and re-opened at the
-    * stale timestamp.
+    * earlier, definitionally-closed session: it folds into a second
+    * "stale open session" accumulator — consecutive stale events within
+    * a gap of each other merge into ONE session, matching the batch
+    * twin, rather than each becoming a singleton. The stale session
+    * closes when a later stale event jumps past its gap (or at end of
+    * batch, in [[foldBatch]]); the open session stays untouched.
+    *
+    * Returns (open session, stale open session).
     */
   private[streaming] def foldEvent(gapMs: Long, userId: Long, e: Event,
-      cur: Option[SessionState],
-      out: ArrayBuffer[Session]): Option[SessionState] = {
+      cur: Option[SessionState], stale: Option[SessionState],
+      out: ArrayBuffer[Session]): (Option[SessionState], Option[SessionState]) = {
     val t = e.ts.getTime
     cur match {
       case Some(s) if t >= s.start - gapMs && t <= s.lastTs + gapMs =>
-        Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
-          s.n + 1, s.total + e.value))
-      case Some(s) if t < s.start - gapMs =>
-        out += Session(userId, new Timestamp(t), new Timestamp(t), 1, e.value)
-        Some(s)
+        // events are folded in ascending order, so no later event can be
+        // stale once one merges into the open span — flush the stale acc
+        stale.foreach(st => out += toSession(userId, st))
+        (Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
+          s.n + 1, s.total + e.value)), None)
+      case Some(_) if t < cur.get.start - gapMs =>
+        stale match {
+          case Some(st) if t >= st.start - gapMs && t <= st.lastTs + gapMs =>
+            (cur, Some(SessionState(math.min(st.start, t),
+              math.max(st.lastTs, t), st.n + 1, st.total + e.value)))
+          case Some(st) =>
+            out += toSession(userId, st)
+            (cur, Some(SessionState(t, t, 1, e.value)))
+          case None =>
+            (cur, Some(SessionState(t, t, 1, e.value)))
+        }
       case Some(s) =>
+        stale.foreach(st => out += toSession(userId, st))
         out += toSession(userId, s)
-        Some(SessionState(t, t, 1, e.value))
+        (Some(SessionState(t, t, 1, e.value)), None)
       case None =>
-        Some(SessionState(t, t, 1, e.value))
+        stale.foreach(st => out += toSession(userId, st))
+        (Some(SessionState(t, t, 1, e.value)), None)
     }
+  }
+
+  /** Fold a batch of events (must be pre-sorted ascending) into the open
+    * session, emitting closed sessions to `out`. Any stale session still
+    * accumulating at batch end is definitionally closed (it sits more
+    * than a gap before the open session) and is emitted. Shared by both
+    * streaming APIs ([[Sessionize]] and [[SessionizeV2]]).
+    */
+  private[streaming] def foldBatch(gapMs: Long, userId: Long,
+      sortedEvents: Seq[Event], cur0: Option[SessionState],
+      out: ArrayBuffer[Session]): Option[SessionState] = {
+    var cur = cur0
+    var stale: Option[SessionState] = None
+    sortedEvents.foreach { e =>
+      val (c, st) = foldEvent(gapMs, userId, e, cur, stale, out)
+      cur = c; stale = st
+    }
+    stale.foreach(st => out += toSession(userId, st))
+    cur
   }
 
   private def step(gapMs: Long)(
@@ -76,10 +112,8 @@ object Sessionize {
       return Iterator(closed)
     }
     val out = ArrayBuffer.empty[Session]
-    var cur = state.getOption
-    events.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-      cur = foldEvent(gapMs, userId, e, cur, out)
-    }
+    val cur = foldBatch(gapMs, userId,
+      events.toSeq.sortBy(e => (e.ts.getTime, e.value)), state.getOption, out)
     cur.foreach { s =>
       state.update(s)
       state.setTimeoutTimestamp(s.lastTs + gapMs)

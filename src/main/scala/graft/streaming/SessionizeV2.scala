@@ -34,10 +34,8 @@ object SessionizeV2 {
                                  timerValues: TimerValues): Iterator[Session] = {
       val out = ArrayBuffer.empty[Session]
       val prior = Option(session.get())
-      var cur = prior
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
-        cur = Sessionize.foldEvent(gapMs, key, e, cur, out)
-      }
+      val cur = Sessionize.foldBatch(gapMs, key,
+        rows.toSeq.sortBy(e => (e.ts.getTime, e.value)), prior, out)
       cur.foreach { s =>
         session.update(s)
         // one live timer per key: delete the previous expiry before
