@@ -64,12 +64,12 @@ object Tables {
   @volatile private var registeredFor
       : Option[(java.lang.ref.WeakReference[SparkSession], String)] = None
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    // Memo hit still verifies a sentinel view survives — a caller that
-    // dropped or shadowed temp views would otherwise be stuck with a
-    // silent no-op and no re-registration path.
+    // Memo hit still verifies EVERY view survives (cheap catalog
+    // lookups) — a caller that dropped or shadowed any temp view would
+    // otherwise be stuck with a silent no-op and no re-registration path.
     val hit = registeredFor.exists { case (ref, d) =>
       (ref.get eq spark) && d == dir
-    } && spark.catalog.tableExists(names.last)
+    } && names.forall(spark.catalog.tableExists)
     if (!hit) {
       names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
       registeredFor = Some((new java.lang.ref.WeakReference(spark), dir))

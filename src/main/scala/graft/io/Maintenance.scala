@@ -97,12 +97,28 @@ object Maintenance {
         val budgetKeyed = partitionCols.zip(keyCols).foldLeft(budgetDf) {
           case (d, (p, k)) => d.withColumnRenamed(p, k)
         }
-        // a partition-cols-only table has no data columns to hash; salt by
-        // a per-row id instead so rows still spread across the file budget
+        // a partition-cols-only table has no data columns to hash. A
+        // per-row id salt (monotonically_increasing_id) is NONdeterministic
+        // under task retry — a recomputed map task could reassign rows
+        // across shuffle partitions, duplicating or losing rows (the
+        // classic nondeterministic-repartition hazard; SPARK-23207's sort
+        // fix covers only round-robin). Such a table's rows are constant
+        // within each partition, so write each as ONE file (salt 0):
+        // deterministic, and parquet RLE collapses the constant columns
+        // to near-nothing regardless of row count.
         val saltSrc =
-          if (dataCols.isEmpty) hash(monotonically_increasing_id())
+          if (dataCols.isEmpty) lit(0)
           else hash(dataCols: _*)
-        keyed.join(broadcast(budgetKeyed), keyCols)
+        // Left join + per-row loud failure: hive URL-escaped partition
+        // values don't round-trip as literal dir-name strings (documented
+        // unsupported above) — but compact() is a destructive rewrite, so
+        // an unmatched row must FAIL the job before the swap instead of
+        // silently vanishing from the rewritten table.
+        keyed.join(broadcast(budgetKeyed), keyCols, "left")
+          .withColumn("__files",
+            when(col("__files").isNull, raise_error(lit(
+              "compact: partition value does not round-trip as its directory name (hive-escaped values unsupported)")))
+              .otherwise(col("__files")))
           .withColumn("__salt", pmod(saltSrc, col("__files")))
           .repartition(nFiles, (partitionCols.map(col) :+ col("__salt")): _*)
           .drop((keyCols :+ "__files" :+ "__salt"): _*)

@@ -59,10 +59,23 @@ object Sessionize {
     cur match {
       case Some(s) if t >= s.start - gapMs && t <= s.lastTs + gapMs =>
         // events are folded in ascending order, so no later event can be
-        // stale once one merges into the open span — flush the stale acc
-        stale.foreach(st => out += toSession(userId, st))
-        (Some(SessionState(math.min(s.start, t), math.max(s.lastTs, t),
-          s.n + 1, s.total + e.value)), None)
+        // stale once one merges into the open span. The merging event may
+        // pull the open span's start BACKWARD to within a gap of the
+        // stale run — then stale + event + open are ONE session under the
+        // batch twin's consecutive-gap semantics (gap=10, open start=100,
+        // events 85,89,95: 95 merges, start→95, and 89+10 ≥ 95 bridges
+        // the stale {85,89} run in). Otherwise the stale run is
+        // definitionally closed and flushes.
+        val merged = SessionState(math.min(s.start, t), math.max(s.lastTs, t),
+          s.n + 1, s.total + e.value)
+        stale match {
+          case Some(st) if st.lastTs + gapMs >= merged.start =>
+            (Some(SessionState(math.min(st.start, merged.start), merged.lastTs,
+              st.n + merged.n, st.total + merged.total)), None)
+          case _ =>
+            stale.foreach(st => out += toSession(userId, st))
+            (Some(merged), None)
+        }
       case Some(_) if t < cur.get.start - gapMs =>
         stale match {
           case Some(st) if t >= st.start - gapMs && t <= st.lastTs + gapMs =>
