@@ -226,4 +226,25 @@ object AqPipeline {
       critical.map(c => count(when(col(c).isNull, 1)).as(s"null_$c"))
     mart.select(metrics: _*)
   }
+
+  /** A10 — metadata-consistency audit over arbitrary key/critical
+    * columns (reference `tests/test_glue_transformation.py:358-368`:
+    * transformed row count == distinct business keys, critical columns
+    * null-free), emitted as a labeled one-row flag frame so stages can
+    * union into one audit table. Single aggregation pass; at 100 TB
+    * this is one map-side-combined shuffle over the audited frame.
+    */
+  def validate(df: DataFrame, stage: String, keyCols: Seq[String],
+               critical: Seq[String]): DataFrame = {
+    val anyNull = critical.map(col(_).isNull).reduce(_ || _)
+    df.select(
+        count(lit(1)).as("row_count"),
+        countDistinct(keyCols.head, keyCols.tail: _*).as("distinct_keys"),
+        count(when(anyNull, 1)).as("null_critical"))
+      .select(lit(stage).as("stage"), col("row_count"), col("distinct_keys"),
+        (col("row_count") - col("distinct_keys")).as("dup_rows"),
+        col("null_critical"),
+        (col("row_count") === col("distinct_keys") &&
+          col("null_critical") === lit(0L)).as("consistent"))
+  }
 }

@@ -1891,4 +1891,155 @@ object PipelineQueries extends QueryPack {
       .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
       .orderBy("cohort_week", "week_k")
   }
+
+  // §2.9 streaming↔batch parity, driver-hashed: the real events table
+  // is split into TWO micro-batches at the midpoint of its time range
+  // and driven through the flatMapGroupsWithState sessionizer
+  // (file-source stream, maxFilesPerTrigger=1, AvailableNow); the
+  // emitted sessions must hash-match the one-shot batch consecutive-gap
+  // sessionization (w4_sessionize semantics) computed by the oracle.
+  // A per-user sentinel event one day past the global max closes every
+  // user's final session INLINE (gap exceeded ⇒ emitted in the same
+  // micro-batch) — no reliance on event-time timeouts, whose firing
+  // needs a later batch; the sentinel's own session stays open in
+  // state and is never emitted, so the output is exactly the real
+  // session set. Watermark delay spans the whole table so nothing is
+  // late-dropped (parity isolates the GAP/state semantics; late-drop
+  // semantics are pinned separately in the streaming specs).
+  q("st_sessionize_parity",
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  ${sqlR4("sum(value)")} AS total_value
+      |FROM s GROUP BY user_id, seq
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val cutoff = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    val sentinelTs = new java.sql.Timestamp(hi.getTime + 24L * 3600 * 1000)
+    val sentinels = ev.select("user_id").distinct()
+      .withColumn("ts", lit(sentinelTs)).withColumn("value", lit(0.0))
+    val stage = tmpDir("graft_st_sess_in")
+    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tmpDir("graft_st_sess_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(stage, name)
+      java.nio.file.Files.copy(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    writeOne(ev.filter(col("ts") <= cutoff), "b1.parquet", 1000000L)
+    writeOne(ev.filter(col("ts") > cutoff).unionByName(sentinels),
+      "b2.parquet", 2000000L)
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val outDir = tmpDir("graft_st_sess_out")
+    val ckpt = tmpDir("graft_st_sess_ckpt")
+    graft.streaming.Sessionize
+      .sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "3650 days")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination(300000)
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), r4(col("total_value")).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  // P9 — drop-unparseable timestamps (reference openaq_etl.py:293-297,
+  // AqPipeline.parseTimestamps): a timestamp-string column with
+  // deterministic corruption — keys ≡0 mod 7 carry garbage text, keys
+  // ≡0 mod 11 an invalid clock time — goes through try_to_timestamp +
+  // null-filter. The surviving row SET is the check: both corrupt
+  // classes must be absent and every survivor parses to the exact wall
+  // time on both engines (Spark try_to_timestamp ≡ DuckDB try_cast).
+  q("p9_drop_unparseable",
+    """WITH src AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-timestamp'
+      |         WHEN o_orderkey % 11 = 0
+      |           THEN concat(strftime(o_orderdate, '%Y-%m-%d'), 'T25:99:00')
+      |         ELSE concat(strftime(o_orderdate, '%Y-%m-%d'), ' 12:30:45') END AS raw_ts
+      |  FROM orders)
+      |SELECT o_orderkey, try_cast(raw_ts AS TIMESTAMP) AS ts
+      |FROM src WHERE try_cast(raw_ts AS TIMESTAMP) IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("not-a-timestamp"))
+          .when(col("o_orderkey") % 11 === 0,
+            concat(date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("T25:99:00")))
+          .otherwise(concat(date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            lit(" 12:30:45")))
+          .as("raw_ts"))
+      .withColumn("ts", try_to_timestamp(col("raw_ts")))
+      .filter(col("ts").isNotNull)
+      .select("o_orderkey", "ts")
+      .orderBy("o_orderkey")
+  }
+
+  // A10 — the metadata-consistency audit (AqPipeline.validate;
+  // reference tests/test_glue_transformation.py:358-368) as a driver
+  // row: audit the RAW events (duplicates present ⇒ consistent=false)
+  // and the post-pipeline mart (dedup guarantees row_count ==
+  // distinct_keys, fill guarantees null-free criticals ⇒ true) in one
+  // (stage, counts, flag) frame. The oracle recomputes both audits
+  // relationally; distinct_keys mimics Spark's countDistinct null
+  // semantics (tuples with any null key excluded) via the CASE struct.
+  q("a10_metadata_audit",
+    """WITH src AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type FROM events),
+      |dedup AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+      |    FROM src) WHERE rn = 1),
+      |mart AS (
+      |  SELECT w.user_id, w.hour, coalesce(c_mktsegment, 'Unknown') AS segment
+      |  FROM (SELECT DISTINCT user_id, date_trunc('hour', ts) AS hour FROM dedup) w
+      |  LEFT JOIN customer ON w.user_id = c_custkey),
+      |aud AS (
+      |  SELECT 'raw' AS stage, CAST(count(*) AS BIGINT) AS row_count,
+      |    CAST(count(DISTINCT CASE WHEN user_id IS NOT NULL AND ts IS NOT NULL
+      |      THEN (user_id, ts) END) AS BIGINT) AS distinct_keys,
+      |    CAST(count(CASE WHEN user_id IS NULL OR ts IS NULL OR event_type IS NULL
+      |      THEN 1 END) AS BIGINT) AS null_critical
+      |  FROM src
+      |  UNION ALL
+      |  SELECT 'mart' AS stage, CAST(count(*) AS BIGINT) AS row_count,
+      |    CAST(count(DISTINCT CASE WHEN user_id IS NOT NULL AND hour IS NOT NULL
+      |      THEN (user_id, hour) END) AS BIGINT) AS distinct_keys,
+      |    CAST(count(CASE WHEN user_id IS NULL OR hour IS NULL OR segment IS NULL
+      |      THEN 1 END) AS BIGINT) AS null_critical
+      |  FROM mart)
+      |SELECT stage, row_count, distinct_keys,
+      |  row_count - distinct_keys AS dup_rows, null_critical,
+      |  (row_count = distinct_keys AND null_critical = 0) AS consistent
+      |FROM aud ORDER BY stage""".stripMargin) { (s, dir) =>
+    import graft.pipeline.AqPipeline
+    val raw = Tables.load(s, dir, "events")
+      .select("event_id", "ts", "user_id", "event_type")
+    AqPipeline.validate(raw, "raw",
+        Seq("user_id", "ts"), Seq("user_id", "ts", "event_type"))
+      .unionAll(AqPipeline.validate(martPipeline(s, dir), "mart",
+        Seq("user_id", "hour"), Seq("user_id", "hour", "segment")))
+      .orderBy("stage")
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `flatMapGroupsWithState` (the KeyValueGroupedDataset state API the
   * batch `w4_sessionize` query mirrors).
   *
-  * Semantics match the batch twin: a gap > `gapMs` between consecutive
+  * Semantics match the batch twin: a gap > `gapMinutes` between consecutive
   * events of a user closes the session. State is ONE open session per
   * user (bounded); event-time timeout flushes sessions whose close is
   * certain once the watermark passes lastTs + gap — so late events
@@ -30,14 +30,28 @@ object Sessionize {
   implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
+  /** All fold-internal times are epoch MICROseconds — `Timestamp
+    * .getTime` is millisecond-granular and silently truncated the
+    * sub-millisecond part of Spark's microsecond event times, so
+    * session_start/end disagreed with the batch twin by up to 999 µs.
+    */
+  private[streaming] def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private[streaming] def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   private[streaming] def toSession(userId: Long, s: SessionState): Session =
-    Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+    Session(userId, toTimestamp(s.start), toTimestamp(s.lastTs), s.n, s.total)
 
   /** Fold one event into the open-session state, appending any session
     * it closes to `out`; returns the new open state. Shared by both
     * streaming APIs ([[Sessionize]] and [[SessionizeV2]]).
     *
-    * An event merges when it lands within `gapMs` of the session SPAN
+    * An event merges when it lands within `gapUs` of the session SPAN
     * (start − gap … lastTs + gap) — and a late-but-admitted event may
     * extend the span BACKWARD, so `start` is min-updated. (The naive
     * `t − lastTs ≤ gap` guard folded ANY event older than the span in
@@ -52,12 +66,12 @@ object Sessionize {
     *
     * Returns (open session, stale open session).
     */
-  private[streaming] def foldEvent(gapMs: Long, userId: Long, e: Event,
+  private[streaming] def foldEvent(gapUs: Long, userId: Long, e: Event,
       cur: Option[SessionState], stale: Option[SessionState],
       out: ArrayBuffer[Session]): (Option[SessionState], Option[SessionState]) = {
-    val t = e.ts.getTime
+    val t = micros(e.ts)
     cur match {
-      case Some(s) if t >= s.start - gapMs && t <= s.lastTs + gapMs =>
+      case Some(s) if t >= s.start - gapUs && t <= s.lastTs + gapUs =>
         // events are folded in ascending order, so no later event can be
         // stale once one merges into the open span. The merging event may
         // pull the open span's start BACKWARD to within a gap of the
@@ -69,16 +83,16 @@ object Sessionize {
         val merged = SessionState(math.min(s.start, t), math.max(s.lastTs, t),
           s.n + 1, s.total + e.value)
         stale match {
-          case Some(st) if st.lastTs + gapMs >= merged.start =>
+          case Some(st) if st.lastTs + gapUs >= merged.start =>
             (Some(SessionState(math.min(st.start, merged.start), merged.lastTs,
               st.n + merged.n, st.total + merged.total)), None)
           case _ =>
             stale.foreach(st => out += toSession(userId, st))
             (Some(merged), None)
         }
-      case Some(_) if t < cur.get.start - gapMs =>
+      case Some(_) if t < cur.get.start - gapUs =>
         stale match {
-          case Some(st) if t >= st.start - gapMs && t <= st.lastTs + gapMs =>
+          case Some(st) if t >= st.start - gapUs && t <= st.lastTs + gapUs =>
             (cur, Some(SessionState(math.min(st.start, t),
               math.max(st.lastTs, t), st.n + 1, st.total + e.value)))
           case Some(st) =>
@@ -103,20 +117,20 @@ object Sessionize {
     * than a gap before the open session) and is emitted. Shared by both
     * streaming APIs ([[Sessionize]] and [[SessionizeV2]]).
     */
-  private[streaming] def foldBatch(gapMs: Long, userId: Long,
+  private[streaming] def foldBatch(gapUs: Long, userId: Long,
       sortedEvents: Seq[Event], cur0: Option[SessionState],
       out: ArrayBuffer[Session]): Option[SessionState] = {
     var cur = cur0
     var stale: Option[SessionState] = None
     sortedEvents.foreach { e =>
-      val (c, st) = foldEvent(gapMs, userId, e, cur, stale, out)
+      val (c, st) = foldEvent(gapUs, userId, e, cur, stale, out)
       cur = c; stale = st
     }
     stale.foreach(st => out += toSession(userId, st))
     cur
   }
 
-  private def step(gapMs: Long)(
+  private def step(gapUs: Long)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[Session] = {
     if (state.hasTimedOut) {
@@ -125,11 +139,12 @@ object Sessionize {
       return Iterator(closed)
     }
     val out = ArrayBuffer.empty[Session]
-    val cur = foldBatch(gapMs, userId,
-      events.toSeq.sortBy(e => (e.ts.getTime, e.value)), state.getOption, out)
+    val cur = foldBatch(gapUs, userId,
+      events.toSeq.sortBy(e => (micros(e.ts), e.value)), state.getOption, out)
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.lastTs + gapMs)
+      // GroupState timeouts are epoch-MILLIS; round the micros horizon up
+      state.setTimeoutTimestamp(Math.floorDiv(s.lastTs + gapUs + 999L, 1000L))
     }
     out.iterator
   }
@@ -140,12 +155,12 @@ object Sessionize {
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int,
                        watermarkDelay: String = "10 minutes"): Dataset[Session] = {
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events.selectExpr("user_id", "ts", "value")
       .withWatermark("ts", watermarkDelay)
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(gapMs))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(gapUs))
   }
 }

@@ -18,7 +18,7 @@ object SessionizeV2 {
   implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
-  private class SessionProcessor(gapMs: Long)
+  private class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, Event, Session] {
 
     @transient private var session: ValueState[SessionState] = _
@@ -27,15 +27,18 @@ object SessionizeV2 {
       session = getHandle.getValueState[SessionState]("session",
         Encoders.product[SessionState], TTLConfig.NONE)
 
-    private def toSession(userId: Long, s: SessionState): Session =
-      Session(userId, new Timestamp(s.start), new Timestamp(s.lastTs), s.n, s.total)
+    // state times are epoch-micros (Sessionize.micros); timers are
+    // epoch-MILLIS — round the expiry horizon up so a timer never fires
+    // a fraction of a millisecond before lastTs + gap has truly passed
+    private def expiryMs(s: SessionState): Long =
+      Math.floorDiv(s.lastTs + gapUs + 999L, 1000L)
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[Session] = {
       val out = ArrayBuffer.empty[Session]
       val prior = Option(session.get())
-      val cur = Sessionize.foldBatch(gapMs, key,
-        rows.toSeq.sortBy(e => (e.ts.getTime, e.value)), prior, out)
+      val cur = Sessionize.foldBatch(gapUs, key,
+        rows.toSeq.sortBy(e => (Sessionize.micros(e.ts), e.value)), prior, out)
       cur.foreach { s =>
         session.update(s)
         // one live timer per key: delete the previous expiry before
@@ -43,8 +46,8 @@ object SessionizeV2 {
         // cleanup accumulates a stale timer per extension, each firing
         // later just to be discarded by the expiry guard
         prior.filter(p => p.lastTs != s.lastTs)
-          .foreach(p => getHandle.deleteTimer(p.lastTs + gapMs))
-        getHandle.registerTimer(s.lastTs + gapMs)
+          .foreach(p => getHandle.deleteTimer(expiryMs(p)))
+        getHandle.registerTimer(expiryMs(s))
       }
       out.iterator
     }
@@ -52,9 +55,9 @@ object SessionizeV2 {
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
       val s = session.get()
-      if (s != null && expiredTimerInfo.getExpiryTimeInMs() >= s.lastTs + gapMs) {
+      if (s != null && expiredTimerInfo.getExpiryTimeInMs() >= expiryMs(s)) {
         session.clear()
-        Iterator(toSession(key, s))
+        Iterator(Sessionize.toSession(key, s))
       } else Iterator.empty
     }
   }
@@ -65,6 +68,6 @@ object SessionizeV2 {
       .withWatermark("ts", watermarkDelay)
       .as[Event]
       .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000L),
+      .transformWithState(new SessionProcessor(gapMinutes * 60L * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
 }

@@ -81,34 +81,35 @@ class SessionizeStreamSpec extends graft.SparkSpec {
   test("a merging event bridges a stale run into the open session (one session, batch semantics)") {
     import scala.collection.mutable.ArrayBuffer
     import Sessionize.{Event, SessionState}
-    // gap=10ms, open state start=100; batch events 85, 89, 95 (sorted).
-    // 85/89 accumulate as a stale run; 95 merges into the open span and
-    // pulls start back to 95 — within a gap of the stale run's last
-    // event (89+10 ≥ 95) — so ALL of 85..100 is ONE session, exactly
-    // what the batch twin (w4_sessionize consecutive-gap) computes.
+    // gap=10ms, open state start=100ms; batch events 85, 89, 95 ms
+    // (sorted; fold times are epoch-micros). 85/89 accumulate as a
+    // stale run; 95 merges into the open span and pulls start back to
+    // 95 — within a gap of the stale run's last event (89+10 ≥ 95) —
+    // so ALL of 85..100 is ONE session, exactly what the batch twin
+    // (w4_sessionize consecutive-gap) computes.
     val out = ArrayBuffer.empty[Sessionize.Session]
-    val cur = Sessionize.foldBatch(10L, 1L,
+    val cur = Sessionize.foldBatch(10000L, 1L,
       Seq(Event(1L, new java.sql.Timestamp(85L), 2.0),
         Event(1L, new java.sql.Timestamp(89L), 3.0),
         Event(1L, new java.sql.Timestamp(95L), 4.0)),
-      Some(SessionState(100L, 100L, 1, 1.0)), out)
+      Some(SessionState(100000L, 100000L, 1, 1.0)), out)
     assert(out.isEmpty, s"nothing closes — all events connect: $out")
-    assert(cur.contains(SessionState(85L, 100L, 4, 10.0)), s"got $cur")
+    assert(cur.contains(SessionState(85000L, 100000L, 4, 10.0)), s"got $cur")
   }
 
   test("a merging event that does NOT reach the stale run still flushes it") {
     import scala.collection.mutable.ArrayBuffer
     import Sessionize.{Event, SessionState}
-    // gap=10ms, open start=100; events 70, 95: 95 merges (start→95) but
-    // 70+10 < 95, so the stale singleton closes as its own session.
+    // gap=10ms, open start=100ms; events 70, 95 ms: 95 merges
+    // (start→95) but 70+10 < 95, so the stale singleton closes alone.
     val out = ArrayBuffer.empty[Sessionize.Session]
-    val cur = Sessionize.foldBatch(10L, 1L,
+    val cur = Sessionize.foldBatch(10000L, 1L,
       Seq(Event(1L, new java.sql.Timestamp(70L), 2.0),
         Event(1L, new java.sql.Timestamp(95L), 4.0)),
-      Some(SessionState(100L, 100L, 1, 1.0)), out)
+      Some(SessionState(100000L, 100000L, 1, 1.0)), out)
     assert(out.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events))
       == ArrayBuffer((70L, 70L, 1L)), s"got $out")
-    assert(cur.contains(SessionState(95L, 100L, 2, 5.0)), s"got $cur")
+    assert(cur.contains(SessionState(95000L, 100000L, 2, 5.0)), s"got $cur")
   }
 
   test("a late in-gap event extends the session BACKWARD (start min-updated)") {
