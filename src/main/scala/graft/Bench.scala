@@ -7,13 +7,16 @@ import org.apache.spark.sql.SparkSession
   * final JSON line (the driver's stdout tail keeps ~2000 chars, so the
   * LAST line must be small enough to fit that window whole).
   *
-  * Methodology: each query runs THREE times — an untimed warm run
+  * Methodology: each query runs FOUR times — an untimed warm run
   * (Janino codegen compilation of the query's stages dominates first
-  * execution and would mis-attribute ~1-3s per query), then TWO timed
+  * execution and would mis-attribute ~1-3s per query), then THREE timed
   * steady-state runs of which the MINIMUM is reported (a single timed
   * run is exposed to host-level noise: an identical binary measured 45
   * minutes apart showed 0.8s vs 4.1s on the same sink query purely
-  * from co-tenant I/O pressure — min-of-2 absorbs one bad draw).
+  * from co-tenant I/O pressure; min-of-2 absorbs one bad draw but not a
+  * sustained load window — BENCH_r08 recorded five phantom 2-9×
+  * regressions on unchanged code that an isolated re-run reproduced
+  * none of, hence the third draw).
   * Materialized fully via a noop-format write (count() would let
   * Catalyst prune computed columns). Queries run in sorted name order
   * for stable attribution.
@@ -76,7 +79,7 @@ object Bench {
       watchdog.schedule(kill, budgetMs)
       try {
         materialize(name, sfDir) // codegen warm; a genuinely broken query throws here
-        val timed = (1 to 2).map { _ =>
+        val timed = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           materialize(name, sfDir)
           (System.nanoTime() - t0) / 1e9

@@ -75,7 +75,9 @@ object Plans {
     "dd_repeated_spans",   // exact-substring dedup: O(n) WindowHashes pass 1, string verify on candidates only
     "ann_pca_topk",        // PCA 16-dim stage-1 scan + full-width rescore on candidates only
     "tx_quality_quantile_gate", // 5-row per-lang threshold broadcast back over the corpus
-    "tx_topk_tokens_heap") // TopKPerGroupExec over (lang, term) counts: heap stages, no sort
+    "tx_topk_tokens_heap", // TopKPerGroupExec over (lang, term) counts: heap stages, no sort
+    "w10_distinct_window_hicard", // exact running distinct: indicator + running sum, O(1) window state
+    "a10_metadata_audit")  // two single-pass audits (raw + mart) unioned; map-side-combined aggs
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -2375,8 +2375,15 @@ object CoreQueries extends QueryPack {
   // W10 — running COUNT(DISTINCT) over a window. Spark has no native
   // distinct window aggregate; the engine expresses it as
   // size(collect_set() OVER w) — same semantics, and the set is bounded
-  // by the attribute's cardinality (5 event types), not the frame
+  // by the attribute's CARDINALITY (5 event types), not the frame
   // length, so state stays O(distinct) per partition at any scale.
+  // BOUND: this shape is only safe when the counted column's domain is
+  // small — collect_set holds every distinct value seen so far PER ROW,
+  // so a high-cardinality column (user_id, url, …) grows the per-row
+  // state linearly with the prefix. For those, use the
+  // w10_distinct_window_hicard shape below: an exact running distinct
+  // via first-occurrence indicator + running sum (O(1) window state),
+  // or the HLL estimate it also carries.
   q("w10_count_distinct_window",
     """SELECT event_id, user_id,
       |  count(DISTINCT event_type) OVER (PARTITION BY user_id
@@ -2391,6 +2398,47 @@ object CoreQueries extends QueryPack {
     Tables.load(s, dir, "events")
       .select(col("event_id"), col("user_id"),
         size(collect_set(col("event_type")).over(w)).cast("long").as("types_so_far"))
+      .orderBy("event_id")
+  }
+
+  // W10b — running COUNT(DISTINCT) for a HIGH-cardinality column
+  // (user_id), the shape collect_set can't carry at scale: a first
+  // occurrence of (event_type, user_id) gets indicator 1 (row_number
+  // window), and the running SUM of indicators over the event_type
+  // timeline IS the exact running distinct count — two window passes,
+  // O(1) state per row, no growing sets anywhere. The same row also
+  // carries a running approx_count_distinct (HLL++, rsd 5%) pinned
+  // within ±15% of the exact count per row (HLL estimates are
+  // set-deterministic, so the boolean is partitioning-insensitive);
+  // that's the one-pass variant for when the indicator's extra
+  // (event_type, user_id) shuffle is not worth it.
+  q("w10_distinct_window_hicard",
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |f AS (
+      |  SELECT *, CASE WHEN row_number() OVER (
+      |      PARTITION BY event_type, user_id ORDER BY ts, event_id) = 1
+      |    THEN 1 ELSE 0 END AS fst
+      |  FROM e)
+      |SELECT event_id, event_type,
+      |  CAST(sum(fst) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS users_so_far,
+      |  true AS est_ok
+      |FROM f ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val wFirst = Window.partitionBy("event_type", "user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val wRun = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("fst",
+        when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("users_so_far", sum("fst").over(wRun))
+      .withColumn("__est", approx_count_distinct(col("user_id")).over(wRun))
+      .select(col("event_id"), col("event_type"), col("users_so_far"),
+        (abs(col("__est") - col("users_so_far")) <=
+          greatest(col("users_so_far") * lit(0.15), lit(2.0))).as("est_ok"))
       .orderBy("event_id")
   }
 

@@ -1964,6 +1964,52 @@ object PipelineQueries extends QueryPack {
       .orderBy("user_id", "session_start")
   }
 
+  // §2.9 streaming↔batch parity #2 — the STREAMING AGGREGATION state
+  // class (st_sessionize_parity covers flatMapGroupsWithState): the
+  // events table split into three time-range micro-batches through a
+  // streaming groupBy(hour, event_type) in complete mode must equal
+  // the one-shot batch aggregation exactly — partial per-batch state
+  // merging across triggers is what's under test. Complete mode +
+  // memory sink is the verification harness shape: driver memory is
+  // bounded by the AGGREGATE's cardinality (hours × 5 types), never
+  // the event count, so the harness itself scales with the result.
+  q("st_hourly_parity",
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+      |  event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events").select(col("ts"), col("event_type"))
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val stage = tmpDir("graft_st_hourly_in")
+    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = tmpDir("graft_st_hourly_part")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(stage, name)
+      java.nio.file.Files.copy(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+      ()
+    }
+    val c1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+    val c2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+    writeSlice(ev.filter(col("ts") <= c1), "b1.parquet", 1000000L)
+    writeSlice(ev.filter(col("ts") > c1 && col("ts") <= c2), "b2.parquet", 2000000L)
+    writeSlice(ev.filter(col("ts") > c2), "b3.parquet", 3000000L)
+    val sinkName = s"st_hourly_parity_${System.nanoTime()}"
+    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination(300000)
+    s.table(sinkName).orderBy("hour", "event_type")
+  }
+
   // P9 — drop-unparseable timestamps (reference openaq_etl.py:293-297,
   // AqPipeline.parseTimestamps): a timestamp-string column with
   // deterministic corruption — keys ≡0 mod 7 carry garbage text, keys

@@ -423,7 +423,13 @@ object SimQueries extends QueryPack {
     val k = SimilarityOps.sampleModulus(emb.count(), 512)
     val sample = emb.filter(col("vec_id") % k === 0)
     // the verified LSH edge set feeds the recall join, the clustering,
-    // and the consistency checks — materialize it once
+    // and the consistency checks — materialize it once. Cluster caveat:
+    // localCheckpoint TRUNCATES lineage and keeps its blocks on
+    // executors, so an executor loss makes them unrecoverable and fails
+    // the query (re-running it is the recovery path). Fine here — the
+    // edge build is minutes, idempotent, and cheap to re-run; a
+    // long-lived production job that cannot afford a restart should use
+    // reliable checkpoint() to durable storage instead.
     val lshPairs = SimilarityOps.embeddingLshPairsAuto(emb,
         "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.4)
       .localCheckpoint()

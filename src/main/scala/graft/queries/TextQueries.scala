@@ -666,27 +666,44 @@ object TextQueries extends QueryPack {
 
   // SimHash near-dup pairs, Hamming ≤ 3. The 4×16-band pigeonhole is
   // COMPLETE for ≤3 bit flips, so this one pins EXACTNESS, not
-  // recall: the banded candidate join must return the identical pair
-  // set as a brute-force Hamming scan over the same signatures
-  // (SimHashExactnessSpec proves the property; here the driver hashes
-  // it against the real corpus). Oracle: doc count + literal true.
+  // recall — in two parts, both sub-quadratic (the pre-r9 twin was a
+  // full all-pairs Hamming scan, the one O(n²) verification path the
+  // sampling wave missed):
+  //   - completeness, O(n·s): every true Hamming≤3 pair incident to a
+  //     fixed ~512-doc modulus sample must appear in the banded set;
+  //   - soundness, O(|pairs|): every banded pair truly has Hamming≤3
+  //     (equi-joins back to the signatures, full corpus).
+  // SimHashExactnessSpec proves the full property exhaustively on
+  // small n; here the driver hashes the sampled pin against the real
+  // corpus. Oracle: doc count + literal true.
   q("dd_simhash",
     """SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS exactness_ok
       |FROM documents""".stripMargin) { (s, dir) =>
+    import graft.operators.SimilarityOps
     val docs = Tables.load(s, dir, "documents")
     val sigs = docs.select(col("doc_id"), DedupOps.simHash(col("text")).as("sim"))
-      .localCheckpoint() // two consumers: banded path + brute twin
-    val brute = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .localCheckpoint() // consumers: sample twin + soundness joins
+    val k = SimilarityOps.sampleModulus(docs.count(), 512)
+    val sampleSigs = sigs.filter(col("doc_id") % k === 0)
+    val bruteSample = sigs.as("b")
+      .join(broadcast(sampleSigs.as("a")), col("a.doc_id") =!= col("b.doc_id"))
       .filter(bit_count(col("a.sim").bitwiseXOR(col("b.sim"))) <= 3)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        lit(1).as("__b"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("id_b"))
+      .distinct()
     val banded = DedupOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
-      .select(col("id_a"), col("id_b"), lit(1).as("__s"))
-    val sym = brute.join(banded, Seq("id_a", "id_b"), "full_outer")
-      .agg(coalesce(min(col("__b").isNotNull && col("__s").isNotNull), lit(true))
-        .as("exactness_ok"))
-    docs.agg(count(lit(1)).as("n_docs")).crossJoin(sym)
-      .select(col("n_docs"), col("exactness_ok"))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // two consumers: completeness + soundness
+    val complete = bruteSample
+      .join(banded.withColumn("__s", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(coalesce(min(col("__s").isNotNull), lit(true)).as("complete_ok"))
+    val sound = banded
+      .join(sigs.select(col("doc_id").as("id_a"), col("sim").as("sim_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sim").as("sim_b")), "id_b")
+      .agg(coalesce(min(bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 3),
+        lit(true)).as("sound_ok"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(complete).crossJoin(sound)
+      .select(col("n_docs"), (col("complete_ok") && col("sound_ok")).as("exactness_ok"))
   }
 
   // One-pass heavy hitters over the token stream (Misra-Gries k=12):

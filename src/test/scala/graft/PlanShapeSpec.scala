@@ -130,7 +130,12 @@ class PlanShapeSpec extends SparkSpec {
 
   // Queries whose NON-equi join is the point: deliberate small-n
   // brute-force baselines that oracle-check a bucketed scale path.
-  // Everything else must plan equi-joins only.
+  // Everything else must plan equi-joins only — or BNLJs whose build
+  // side is a FIXED-size modulus sample (see sampledBuildSide below):
+  // the recall/exactness twins of ann_lsh_topk, dd_embedding_lsh,
+  // dd_embedding_clusters_lsh, dd_simhash, mm_embed_neardup and
+  // ann_pca_topk all broadcast an `id % k = 0` thinned query set, so
+  // their cost is O(n·s) with s fixed and they need no exemption.
   private val quadraticByDesign = Set(
     "dd_embedding_cosine", // all-pairs cosine — oracle twin of dd_embedding_lsh
     "ann_bruteforce_topk", // exact top-k baseline — oracle twin of ann_lsh_topk
@@ -140,17 +145,7 @@ class PlanShapeSpec extends SparkSpec {
     // IVF assignment is vectors × the k-row broadcast centroid table —
     // O(n·k) with k ≪ n bounded by construction; the BNLJ build side
     // is the centroid aggregate (grouped, so not scalar-detectable)
-    "ann_ivf_search", "ann_ivf_train",
-    // r7 recall-pinned rows: these queries RUN their brute-force exact
-    // twin alongside the LSH path to hash a measured-recall boolean —
-    // the twin's BNLJ is the point; the LSH paths themselves are
-    // asserted equi-join-only by the operator-level tests above
-    "ann_lsh_topk", "dd_embedding_lsh", "dd_embedding_clusters_lsh",
-    "dd_simhash", "mm_embed_neardup",
-    // PCA two-stage: stage 1 IS a reduced-width scan of corpus ×
-    // broadcast queries (the documented d/k'-cheaper brute force, same
-    // family as ann_two_stage's int8 stage 1) + the brute-force twin
-    "ann_pca_topk"
+    "ann_ivf_search", "ann_ivf_train"
   )
 
   test("engine-wide sweep: no accidental cartesian/nested-loop join in ANY query") {
@@ -168,6 +163,19 @@ class PlanShapeSpec extends SparkSpec {
       case h: ObjectHashAggregateExec if h.groupingExpressions.isEmpty => ()
       case h: SortAggregateExec if h.groupingExpressions.isEmpty => ()
     }.nonEmpty
+    // The sampled-twin pattern: the build side is a modulus-thinned
+    // FIXED-size query sample (`id % k = 0`, k = n/target — see
+    // SimilarityOps.sampleModulus), so the BNLJ is O(n·s) with s
+    // pinned, not O(n²). Detected as a Filter whose condition carries
+    // a Remainder-vs-literal equality in the build subtree.
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Remainder}
+    def sampledBuildSide(p: SparkPlan): Boolean = p.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec if f.condition.exists {
+        case EqualTo(r: Remainder, _: Literal) => r.right.isInstanceOf[Literal]
+        case EqualTo(_: Literal, r: Remainder) => r.right.isInstanceOf[Literal]
+        case _ => false
+      } => ()
+    }.nonEmpty
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
       .flatMap { name =>
@@ -177,9 +185,12 @@ class PlanShapeSpec extends SparkSpec {
           val bad = collectAll(p) {
             case c: CartesianProductExec => s"CartesianProduct: ${c.simpleString(1)}"
             case b: BroadcastNestedLoopJoinExec
-              if !scalarSubtree(b.buildSide match {
-                case BuildLeft => b.left; case BuildRight => b.right
-              }) => s"non-scalar BNLJ: ${b.simpleString(1)}"
+              if {
+                val build = b.buildSide match {
+                  case BuildLeft => b.left; case BuildRight => b.right
+                }
+                !scalarSubtree(build) && !sampledBuildSide(build)
+              } => s"non-scalar, non-sampled BNLJ: ${b.simpleString(1)}"
           }
           bad.headOption.map(name -> _)
         } catch { case e: Throwable => Some(name -> s"BUILD FAILED: ${e.getMessage}") }
