@@ -89,4 +89,37 @@ object TextFunctions {
     transform(shingleSet(text, n),
       g => org.apache.spark.sql.graftx.GraftFunctions.rollingHash31(g))
 
+  /** URL canonicalization for web-corpus dedup — the normalization a
+    * crawl pipeline applies before URL-level deduplication (the same
+    * document fetched as `HTTPS://WWW.X.COM:443/a/?utm_source=y&b=2&a=1#s`
+    * and `https://x.com/a?a=1&b=2` must collapse):
+    *   - scheme and host lowercased; default port stripped
+    *     (`:443` for https, `:80` for http); leading `www.` dropped;
+    *   - fragment dropped; trailing path slashes stripped;
+    *   - tracking params (`utm_*`) removed; remaining query params
+    *     sorted bytewise so parameter order never splits a URL.
+    * Pure Column expression chain (regexp + higher-order array ops, no
+    * UDF) — whole-stage-codegen'd, so canonicalizing 100 TB of crawl
+    * metadata rides inside the scan projection. Bytewise-deterministic,
+    * hence oracle-checkable (`tx_url_canonicalize`).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([^:/?#]+)://", 1))
+    val rest = regexp_replace(noFrag, "^[^:/?#]+://", "")
+    val hostPort = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val noDefaultPort = when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(noDefaultPort, "^www\\.", "")
+    val pathQ = regexp_replace(rest, "^[^/?#]*", "")
+    val path = regexp_replace(regexp_extract(pathQ, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val params = array_join(
+      sort_array(filter(split(query, "&"),
+        p => p =!= "" && !p.startsWith("utm_"))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
 }

@@ -80,6 +80,79 @@ object TextQueries extends QueryPack {
       .orderBy("doc_id")
   }
 
+  // URL canonicalization + URL-level dedup — the first step of a web
+  // crawl pipeline (the same page fetched via uppercase scheme/host,
+  // default port, www., tracking params, reordered query, trailing
+  // slash or fragment must collapse to ONE canonical URL before
+  // content is even fetched). Messy URLs are constructed
+  // deterministically from (source, doc_id) — four mess classes; the
+  // HTTPS-uppercase-www-utm class and the plain-https class share a
+  // path id, so canonicalization MUST merge exactly those pairs. The
+  // whole normalization is a codegen'd Column chain
+  // (TextFunctions.canonicalizeUrl); the oracle replays it with
+  // DuckDB's regex/list functions, and the window picks each group's
+  // representative (min doc_id) — is_rep=false rows ARE the URL-dedup
+  // drops.
+  q("tx_url_canonicalize",
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 4 AS INTEGER)
+      |      WHEN 0 THEN concat('HTTPS://WWW.', source, '.com:443/docs/',
+      |        CAST(doc_id // 4 AS VARCHAR), '/?utm_source=feed&b=2&a=1#sec')
+      |      WHEN 1 THEN concat('http://', source, '.com:80/docs/',
+      |        CAST(doc_id // 4 AS VARCHAR), '?b=2&a=1&utm_campaign=x')
+      |      WHEN 2 THEN concat('https://www.', source, '.com/docs/',
+      |        CAST(doc_id // 4 AS VARCHAR), '?a=1&b=2')
+      |      ELSE concat('http://', source, '.com/docs/',
+      |        CAST(doc_id // 4 AS VARCHAR), '#top') END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(nofrag, '^([^:/?#]+)://', 1)) AS scheme,
+      |    regexp_replace(nofrag, '^[^:/?#]+://', '') AS rest
+      |  FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM u)),
+      |p AS (
+      |  SELECT doc_id, scheme,
+      |    regexp_replace(
+      |      CASE WHEN scheme = 'https'
+      |             THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':443$', '')
+      |           WHEN scheme = 'http'
+      |             THEN regexp_replace(lower(regexp_extract(rest, '^([^/?#]*)', 1)), ':80$', '')
+      |           ELSE lower(regexp_extract(rest, '^([^/?#]*)', 1)) END,
+      |      '^www\.', '') AS host,
+      |    regexp_replace(regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '^([^?]*)', 1),
+      |      '/+$', '') AS path,
+      |    coalesce(array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(regexp_replace(rest, '^[^/?#]*', ''), '\?(.*)$', 1), '&'),
+      |      q -> q <> '' AND NOT starts_with(q, 'utm_'))), '&'), '') AS params
+      |  FROM c),
+      |canon AS (
+      |  SELECT doc_id, concat(scheme, '://', host, path,
+      |    CASE WHEN params = '' THEN '' ELSE concat('?', params) END) AS url_canon
+      |  FROM p)
+      |SELECT doc_id, url_canon,
+      |  (doc_id = min(doc_id) OVER (PARTITION BY url_canon)) AS is_rep
+      |FROM canon ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pid = expr("CAST(doc_id DIV 4 AS STRING)")
+    val base = concat(col("source"), lit(".com"))
+    val url = when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("HTTPS://WWW."), base, lit(":443/docs/"), pid,
+          lit("/?utm_source=feed&b=2&a=1#sec")))
+      .when(pmod(col("doc_id"), lit(4)) === 1,
+        concat(lit("http://"), base, lit(":80/docs/"), pid,
+          lit("?b=2&a=1&utm_campaign=x")))
+      .when(pmod(col("doc_id"), lit(4)) === 2,
+        concat(lit("https://www."), base, lit("/docs/"), pid, lit("?a=1&b=2")))
+      .otherwise(concat(lit("http://"), base, lit("/docs/"), pid, lit("#top")))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.canonicalizeUrl(url).as("url_canon"))
+      .withColumn("is_rep",
+        col("doc_id") === min("doc_id").over(Window.partitionBy("url_canon")))
+      .orderBy("doc_id")
+  }
+
   // TF-IDF term scoring: term frequency within doc × inverse document
   // frequency across the corpus — the classic text-weighting composite
   // (explode → two aggregations → join). ln() is libm on both engines;
