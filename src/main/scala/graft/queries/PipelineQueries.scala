@@ -1951,13 +1951,21 @@ object PipelineQueries extends QueryPack {
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val outDir = tmpDir("graft_st_sess_out")
     val ckpt = tmpDir("graft_st_sess_ckpt")
-    graft.streaming.Sessionize
-      .sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "3650 days")
-      .writeStream.format("parquet")
-      .option("path", outDir).option("checkpointLocation", ckpt)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start().awaitTermination(300000)
+    // a NEW checkpoint's state-partition count is the session's shuffle
+    // partitions — 32 state stores × 2 commits of checkpoint I/O for a
+    // 150-key stream is pure harness overhead; 8 keeps every core busy
+    // at test scale (a production deployment sizes this to key volume)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      graft.streaming.Sessionize
+        .sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "3650 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination(300000)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), r4(col("total_value")).as("total_value"))
@@ -2000,13 +2008,19 @@ object PipelineQueries extends QueryPack {
     writeSlice(ev.filter(col("ts") > c1 && col("ts") <= c2), "b2.parquet", 2000000L)
     writeSlice(ev.filter(col("ts") > c2), "b3.parquet", 3000000L)
     val sinkName = s"st_hourly_parity_${System.nanoTime()}"
-    s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start().awaitTermination(300000)
+    // see st_sessionize_parity: size streaming state partitions to the
+    // tiny test-scale key volume, not the batch default
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination(300000)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(sinkName).orderBy("hour", "event_type")
   }
 

@@ -102,6 +102,24 @@ class AqPipelineSpec extends SparkSpec {
     assert(audit.getAs[Long]("null_location_id") == 0L)
   }
 
+  test("A10: generalized audit flags duplicate keys and null criticals") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some("x")), (1L, "a", Some("y")), // dup key
+      (2L, "b", None)                             // null critical
+    ).toDF("k1", "k2", "attr")
+    val bad = AqPipeline.validate(df, "bad", Seq("k1", "k2"), Seq("attr")).head()
+    assert(bad.getAs[String]("stage") == "bad")
+    assert(bad.getAs[Long]("row_count") == 3L)
+    assert(bad.getAs[Long]("distinct_keys") == 2L)
+    assert(bad.getAs[Long]("dup_rows") == 1L)
+    assert(bad.getAs[Long]("null_critical") == 1L)
+    assert(!bad.getAs[Boolean]("consistent"))
+    val clean = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k1", "k2", "attr")
+    val ok = AqPipeline.validate(clean, "ok", Seq("k1", "k2"), Seq("attr")).head()
+    assert(ok.getAs[Boolean]("consistent") && ok.getAs[Long]("dup_rows") == 0L)
+  }
+
   test("AQI: EPA breakpoint interpolation + level + dominant pollutant") {
     val rows = Seq(
       base, // pm25 45.5 → AQI in (101,150]
