@@ -62,6 +62,28 @@ object SimilarityOps {
         col("neighbor_id"), r4(col("cos")).as("cos"))
   }
 
+  /** Embedding-level benchmark decontamination: per corpus vector, the
+    * max cosine against ANY benchmark vector, flagged at `minSim` —
+    * the semantic sibling of n-gram decontamination
+    * ([[graft.operators.QualityOps]] contaminationScan): paraphrased
+    * test-set leakage that shares no n-grams still collides in
+    * embedding space. A benchmark is small by nature (a test set), so
+    * it BROADCASTS and the scan is one corpus pass, O(n·|B|), no
+    * corpus shuffle beyond the final per-id aggregate — at 100 TB the
+    * corpus never moves, only the k-row benchmark does.
+    */
+  def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minSim: Double): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "__cid", "cv", "cn")
+    val b = withNorm(benchmark, idCol, vecCol, "__bid", "bv", "bn")
+    c.crossJoin(broadcast(b))
+      .withColumn("cos", vecDot(col("cv"), col("bv")) / (col("cn") * col("bn")))
+      .groupBy(col("__cid"))
+      .agg(max(col("cos")).as("__max_cos"))
+      .select(col("__cid").as(idCol), r4(col("__max_cos")).as("max_cos"),
+        (col("__max_cos") >= minSim).as("contaminated"))
+  }
+
   /** All pairs with cosine ≥ minSim (embedding near-dup detection),
     * exact O(n²/2) — the correctness baseline the LSH path is judged
     * against.

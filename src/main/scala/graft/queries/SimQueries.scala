@@ -102,6 +102,44 @@ object SimQueries extends QueryPack {
         (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.9)).as("recall_ok"))
   }
 
+  // Embedding-level benchmark decontamination: a fixed ~32-vector
+  // "benchmark" (modulus-thinned — fixed size, so the scan is O(n·32)
+  // at any corpus size and the broadcast BNLJ build side is
+  // sweep-recognized) against the rest of the corpus; every corpus
+  // vector carries its max benchmark cosine and a τ=0.45 contamination
+  // flag. The semantic sibling of tx_decontaminate: paraphrased
+  // test-set leakage with zero shared n-grams still collides here.
+  // Fully oracled row-level — the cosine fold is bit-identical on both
+  // engines (same arithmetic as ann_bruteforce_topk).
+  q("tx_embed_decontaminate",
+    """WITH k AS (SELECT greatest(1, count(*) // 32) AS k FROM embeddings),
+      |v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT c.vec_id, max(
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(c.embedding)),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (x, y) -> x + y) / (c.nrm * b.nrm)) AS max_cos
+      |  FROM v c JOIN v b ON b.vec_id % (SELECT k FROM k) = 0
+      |    AND c.vec_id % (SELECT k FROM k) != 0
+      |  GROUP BY 1)
+      |SELECT vec_id, floor((max_cos) * 1e4 + 0.5 + 1e-6) / 1e4 AS max_cos,
+      |  (max_cos >= 0.45) AS contaminated
+      |FROM s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val k = SimilarityOps.sampleModulus(emb.count(), 32)
+    SimilarityOps.embeddingDecontaminate(
+        emb.filter(col("vec_id") % k =!= 0),
+        emb.filter(col("vec_id") % k === 0),
+        "vec_id", "embedding", minSim = 0.45)
+      .orderBy("vec_id")
+  }
+
   // IVF probe search end-to-end: centroids seeded from `label`, corpus
   // re-assigned to nearest centroid, each query probes the 3 nearest
   // cells and runs exact top-k inside them (the other scale path:
