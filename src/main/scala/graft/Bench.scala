@@ -67,7 +67,9 @@ object Bench {
     // past the per-query budget — the query then throws into the
     // failure path below instead of wedging the round
     val watchdog = new java.util.Timer("bench-watchdog", true)
-    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_BUDGET_MIN", "10").toLong * 60000L
+    // 14 min: sized for FOUR executions per query (warm + 3 timed) so a
+    // ~3-min query that fit min-of-2's budget isn't cancelled mid-run
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_BUDGET_MIN", "14").toLong * 60000L
     val results = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       spark.sparkContext.setJobGroup(s"bench-$name", name, interruptOnCancel = true)
       val kill = new java.util.TimerTask {

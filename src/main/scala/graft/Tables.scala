@@ -64,9 +64,11 @@ object Tables {
   @volatile private var registeredFor
       : Option[(java.lang.ref.WeakReference[SparkSession], String)] = None
   def registerAll(spark: SparkSession, dir: String): Unit = {
-    // Memo hit still verifies EVERY view survives (cheap catalog
-    // lookups) — a caller that dropped or shadowed any temp view would
-    // otherwise be stuck with a silent no-op and no re-registration path.
+    // Memo hit still verifies EVERY view still EXISTS (cheap catalog
+    // lookups) — a caller that DROPPED a temp view would otherwise be
+    // stuck with a silent no-op. A view SHADOWED via
+    // createOrReplaceTempView still exists and passes this check; a
+    // caller that rebinds these names must call resetRegistration().
     val hit = registeredFor.exists { case (ref, d) =>
       (ref.get eq spark) && d == dir
     } && names.forall(spark.catalog.tableExists)

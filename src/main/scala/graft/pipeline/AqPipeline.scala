@@ -236,7 +236,10 @@ object AqPipeline {
     */
   def validate(df: DataFrame, stage: String, keyCols: Seq[String],
                critical: Seq[String]): DataFrame = {
-    val anyNull = critical.map(col(_).isNull).reduce(_ || _)
+    require(keyCols.nonEmpty, "validate: keyCols must name the business key")
+    // no critical columns is a legal audit (null_critical stays 0)
+    val anyNull = critical.map(col(_).isNull)
+      .reduceOption(_ || _).getOrElse(lit(false))
     df.select(
         count(lit(1)).as("row_count"),
         countDistinct(keyCols.head, keyCols.tail: _*).as("distinct_keys"),

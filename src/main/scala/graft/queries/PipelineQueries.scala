@@ -38,6 +38,35 @@ object PipelineQueries extends QueryPack {
     dir.toString
   }
 
+  /** Stage `df` as ONE parquet file named `name` under `stageDir` with
+    * a controlled modification time — micro-batch construction for the
+    * file-source parity streams (the source orders batches by mtime).
+    */
+  private def stageFile(df: DataFrame, stageDir: String, name: String,
+                        mtime: Long): Unit = {
+    val tmp = tmpDir("graft_stage_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dst = java.nio.file.Paths.get(stageDir, name)
+    java.nio.file.Files.copy(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.toFile.setLastModified(mtime)
+    ()
+  }
+
+  /** Run a streaming query to completion and FAIL LOUDLY on timeout —
+    * reading a sink after a timed-out awaitTermination would hand the
+    * oracle partial output as if it were the result, and leave the
+    * abandoned query running for the rest of the process.
+    */
+  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+                          timeoutMs: Long, what: String): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      sys.error(s"$what did not finish within ${timeoutMs / 1000} s")
+    }
+
   /** The flagship composite — the whole reference transform chain
     * (process_openaq_raw.py:94-256 re-expressed): W1 dedup → derive
     * hour → A1 pinned pivot → J1 broadcast enrich → P8 fill.
@@ -1933,20 +1962,9 @@ object PipelineQueries extends QueryPack {
     val sentinels = ev.select("user_id").distinct()
       .withColumn("ts", lit(sentinelTs)).withColumn("value", lit(0.0))
     val stage = tmpDir("graft_st_sess_in")
-    def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = tmpDir("graft_st_sess_part")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = java.nio.file.Paths.get(stage, name)
-      java.nio.file.Files.copy(part.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(mtime)
-      ()
-    }
-    writeOne(ev.filter(col("ts") <= cutoff), "b1.parquet", 1000000L)
-    writeOne(ev.filter(col("ts") > cutoff).unionByName(sentinels),
-      "b2.parquet", 2000000L)
+    stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
+    stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
+      stage, "b2.parquet", 2000000L)
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val outDir = tmpDir("graft_st_sess_out")
@@ -1958,13 +1976,13 @@ object PipelineQueries extends QueryPack {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      graft.streaming.Sessionize
+      awaitOrFail(graft.streaming.Sessionize
         .sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "3650 days")
         .writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
-        .start().awaitTermination(300000)
+        .start(), 300000, "st_sessionize_parity stream")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .select(col("user_id"), col("session_start"), col("session_end"),
@@ -1991,35 +2009,25 @@ object PipelineQueries extends QueryPack {
     val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
     val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
     val stage = tmpDir("graft_st_hourly_in")
-    def writeSlice(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = tmpDir("graft_st_hourly_part")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = java.nio.file.Paths.get(stage, name)
-      java.nio.file.Files.copy(part.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(mtime)
-      ()
-    }
     val c1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
     val c2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
-    writeSlice(ev.filter(col("ts") <= c1), "b1.parquet", 1000000L)
-    writeSlice(ev.filter(col("ts") > c1 && col("ts") <= c2), "b2.parquet", 2000000L)
-    writeSlice(ev.filter(col("ts") > c2), "b3.parquet", 3000000L)
+    stageFile(ev.filter(col("ts") <= c1), stage, "b1.parquet", 1000000L)
+    stageFile(ev.filter(col("ts") > c1 && col("ts") <= c2), stage, "b2.parquet", 2000000L)
+    stageFile(ev.filter(col("ts") > c2), stage, "b3.parquet", 3000000L)
     val sinkName = s"st_hourly_parity_${System.nanoTime()}"
     // see st_sessionize_parity: size streaming state partitions to the
     // tiny test-scale key volume, not the batch default
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(sinkName)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start().awaitTermination(300000)
+      awaitOrFail(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+          .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start(), 300000, "st_hourly_parity stream")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(sinkName).orderBy("hour", "event_type")
   }
