@@ -47,4 +47,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(smallFiles == 1, s"small partition should stay single-file: $smallFiles")
     assert(spark.read.parquet(path).agg(sum("id")).head().getLong(0) == sumBefore)
   }
+
+  test("compact: hive-escaped partition values FAIL LOUDLY, source left intact") {
+    val path = Files.createTempDirectory("compact_esc").toString + "/t"
+    // ':' hive-escapes to %3A in the dir name; the read-back value no
+    // longer round-trips as the literal dir string, so the budget join
+    // cannot match — compact must raise, not silently drop those rows
+    val df = Seq((1L, "a:b", 1.0), (2L, "plain", 2.0)).toDF("id", "part", "v")
+    df.write.partitionBy("part").parquet(path)
+    val before = spark.read.parquet(path).collect().toSet
+    val e = intercept[Exception] {
+      Maintenance.compact(spark, path, Seq("part"))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("does not round-trip")),
+      s"expected the loud compact error, got: $e")
+    // destructive rewrite must NOT have happened
+    assert(spark.read.parquet(path).collect().toSet == before)
+  }
+
+  // NOTE: the dataCols.isEmpty constant-salt branch in compact() is a
+  // defensive guard only — Spark's own writer refuses a table whose
+  // columns are ALL partition columns (ALL_PARTITION_COLUMNS_NOT_ALLOWED),
+  // so such a layout can only arrive from an external writer and is not
+  // constructible in a spec through the supported write path.
 }
