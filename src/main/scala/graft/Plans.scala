@@ -77,7 +77,10 @@ object Plans {
     "tx_quality_quantile_gate", // 5-row per-lang threshold broadcast back over the corpus
     "tx_topk_tokens_heap", // TopKPerGroupExec over (lang, term) counts: heap stages, no sort
     "w10_distinct_window_hicard", // exact running distinct: indicator + running sum, O(1) window state
-    "a10_metadata_audit")  // two single-pass audits (raw + mart) unioned; map-side-combined aggs
+    "a10_metadata_audit",  // two single-pass audits (raw + mart) unioned; map-side-combined aggs
+    "tx_url_canonicalize", // codegen'd regex/array chain in the scan projection; one window on url_canon
+    "tx_embed_decontaminate", // corpus scan x broadcast fixed benchmark; corpus never shuffles pre-agg
+    "dq_anomaly")          // 5-row stats broadcast back over the corpus; no full-table window
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

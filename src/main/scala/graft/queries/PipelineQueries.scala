@@ -941,6 +941,35 @@ object PipelineQueries extends QueryPack {
       .orderBy("bucket")
   }
 
+  // DQ — per-group z-score anomaly detection: the classic metric-drift
+  // alarm (which readings sit ≥2σ from their event type's mean, which
+  // cross the 3σ outlier line). Group stats are a 5-row aggregate
+  // broadcast back over the corpus — one scan + one tiny join, no
+  // window over the full table. Both the tail filter and the outlier
+  // flag compare the ROUNDED z (DetRound on both engines), so the
+  // row-set boundary is deterministic — the raw stddev differs between
+  // engines only in the last ulp, which the rounding epsilon absorbs.
+  q("dq_anomaly",
+    s"""WITH stats AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      |  FROM events GROUP BY 1),
+      |z AS (
+      |  SELECT e.event_id, e.event_type,
+      |    ${sqlR4("(e.value - s.mu) / s.sigma")} AS z
+      |  FROM events e JOIN stats s USING (event_type))
+      |SELECT event_id, event_type, z, (abs(z) >= 3.0) AS is_outlier
+      |FROM z WHERE abs(z) >= 2.0 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val ev = Tables.load(s, dir, "events")
+    val stats = ev.groupBy("event_type")
+      .agg(avg("value").as("mu"), stddev_samp(col("value")).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        r4((col("value") - col("mu")) / col("sigma")).as("z"))
+      .filter(abs(col("z")) >= 2.0)
+      .withColumn("is_outlier", abs(col("z")) >= 3.0)
+      .orderBy("event_id")
+  }
+
   /** One referential-integrity check: count child rows and how many
     * have no parent key. The parent side is key-distinct first, so the
     * left join can't multiply child rows; each check is a single
