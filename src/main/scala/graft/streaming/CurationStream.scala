@@ -118,6 +118,12 @@ object CurationStream {
                      eventTimeCol: String, k: Int, windowDur: String,
                      delay: String): DataFrame = {
     import org.apache.spark.sql.graftx.BottomKByKey.bottomK
+    // the sample payload is a long: a non-numeric id would cast to null
+    // and silently fill every emitted sample with nulls — reject early
+    require(Seq("bigint", "int", "smallint", "tinyint")
+      .contains(stream.schema(idCol).dataType.simpleString),
+      s"windowedSample: $idCol must be an integral id column " +
+        s"(got ${stream.schema(idCol).dataType.simpleString})")
     stream.withWatermark(eventTimeCol, delay)
       .groupBy(window(col(eventTimeCol), windowDur).as("win"), col(keyCol))
       .agg(bottomK(md5(col(idCol).cast("string").cast("binary")),
@@ -127,17 +133,25 @@ object CurationStream {
   }
 
   /** Population stability index between two bucket histograms
-    * (`(bucket, n)` rows, as [[bucketHistogram]] emits per window):
-    * Laplace-smoothed shares over the full generated spine, one
-    * scalar row out. Runs over the compact histograms — at any corpus
-    * scale this is a ≤ `nBuckets`-row computation.
+    * (`(bucket, n)` rows, as [[bucketHistogram]] emits): each side is
+    * first pooled to one count per bucket (so a multi-window histogram
+    * is aggregated, never fanned out), then Laplace-smoothed shares
+    * over the full generated spine, one scalar row out. Runs over the
+    * compact histograms — at any corpus scale this is a
+    * ≤ `nBuckets`-row computation.
     */
   def psi(histRef: DataFrame, histCur: DataFrame, nBuckets: Int): DataFrame = {
     val spark = histRef.sparkSession
     val spine = spark.range(0, nBuckets).select(col("id").as("bucket"))
+    // collapse to one row per bucket FIRST: bucketHistogram's natural
+    // multi-window output repeats buckets per window, and joining that
+    // raw would fan out the spine and double-count — summing pools the
+    // windows (and is the identity on a single-window histogram)
+    def pooled(h: DataFrame, as: String) =
+      h.groupBy("bucket").agg(sum("n").as(as))
     val joined = spine
-      .join(histRef.select(col("bucket"), col("n").as("n_ref")), Seq("bucket"), "left")
-      .join(histCur.select(col("bucket"), col("n").as("n_cur")), Seq("bucket"), "left")
+      .join(pooled(histRef, "n_ref"), Seq("bucket"), "left")
+      .join(pooled(histCur, "n_cur"), Seq("bucket"), "left")
     val totals = joined.agg(
       sum(coalesce(col("n_ref"), lit(0L))).as("t_ref"),
       sum(coalesce(col("n_cur"), lit(0L))).as("t_cur"))

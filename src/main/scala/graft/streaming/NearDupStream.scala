@@ -89,6 +89,14 @@ object NearDupStream {
                    tsCol: String, delay: String,
                    maxHamming: Int = 3): Dataset[Pair] = {
     require(maxHamming <= 3, "4x16 pigeonhole bands guarantee recall only to Hamming 3")
+    // the state row carries the id as a non-nullable long: a non-numeric
+    // id column would cast to null and kill the query with an encoder
+    // NPE on the first micro-batch — reject it at build time instead
+    require(Seq("bigint", "int", "smallint", "tinyint")
+      .contains(stream.schema(idCol).dataType.simpleString),
+      s"nearDupPairs: $idCol must be an integral id column " +
+        s"(got ${stream.schema(idCol).dataType.simpleString}); hash or " +
+        "dense-rank non-numeric ids first")
     val sigs = stream
       .withColumn("__sig", DedupOps.simHash(col(textCol)))
       .withWatermark(tsCol, delay)

@@ -27,6 +27,7 @@ object Sessionize {
 
   implicit private val eventEnc: Encoder[Event] = Encoders.product[Event]
   implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+  implicit private val duoEnc: Encoder[DuoState] = Encoders.product[DuoState]
   implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
   implicit private val longEnc: Encoder[Long] = Encoders.scalaLong
 
@@ -61,8 +62,11 @@ object Sessionize {
     * "stale open session" accumulator — consecutive stale events within
     * a gap of each other merge into ONE session, matching the batch
     * twin, rather than each becoming a singleton. The stale session
-    * closes when a later stale event jumps past its gap (or at end of
-    * batch, in [[foldBatch]]); the open session stays untouched.
+    * closes when a later stale event jumps past its gap, when it is
+    * bridged into the open session, or at the key's event-time timeout
+    * ([[DuoState]] carries it ACROSS micro-batches — only the one-shot
+    * [[foldBatch]] drains it eagerly); the open session stays
+    * untouched.
     *
     * Returns (open session, stale open session).
     */
@@ -111,38 +115,67 @@ object Sessionize {
     }
   }
 
-  /** Fold a batch of events (must be pre-sorted ascending) into the open
-    * session, emitting closed sessions to `out`. Any stale session still
-    * accumulating at batch end is definitionally closed (it sits more
-    * than a gap before the open session) and is emitted. Shared by both
-    * streaming APIs ([[Sessionize]] and [[SessionizeV2]]).
+  /** Streaming per-key state: the open session plus the still-open
+    * STALE run (late events more than a gap before the open session).
+    * The stale run must live in state, not die at batch end — a late
+    * run can span micro-batches (11:30 in batch 2, 11:36 in batch 3,
+    * gap 10 min: the batch twin merges them into ONE session, so
+    * flushing at batch end would emit two splits). It closes only when
+    * superseded by a later stale run, bridged into the open session,
+    * or at the key's event-time timeout.
     */
-  private[streaming] def foldBatch(gapUs: Long, userId: Long,
+  case class DuoState(open: SessionState, stale: Option[SessionState])
+
+  /** Fold a batch of events (must be pre-sorted ascending) into the
+    * (open, stale) state, emitting closed sessions to `out`; returns
+    * the carried state. Shared by both streaming APIs ([[Sessionize]]
+    * and [[SessionizeV2]]).
+    */
+  private[streaming] def foldBatchCarry(gapUs: Long, userId: Long,
       sortedEvents: Seq[Event], cur0: Option[SessionState],
-      out: ArrayBuffer[Session]): Option[SessionState] = {
+      stale0: Option[SessionState],
+      out: ArrayBuffer[Session]): (Option[SessionState], Option[SessionState]) = {
     var cur = cur0
-    var stale: Option[SessionState] = None
+    var stale = stale0
     sortedEvents.foreach { e =>
       val (c, st) = foldEvent(gapUs, userId, e, cur, stale, out)
       cur = c; stale = st
     }
+    (cur, stale)
+  }
+
+  /** [[foldBatchCarry]] + drain: any stale run left at the end is
+    * flushed. The single-shot convenience for callers that process ONE
+    * batch with nothing after it (specs, drains) — the streaming step
+    * carries the stale run in state instead.
+    */
+  private[streaming] def foldBatch(gapUs: Long, userId: Long,
+      sortedEvents: Seq[Event], cur0: Option[SessionState],
+      out: ArrayBuffer[Session]): Option[SessionState] = {
+    val (cur, stale) = foldBatchCarry(gapUs, userId, sortedEvents, cur0, None, out)
     stale.foreach(st => out += toSession(userId, st))
     cur
   }
 
   private def step(gapUs: Long)(
       userId: Long, events: Iterator[Event],
-      state: GroupState[SessionState]): Iterator[Session] = {
+      state: GroupState[DuoState]): Iterator[Session] = {
     if (state.hasTimedOut) {
-      val closed = toSession(userId, state.get)
+      // the stale run's horizon precedes the open session's, so both
+      // are certainly closed once the open horizon passes; emit stale
+      // first (earlier session_start)
+      val d = state.get
       state.remove()
-      return Iterator(closed)
+      return (d.stale.map(toSession(userId, _)).toSeq :+
+        toSession(userId, d.open)).iterator
     }
     val out = ArrayBuffer.empty[Session]
-    val cur = foldBatch(gapUs, userId,
-      events.toSeq.sortBy(e => (micros(e.ts), e.value)), state.getOption, out)
+    val prior = state.getOption
+    val (cur, stale) = foldBatchCarry(gapUs, userId,
+      events.toSeq.sortBy(e => (micros(e.ts), e.value)),
+      prior.map(_.open), prior.flatMap(_.stale), out)
     cur.foreach { s =>
-      state.update(s)
+      state.update(DuoState(s, stale))
       // GroupState timeouts are epoch-MILLIS; round the micros horizon up
       state.setTimeoutTimestamp(Math.floorDiv(s.lastTs + gapUs + 999L, 1000L))
     }
@@ -160,7 +193,7 @@ object Sessionize {
       .withWatermark("ts", watermarkDelay)
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[DuoState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(step(gapUs))
   }
 }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.streaming._
   * the timer once the watermark passes lastTs + gap.
   */
 object SessionizeV2 {
-  import Sessionize.{Event, Session, SessionState}
+  import Sessionize.{DuoState, Event, Session, SessionState}
 
   implicit private val eventEnc: Encoder[Event] = Encoders.product[Event]
   implicit private val sessionEnc: Encoder[Session] = Encoders.product[Session]
@@ -21,11 +21,11 @@ object SessionizeV2 {
   private class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, Event, Session] {
 
-    @transient private var session: ValueState[SessionState] = _
+    @transient private var session: ValueState[DuoState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      session = getHandle.getValueState[SessionState]("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
+      session = getHandle.getValueState[DuoState]("session",
+        Encoders.product[DuoState], TTLConfig.NONE)
 
     // state times are epoch-micros (Sessionize.micros); timers are
     // epoch-MILLIS — round the expiry horizon up so a timer never fires
@@ -37,16 +37,17 @@ object SessionizeV2 {
                                  timerValues: TimerValues): Iterator[Session] = {
       val out = ArrayBuffer.empty[Session]
       val prior = Option(session.get())
-      val cur = Sessionize.foldBatch(gapUs, key,
-        rows.toSeq.sortBy(e => (Sessionize.micros(e.ts), e.value)), prior, out)
+      val (cur, stale) = Sessionize.foldBatchCarry(gapUs, key,
+        rows.toSeq.sortBy(e => (Sessionize.micros(e.ts), e.value)),
+        prior.map(_.open), prior.flatMap(_.stale), out)
       cur.foreach { s =>
-        session.update(s)
+        session.update(DuoState(s, stale))
         // one live timer per key: delete the previous expiry before
         // registering the new one — re-registering every batch without
         // cleanup accumulates a stale timer per extension, each firing
         // later just to be discarded by the expiry guard
-        prior.filter(p => p.lastTs != s.lastTs)
-          .foreach(p => getHandle.deleteTimer(expiryMs(p)))
+        prior.filter(p => p.open.lastTs != s.lastTs)
+          .foreach(p => getHandle.deleteTimer(expiryMs(p.open)))
         getHandle.registerTimer(expiryMs(s))
       }
       out.iterator
@@ -54,10 +55,13 @@ object SessionizeV2 {
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
                                     expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
-      val s = session.get()
-      if (s != null && expiredTimerInfo.getExpiryTimeInMs() >= expiryMs(s)) {
+      val d = session.get()
+      if (d != null && expiredTimerInfo.getExpiryTimeInMs() >= expiryMs(d.open)) {
         session.clear()
-        Iterator(Sessionize.toSession(key, s))
+        // the stale run's horizon precedes the open session's — both
+        // certainly closed; emit stale first (earlier session_start)
+        (d.stale.map(Sessionize.toSession(key, _)).toSeq :+
+          Sessionize.toSession(key, d.open)).iterator
       } else Iterator.empty
     }
   }

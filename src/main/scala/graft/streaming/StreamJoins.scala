@@ -21,7 +21,12 @@ object StreamJoins {
     */
   def attributionJoin(causes: DataFrame, effects: DataFrame,
                       windowMinutes: Int,
-                      watermarkDelay: String = "10 minutes"): DataFrame = {
+                      watermarkDelay: String = "10 minutes"): DataFrame =
+    attribution(causes, effects, windowMinutes, watermarkDelay, "inner")
+
+  private def attribution(causes: DataFrame, effects: DataFrame,
+                          windowMinutes: Int, watermarkDelay: String,
+                          joinType: String): DataFrame = {
     val c = causes.selectExpr("user_id AS c_user", "ts AS c_ts", "value AS c_value")
       .withWatermark("c_ts", watermarkDelay)
     val e = effects.selectExpr("user_id AS e_user", "ts AS e_ts", "value AS e_value")
@@ -29,7 +34,8 @@ object StreamJoins {
     c.join(e,
       col("c_user") === col("e_user") &&
         col("c_ts") <= col("e_ts") &&
-        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
+      joinType)
       .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
         col("c_value"), col("e_value"))
   }
@@ -48,19 +54,8 @@ object StreamJoins {
     */
   def attributionJoinLeftOuter(causes: DataFrame, effects: DataFrame,
                                windowMinutes: Int,
-                               watermarkDelay: String = "10 minutes"): DataFrame = {
-    val c = causes.selectExpr("user_id AS c_user", "ts AS c_ts", "value AS c_value")
-      .withWatermark("c_ts", watermarkDelay)
-    val e = effects.selectExpr("user_id AS e_user", "ts AS e_ts", "value AS e_value")
-      .withWatermark("e_ts", watermarkDelay)
-    c.join(e,
-      col("c_user") === col("e_user") &&
-        col("c_ts") <= col("e_ts") &&
-        col("c_ts") >= col("e_ts") - expr(s"INTERVAL $windowMinutes MINUTES"),
-      "left_outer")
-      .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
-        col("c_value"), col("e_value"))
-  }
+                               watermarkDelay: String = "10 minutes"): DataFrame =
+    attribution(causes, effects, windowMinutes, watermarkDelay, "left_outer")
 
   /** Stream-STATIC dimension enrichment — the streaming twin of the
     * batch broadcast lookup join (J1/J2): every micro-batch left-joins
@@ -76,8 +71,6 @@ object StreamJoins {
     * guarantee.
     */
   def enrichWithStatic(stream: DataFrame, dim: DataFrame,
-                       key: String): DataFrame = {
-    val d = dim.dropDuplicates(key)
-    stream.join(broadcast(d), Seq(key), "left")
-  }
+                       key: String): DataFrame =
+    graft.operators.RelationalOps.enrich(stream, dim, key)
 }

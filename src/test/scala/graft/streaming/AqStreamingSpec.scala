@@ -33,6 +33,46 @@ class AqStreamingSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.schema.fieldNames.contains("pm25"))
   }
+
+  test("dedupFreshestStream: a corrected re-extraction in a later batch WINS (batch-twin semantics)") {
+    val raw = Files.createTempDirectory("aq_fresh_raw")
+    val out = Files.createTempDirectory("aq_fresh_out").toString
+    val ckpt = Files.createTempDirectory("aq_fresh_ckpt").toString
+    // batch 1: original reading (value 45.5, extracted 11:00). batch 2:
+    // the CORRECTED re-extraction of the same key (value 99.9, extracted
+    // 12:00) plus a far-future other-key reading that advances the
+    // watermark past the key's event time. batch 3: another far-future
+    // reading so a trigger runs AFTER the watermark moved — that's when
+    // the key's timer fires and the winner emits.
+    val corrected = rec
+      .replace("\"value\": 45.5", "\"value\": 99.9")
+      .replace("2024-01-15T11:00:00", "2024-01-15T12:00:00") // extracted_at
+    def future(hh: Int) = rec
+      .replace("\"location_id\": 18", "\"location_id\": 99")
+      .replace("2024-01-15T10:00:00+07:00", f"2024-01-17T$hh%02d:00:00+07:00")
+    Files.writeString(raw.resolve("f1.json"), rec + "\n")
+    Files.writeString(raw.resolve("f2.json"), corrected + "\n" + future(10) + "\n")
+    Files.writeString(raw.resolve("f3.json"), future(11) + "\n")
+    Seq("f1", "f2", "f3").zipWithIndex.foreach { case (f, i) =>
+      raw.resolve(s"$f.json").toFile.setLastModified(1000000L * (i + 1)); ()
+    }
+
+    AqStreaming.dedupFreshestStream(
+        AqStreaming.readRawStream(spark, raw.toString, maxFilesPerTrigger = 1),
+        watermark = "10 minutes")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination(120000)
+
+    val rows = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("location_id") === 18).collect()
+    assert(rows.length == 1, s"exactly one winner per key: ${rows.toSeq}")
+    assert(rows.head.getAs[Double]("value") == 99.9,
+      s"the freshest extraction must win: ${rows.head}")
+  }
 }
 
 /** Stateful sessionization e2e: two micro-batches (maxFilesPerTrigger
@@ -110,6 +150,51 @@ class SessionizeStreamSpec extends graft.SparkSpec {
     assert(out.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events))
       == ArrayBuffer((70L, 70L, 1L)), s"got $out")
     assert(cur.contains(SessionState(95000L, 100000L, 2, 5.0)), s"got $cur")
+  }
+
+  test("a stale run SPANNING micro-batches merges into one session (carried state)") {
+    val dir = Files.createTempDirectory("sess_stale_span")
+    val out = Files.createTempDirectory("sess_stale_span_out").toString
+    val ckpt = Files.createTempDirectory("sess_stale_span_ckpt").toString
+    def rec(ts: String, v: Double) =
+      s"""{"user_id": 1, "ts": "$ts", "value": $v}"""
+    // gap 30 min. Batch 1 opens a session at 12:00. Batches 2 and 3
+    // each deliver ONE late event (11:00, 11:10) — more than a gap
+    // before the open session, within a gap of each other, split
+    // across batches. The batch twin merges them into ONE session
+    // {11:00-11:10}; flushing the stale accumulator at batch end
+    // (pre-fix behavior) would emit two singleton sessions. Batch 4's
+    // far-future event closes the open session; the stale run is
+    // flushed with it.
+    Files.writeString(dir.resolve("f1.json"), rec("2024-01-01T12:00:00.000Z", 1.0))
+    Files.writeString(dir.resolve("f2.json"), rec("2024-01-01T11:00:00.000Z", 2.0))
+    Files.writeString(dir.resolve("f3.json"), rec("2024-01-01T11:10:00.000Z", 3.0))
+    Files.writeString(dir.resolve("f4.json"), rec("2024-01-01T20:00:00.000Z", 9.0))
+    Seq("f1", "f2", "f3", "f4").zipWithIndex.foreach { case (f, i) =>
+      dir.resolve(s"$f.json").toFile.setLastModified(1000000L * (i + 1)); ()
+    }
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).json(dir.toString)
+    Sessionize.sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "1 day")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination(120000)
+
+    val sessions = spark.read.parquet(out).orderBy("session_start").collect()
+      .map(s => (s.getAs[java.sql.Timestamp]("session_start").toInstant.toString,
+        s.getAs[java.sql.Timestamp]("session_end").toInstant.toString,
+        s.getAs[Long]("n_events"), s.getAs[Double]("total_value"))).toSeq
+    assert(sessions == Seq(
+      ("2024-01-01T11:00:00Z", "2024-01-01T11:10:00Z", 2L, 5.0),
+      ("2024-01-01T12:00:00Z", "2024-01-01T12:00:00Z", 1L, 1.0)), s"got $sessions")
   }
 
   test("a late in-gap event extends the session BACKWARD (start min-updated)") {

@@ -123,6 +123,41 @@ class SessionizeFoldPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: ascending stale runs SPLIT ACROSS batches merge as batch semantics") {
+    // an anchor far in the future opens the session in batch 1; late
+    // events (all more than a gap before it) arrive ascending, split
+    // across arbitrary contiguous batches — the carried stale
+    // accumulator (DuoState semantics) must reproduce the batch
+    // sessionization of the late events, plus the anchor session
+    check(Prop.forAll(caseGen) { case (gap, times, splits) =>
+      val anchorT = 1000L // > 60 + 8: never reachable from the late run
+      val late = times.sorted.zipWithIndex.map { case (t, i) => ev(t, (i % 7) + 1.0) }
+      val cuts = splits.map(_.toLong).sorted
+      val lateBatches = (Seq(Long.MinValue) ++ cuts :+ Long.MaxValue)
+        .sliding(2).map { case Seq(lo, hi) =>
+          late.filter(e => Sessionize.micros(e.ts) > lo && Sessionize.micros(e.ts) <= hi)
+        }.toSeq.filter(_.nonEmpty)
+      val out = ArrayBuffer.empty[Session]
+      var cur: Option[SessionState] = Some(SessionState(anchorT, anchorT, 1, 0.0))
+      var stale: Option[SessionState] = None
+      lateBatches.foreach { b =>
+        val (c, st) = Sessionize.foldBatchCarry(gap, 1L, b, cur, stale, out)
+        cur = c; stale = st
+      }
+      // drain: flush the carried stale run, then the anchor session
+      stale.foreach(st => out += Sessionize.toSession(1L, st))
+      cur.foreach(c => out += Sessionize.toSession(1L, c))
+      val got = out.map(s => (Sessionize.micros(s.session_start),
+        Sessionize.micros(s.session_end), s.n_events, s.total_value))
+        .sortBy(x => (x._1, x._2))
+      val ref = (batchSessions(gap, late) :+ ((anchorT, anchorT, 1L, 0.0)))
+        .sortBy(x => (x._1, x._2))
+      val ok = got == ref
+      if (!ok) println(s"gap=$gap late=$times cuts=$cuts\n got=$got\n ref=$ref")
+      ok
+    })
+  }
+
   test("property: stale events within a batch merge/close exactly as batch semantics") {
     // open state far in the future; every batch event is stale relative
     // to it — the stale accumulator alone must reproduce the batch
