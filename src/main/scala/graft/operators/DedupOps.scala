@@ -92,9 +92,13 @@ object DedupOps {
     val tagged = batch
       .withColumn("fingerprint", md5(col(textCol).cast("binary")))
       .withColumn("might", BloomOps.mightContain(lit(bfBytes), col("fingerprint")))
-    val clearedNovel = tagged.filter(!col("might"))
+    // might_contain(bf, null) is null: route null-text rows (null
+    // fingerprint) down the definitely-novel path so the output stays
+    // row-identical to incrementalExact, where null keys survive the
+    // left_anti join as their own novel group
+    val clearedNovel = tagged.filter(!coalesce(col("might"), lit(false)))
       .select(col("fingerprint"), col(idCol))
-    val checkedNovel = tagged.filter(col("might"))
+    val checkedNovel = tagged.filter(coalesce(col("might"), lit(false)))
       .join(seenIndex.select("fingerprint"), Seq("fingerprint"), "left_anti")
       .select(col("fingerprint"), col(idCol))
     clearedNovel.unionAll(checkedNovel)
@@ -345,8 +349,11 @@ object DedupOps {
                           quality: DataFrame, qIdCol: String,
                           qualityCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // LEFT join: a cluster member missing from the quality table must
+    // still appear in the audit (and lose the keep contest — Spark's
+    // desc sorts NULLS LAST), not silently vanish from the output
     val joined = clusters.join(
-      quality.select(col(qIdCol).as(idCol), col(qualityCol)), idCol)
+      quality.select(col(qIdCol).as(idCol), col(qualityCol)), Seq(idCol), "left")
     val w = Window.partitionBy(clusterCol)
       .orderBy(col(qualityCol).desc, col(idCol).asc)
     joined

@@ -58,6 +58,12 @@ object FuzzyOps {
   private def gramFilteredPairs(df: DataFrame, idCol: String, strCol: String,
                                 maxDist: Int, q: Int, gramsPerEdit: Int,
                                 verify: (Column, Column) => Column): DataFrame = {
+    // ANSI mode turns a non-integral id into a mid-job CAST error (and
+    // with ANSI off, into silent empty output via null ids) — fail fast
+    require({
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType).contains(df.schema(idCol).dataType)
+    }, s"$idCol must be an integral id column (got ${df.schema(idCol).dataType.simpleString})")
     val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
     val shortMax = q - 1 + maxDist * gramsPerEdit // both ≤ this ⇒ bound ≤ 0 ⇒ brute force
@@ -112,6 +118,12 @@ object FuzzyOps {
     */
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
                        minSim: Double, maxLenDiff: Int = 4): DataFrame = {
+    // ANSI mode turns a non-integral id into a mid-job CAST error (and
+    // with ANSI off, into silent empty output via null ids) — fail fast
+    require({
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType).contains(df.schema(idCol).dataType)
+    }, s"$idCol must be an integral id column (got ${df.schema(idCol).dataType.simpleString})")
     val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
       .withColumn("blk", substring(col("s"), 1, 1))

@@ -102,9 +102,12 @@ object QualityOps {
         (lit(1.0) - col("nd") / col("nt")).as("dup_token_frac"),
         coalesce(col("top_c").cast("double") / col("n_bg"), lit(0.0))
           .as("top_bigram_frac"))
+      // coalesce: a null-text doc has null metrics and would otherwise
+      // fall through BOTH filter(keep) and filter(!keep) — it must land
+      // on the rejected side of the gate accounting
       .withColumn("keep",
-        col("dup_token_frac") <= maxDupTokenFrac &&
-        col("top_bigram_frac") <= maxTopBigramFrac)
+        coalesce(col("dup_token_frac") <= maxDupTokenFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac, lit(false)))
   }
 
   /** Hex nibble character c such that `nibble < c` holds for exactly

@@ -113,7 +113,11 @@ object RelationalOps {
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTime).cast("timestamp"))
       .withColumn("__tag", lit(1)).withColumn("__seq", lit(Long.MaxValue))
       .withColumn("__p", lit(null).cast(payloadType))
+    // a right row with a null (or unparseable→null) timestamp would
+    // sort NULLS FIRST to the head of every key partition and become a
+    // spurious "earliest" match — it can never legitimately match, drop it
     val r = right
+      .filter(col(rightTime).cast("timestamp").isNotNull)
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTime).cast("timestamp"))
       .withColumn("__tag", lit(0)).withColumn("__seq", col(rightSeq).cast("long"))
       .withColumn("__p", struct(payload.map(col): _*))

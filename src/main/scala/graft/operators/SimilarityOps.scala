@@ -39,11 +39,18 @@ object SimilarityOps {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** id + vector + precomputed norm — the shape every pair op joins on. */
+  /** id + vector + precomputed norm — the shape every pair op joins on.
+    * ZERO-NORM vectors are excluded: cosine is undefined for them, and
+    * IEEE 0/0 = NaN, which Spark orders ABOVE every double — one
+    * all-zero vector (empty doc, failed encode) would otherwise rank
+    * as every query's top-1 "neighbor" and pass every `cos >= minSim`
+    * filter, silently corrupting near-dup pairs and clusters.
+    */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String,
                        id: String, vec: String, nrm: String): DataFrame =
     df.select(col(idCol).as(id), col(vecCol).as(vec),
       vecNorm(col(vecCol)).as(nrm))
+      .filter(col(nrm) > 0)
 
   /** Brute-force top-k cosine neighbors for each query vector: small
     * query side broadcast, norms precomputed per side, per-query
@@ -76,12 +83,18 @@ object SimilarityOps {
       idCol: String, vecCol: String, minSim: Double): DataFrame = {
     val c = withNorm(corpus, idCol, vecCol, "__cid", "cv", "cn")
     val b = withNorm(benchmark, idCol, vecCol, "__bid", "bv", "bn")
-    c.crossJoin(broadcast(b))
+    val scored = c.crossJoin(broadcast(b))
       .withColumn("cos", vecDot(col("cv"), col("bv")) / (col("cn") * col("bn")))
       .groupBy(col("__cid"))
       .agg(max(col("cos")).as("__max_cos"))
-      .select(col("__cid").as(idCol), r4(col("__max_cos")).as("max_cos"),
-        (col("__max_cos") >= minSim).as("contaminated"))
+    // total over the corpus: an empty benchmark (or a zero-norm corpus
+    // vector, excluded from the cosine scan) still yields a row — null
+    // max_cos, contaminated=false — instead of silently vanishing into
+    // a downstream inner join
+    corpus.select(col(idCol)).distinct()
+      .join(scored.withColumnRenamed("__cid", idCol), Seq(idCol), "left")
+      .select(col(idCol), r4(col("__max_cos")).as("max_cos"),
+        coalesce(col("__max_cos") >= minSim, lit(false)).as("contaminated"))
   }
 
   /** All pairs with cosine ≥ minSim (embedding near-dup detection),
@@ -450,14 +463,28 @@ object SimilarityOps {
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 cents: DataFrame): DataFrame = {
-    val vecD = transform(col("v"), x => x.cast("double"))
-    val scored = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(broadcast(cents))
-      .withColumn("cos", dotD(vecD, col("centroid")) /
-        (sqrt(dotD(vecD, vecD)) * sqrt(dotD(col("centroid"), col("centroid")))))
-    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("cell").as("assigned_cell"), r4(col("cos")).as("cos"))
+    // norms and the double-cast once PER SIDE before the join (the
+    // header contract) — the previous shape recomputed both O(dim)
+    // folds on every (vector, centroid) pair, k× the work per Lloyd
+    // iteration. Zero norms score -1 so a degenerate vector lands
+    // deterministically in the lowest cell instead of a NaN argmax.
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    val v = vectors.select(col(idCol).as("id"), vd.as("vd"),
+      sqrt(dotD(vd, vd)).as("vn"))
+    val cts = cents.select(col("cell"), col("centroid"),
+      sqrt(dotD(col("centroid"), col("centroid"))).as("cn"))
+    val scored = v.join(broadcast(cts))
+      .withColumn("cos", when(col("vn") * col("cn") > 0,
+        dotD(col("vd"), col("centroid")) / (col("vn") * col("cn")))
+        .otherwise(lit(-1.0)))
+    // argmax as a map-side-combinable min(struct): exchanges ONE row
+    // per vector instead of window-shuffling all n·k scored rows;
+    // (-cos, cell) lexicographic min == (cos desc, cell asc) argmax
+    scored
+      .groupBy("id")
+      .agg(min(struct((-col("cos")).as("nc"), col("cell"))).as("m"))
+      .select(col("id"), col("m.cell").as("assigned_cell"),
+        r4(-col("m.nc")).as("cos"))
   }
 
   /** IVF coarse-quantizer TRAINING: Lloyd's k-means over the

@@ -92,6 +92,9 @@ object TokenizerOps {
       }
       split(trim(mergedS), "  ")
     }
-    flatten(transform(split(text, " "), encodeWord))
+    // drop empty "words" from consecutive/leading/trailing spaces —
+    // encodeWord("") would emit a phantom empty token, and bpeTrain's
+    // pair counting already excludes them (train and encode must agree)
+    flatten(transform(filter(split(text, " "), w => w =!= ""), encodeWord))
   }
 }
