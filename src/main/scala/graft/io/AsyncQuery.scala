@@ -91,7 +91,10 @@ object AsyncQuery {
 
   /** Block until the query reaches a terminal state (the reference's
     * poll loop, `athena_utils.py:74-96`), with a poll interval and
-    * overall timeout. Returns the terminal state.
+    * overall timeout. Returns the state observed when polling stopped:
+    * a TERMINAL state normally, but still Queued/Running when the
+    * deadline passed first — callers distinguishing "timed out" from
+    * "finished" must check for the non-terminal states (or cancel()).
     */
   def waitFor(id: String, timeoutMs: Long = 120000L, pollMs: Long = 50L): State = {
     val deadline = System.currentTimeMillis() + timeoutMs

@@ -78,8 +78,13 @@ object CatalogOps {
     partitionCols.zipWithIndex.foldLeft(listed) { case (df, (c, i)) =>
       // anchor at a segment start: unanchored `c=(...)` would match a
       // key that is a SUFFIX of another (uid=42/id=7 → "id" hits
-      // "uid=42"); group 2 is the value
-      df.withColumn(c, regexp_extract(col("partition"), s"(^|/)$c=([^/]*)", 2))
+      // "uid=42"); group 2 is the value. SHOW PARTITIONS prints values
+      // hive-ESCAPED (':' → %3A etc.) — url_decode restores the actual
+      // value; a literal '+' is pre-protected because url_decode would
+      // otherwise read it as an encoded space (hive never escapes '+').
+      df.withColumn(c, url_decode(regexp_replace(
+        regexp_extract(col("partition"), s"(^|/)$c=([^/]*)", 2),
+        "\\+", "%2B")))
     }.select(partitionCols.map(col): _*)
   }
 

@@ -83,13 +83,10 @@ object Layout {
     val n = clusterCols.size
     require(n >= 1 && n * bits < 63, s"$n cols × $bits bits must fit a Long")
     val maxBucket = (1L << bits) - 1
-    val stats = df.agg(
-      clusterCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__lo_$c"),
-        max(col(c).cast("double")).as(s"__hi_$c"))).head,
-      clusterCols.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"__lo_$c"),
-        max(col(c).cast("double")).as(s"__hi_$c"))).tail: _*)
+    val statExprs = clusterCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"__lo_$c"),
+      max(col(c).cast("double")).as(s"__hi_$c")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*)
     val withStats = df.crossJoin(broadcast(stats))
     val coords = clusterCols.map { c =>
       val (lo, hi) = (col(s"__lo_$c"), col(s"__hi_$c"))

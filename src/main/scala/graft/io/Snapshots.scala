@@ -93,7 +93,24 @@ object Snapshots {
     v
   }
 
-  /** Commit `df` as the table's next version. Returns the version id. */
+  /** True iff `version` is still the table head — the post-commit
+    * check for pipelines that must DETECT shadowing (see [[commit]]).
+    */
+  def isHead(tableDir: String, version: Int): Boolean =
+    versions(tableDir).lastOption.contains(version)
+
+  /** Commit `df` as the table's next version. Returns the version id.
+    *
+    * Concurrency contract: version numbers are CLAIM-ordered, not
+    * publish-ordered. A committer that stalls between claiming v and
+    * publishing its manifest can be overtaken by a later claim v+1
+    * that publishes first — when v finally lands it is a correct,
+    * fully-readable HISTORICAL version, but not the head, and the
+    * later head was built without v's changes (optimistic concurrency
+    * WITHOUT conflict detection — the same lost-update exposure as
+    * blind last-writer-wins). Pipelines that need to detect this call
+    * [[isHead]] after commit and retry/merge when shadowed.
+    */
   def commit(df: DataFrame, tableDir: String): Int = {
     val commitDir = new File(new File(tableDir, "data"), UUID.randomUUID().toString)
     df.write.mode("overwrite").parquet(commitDir.getPath)
@@ -148,11 +165,20 @@ object Snapshots {
       manifestFile(tableDir, v).delete()
       claimFile(tableDir, v).delete()
     }
-    dead.foreach(p => new File(p).delete())
-    // reap now-empty commit dirs
+    dead.foreach { p =>
+      new File(p).delete()
+      // the local ChecksumFileSystem leaves a .crc sibling per file
+      val f = new File(p)
+      new File(f.getParentFile, s".${f.getName}.crc").delete()
+    }
+    // reap commit dirs with no DATA files left: parquet writes leave
+    // _SUCCESS + .crc markers, so "empty" must mean "no .parquet files"
+    // or those dirs (and their marker cruft) accumulate forever
     val dataDir = new File(tableDir, "data")
     if (dataDir.isDirectory)
-      dataDir.listFiles().filter(d => d.isDirectory && d.listFiles().isEmpty)
-        .foreach(_.delete())
+      dataDir.listFiles()
+        .filter(d => d.isDirectory &&
+          !d.listFiles().exists(_.getName.endsWith(".parquet")))
+        .foreach { d => d.listFiles().foreach(_.delete()); d.delete(); () }
   }
 }

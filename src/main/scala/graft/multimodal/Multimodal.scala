@@ -203,7 +203,17 @@ object Multimodal {
           }
         }
         val norm0 = math.sqrt(v.map(x => x * x).sum)
-        val norm = if (norm0 == 0.0) { v(0) = 1.0; 1.0 } else norm0
+        // sub-8-byte payloads produce the zero vector; a FIXED fallback
+        // coordinate would make all tiny payloads identical (cosine 1.0
+        // between unrelated blobs) — derive axis and sign from the
+        // bytes instead so distinct tiny payloads stay distinct
+        val norm = if (norm0 == 0.0) {
+          var h = 1125899906842597L
+          var j = 0
+          while (j < bytes.length) { h = h * 31L + (bytes(j) & 0xffL); j += 1 }
+          v(((h >>> 33) % dim).toInt) = if (((h >>> 32) & 1L) == 0L) 1.0 else -1.0
+          1.0
+        } else norm0
         (id, v.map(x => (x / norm).toFloat))
       }).toDF(idCol, "embedding")
   }

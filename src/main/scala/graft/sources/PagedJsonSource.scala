@@ -72,7 +72,13 @@ final class PagedJsonScan(required: StructType, path: String)
   override def description(): String = s"PagedJson(path=$path, cols=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = Option(new File(path).listFiles()).getOrElse(Array.empty)
+    // listFiles() is null for a nonexistent/unlistable path (typo,
+    // not-yet-created dir, non-local URI) — fail like every other file
+    // source instead of silently planning an empty scan; an EXISTING
+    // empty landing dir still yields zero partitions legitimately
+    val files = Option(new File(path).listFiles()).getOrElse(
+        throw new IllegalArgumentException(
+          s"PagedJsonSource: path does not exist or is not a listable local directory: $path"))
       .filter(f => f.isFile && (f.getName.endsWith(".json") || f.getName.endsWith(".ndjson")))
       .sortBy(_.getName)
     files.map(f => PagePartition(f.getAbsolutePath): InputPartition)
@@ -103,13 +109,20 @@ final class PagedJsonReader(file: String, required: StructType)
   private val lines = source.getLines().filter(_.trim.nonEmpty)
   private var current: InternalRow = _
 
+  // STRICT per-value typing: Jackson's asLong/asDouble coerce a
+  // mismatched value to 0/0.0/false, which would silently corrupt ids
+  // when the API drifts — this source's whole stance is explicit
+  // schemas with no silent inference, so a mismatch throws with the
+  // field value in the message instead
   private def convert(node: JsonNode, dt: DataType): Any = {
     if (node == null || node.isNull) return null
+    def fail(want: String): Nothing = throw new IllegalArgumentException(
+      s"paged-json reader: expected $want, got ${node.getNodeType} value $node")
     dt match {
-      case LongType => node.asLong()
-      case IntegerType => node.asInt()
-      case DoubleType => node.asDouble()
-      case BooleanType => node.asBoolean()
+      case LongType => if (node.canConvertToLong) node.asLong() else fail("an integral number")
+      case IntegerType => if (node.canConvertToInt) node.asInt() else fail("an int")
+      case DoubleType => if (node.isNumber) node.asDouble() else fail("a number")
+      case BooleanType => if (node.isBoolean) node.asBoolean() else fail("a boolean")
       case StringType => UTF8String.fromString(
         if (node.isTextual) node.asText() else node.toString)
       case other => throw new UnsupportedOperationException(

@@ -40,6 +40,8 @@ object RestFanout {
     ids.mapPartitions { it =>
       var lastCall = 0L
       it.flatMap { id =>
+        require(id != null,
+          "fetchPerKey: null id in the key set (use fetchPerKeyResilient to quarantine)")
         if (minIntervalMs > 0) {
           val wait = lastCall + minIntervalMs - System.currentTimeMillis()
           if (wait > 0) Thread.sleep(wait)
@@ -68,27 +70,39 @@ object RestFanout {
     ids.mapPartitions { it =>
       var lastCall = 0L
       it.map { boxed =>
-        val id = boxed.longValue()
-        if (minIntervalMs > 0) {
-          val wait = lastCall + minIntervalMs - System.currentTimeMillis()
-          if (wait > 0) sleeper(wait)
-          lastCall = System.currentTimeMillis()
-        }
-        var attempt = 0
-        var result: FetchOutcome = null
-        while (result == null) {
-          attempt += 1
-          try {
-            result = FetchOutcome(id, ok = true, attempt, fetcher(id), error = "")
-          } catch {
-            case NonFatal(e) if attempt < maxAttempts =>
-              sleeper(math.min(baseBackoffMs << (attempt - 1), maxBackoffMs))
-            case NonFatal(e) =>
-              result = FetchOutcome(id, ok = false, attempt, Seq.empty,
-                error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        // a null key (left-join miss, bad upstream cast) cannot be
+        // fetched — quarantine it immediately instead of NPE-ing
+        // OUTSIDE the retry loop and aborting the partition this
+        // function promises to keep alive
+        if (boxed == null)
+          FetchOutcome(Long.MinValue, ok = false, attempts = 0, Seq.empty,
+            error = "NullKey: null id cannot be fetched")
+        else {
+          val id = boxed.longValue()
+          if (minIntervalMs > 0) {
+            val wait = lastCall + minIntervalMs - System.currentTimeMillis()
+            if (wait > 0) sleeper(wait)
+            lastCall = System.currentTimeMillis()
           }
+          var attempt = 0
+          var result: FetchOutcome = null
+          while (result == null) {
+            attempt += 1
+            try {
+              result = FetchOutcome(id, ok = true, attempt, fetcher(id), error = "")
+            } catch {
+              case NonFatal(e) if attempt < maxAttempts =>
+                // cap the exponent: a large maxAttempts would shift the
+                // base past Long range and hand Thread.sleep a negative
+                sleeper(math.min(
+                  baseBackoffMs << math.min(attempt - 1, 20), maxBackoffMs))
+              case NonFatal(e) =>
+                result = FetchOutcome(id, ok = false, attempt, Seq.empty,
+                  error = s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+          }
+          result
         }
-        result
       }
     }
 
