@@ -202,7 +202,13 @@ object GraftHashOps {
   }
 
   def rhpSignature(v: ArrayData, planes: Array[Array[Double]], dim: Int): Long = {
-    val n = math.min(dim, v.numElements())
+    // a truncated/overlong embedding must fail LOUDLY like
+    // float_vec_dot does — a signature computed over a prefix lands
+    // corrupt vectors in wrong buckets with no signal
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"rhp_signature: vector length ${v.numElements()} != configured dim $dim")
+    val n = dim
     var sig = 0L
     var b = 0
     while (b < planes.length) {
@@ -318,6 +324,11 @@ case class WindowHashes(child: Expression, k: Int)
   */
 case class TokenNgrams(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
+
+  // n <= 0 would "succeed" with sz+1+|n| empty-string shingles flowing
+  // into minhash/Jaccard as if real — the silent-wrong-results class
+  // this expression's builder exists to prevent
+  require(n >= 1, s"token_ngrams: n must be >= 1, got $n")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -440,7 +451,8 @@ case class NgramGenerator(child: Expression, n: Int)
       else (0 until m).iterator
         // a window containing a NULL token is skipped (not NPE'd)
         .filter(i => (0 until n).forall(j => !a.isNullAt(i + j)))
-        .map { i =>
+        .zipWithIndex
+        .map { case (i, outIdx) =>
           val sb = new java.lang.StringBuilder
           var j = 0
           while (j < n) {
@@ -448,7 +460,12 @@ case class NgramGenerator(child: Expression, n: Int)
             sb.append(a.getUTF8String(i + j).toString)
             j += 1
           }
-          InternalRow(i + 1, UTF8String.fromString(sb.toString))
+          // SURVIVOR-ordinal position (outIdx+1), not the raw window
+          // index: token_ngrams compacts null-bearing windows out of
+          // its array, so posexplode(token_ngrams(...))+1 numbers the
+          // survivors — the documented equivalence must hold for
+          // null-bearing token arrays too
+          InternalRow(outIdx + 1, UTF8String.fromString(sb.toString))
         }
     }
   }

@@ -25,68 +25,77 @@ import org.apache.spark.sql.types._
   * multiset don't depend on row order, so results are stable across
   * partitionings and engines.
   */
+/** KMV buffer: the k-minimum hash set plus the EFFECTIVE k — carried
+  * through serialization so a union of sketches built with different
+  * k degrades honestly to the smallest k (the union of a saturated
+  * k=128 sketch under a k=256 union would otherwise take the
+  * "fewer than k seen ⇒ exact" branch and report 128 for millions).
+  */
+final class KmvBuf(var k: Int, val set: mutable.TreeSet[Long]) {
+  def offer(h: Long): Unit = {
+    if (set.size < k) { set += h; () }
+    else if (java.lang.Long.compareUnsigned(h, set.last) < 0) {
+      set += h
+      if (set.size > k) { set -= set.last; () }
+    }
+  }
+  def trim(): Unit = while (set.size > k) set -= set.last
+}
+
 case class KmvDistinctSketch(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+  extends TypedImperativeAggregate[KmvBuf] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_distinct"
 
-  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+  override def createAggregationBuffer(): KmvBuf =
     // order by UNSIGNED hash value
-    mutable.TreeSet.empty[Long](Ordering.fromLessThan(
-      (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+    new KmvBuf(k, mutable.TreeSet.empty[Long](Ordering.fromLessThan(
+      (a, b) => java.lang.Long.compareUnsigned(a, b) < 0)))
 
-  override def update(buf: mutable.TreeSet[Long], input: org.apache.spark.sql.catalyst.InternalRow): mutable.TreeSet[Long] = {
+  override def update(buf: KmvBuf, input: org.apache.spark.sql.catalyst.InternalRow): KmvBuf = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = XxHash64Function.hash(v, child.dataType, 42L)
-      if (buf.size < k) buf += h
-      else if (java.lang.Long.compareUnsigned(h, buf.last) < 0) {
-        buf += h
-        if (buf.size > k) buf -= buf.last
-      }
-    }
+    if (v != null) buf.offer(XxHash64Function.hash(v, child.dataType, 42L))
     buf
   }
 
-  override def merge(buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
-    other.foreach { h =>
-      if (buf.size < k) buf += h
-      else if (java.lang.Long.compareUnsigned(h, buf.last) < 0) {
-        buf += h
-        if (buf.size > k) buf -= buf.last
-      }
-    }
+  override def merge(buf: KmvBuf, other: KmvBuf): KmvBuf = {
+    // mismatched builders: only the smallest k is statistically valid
+    if (other.k < buf.k) { buf.k = other.k; buf.trim() }
+    other.set.foreach(buf.offer)
     buf
   }
 
-  override def eval(buf: mutable.TreeSet[Long]): Any =
-    if (buf.size < k) buf.size.toLong
+  override def eval(buf: KmvBuf): Any =
+    if (buf.set.size < buf.k) buf.set.size.toLong
     else {
       // R = kth minimum as a fraction of the unsigned 64-bit space:
       // (kth >>> 1) / 2^63 == unsigned(kth) / 2^64 (± 1 ulp)
-      val r = (buf.last >>> 1).toDouble / 9.223372036854776e18
-      math.round((k - 1) / math.max(r, Double.MinPositiveValue))
+      val r = (buf.set.last >>> 1).toDouble / 9.223372036854776e18
+      math.round((buf.k - 1) / math.max(r, Double.MinPositiveValue))
     }
 
-  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 8)
-    bb.putInt(buf.size)
-    buf.foreach(bb.putLong)
+  override def serialize(buf: KmvBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + buf.set.size * 8)
+    bb.putInt(buf.k)
+    bb.putInt(buf.set.size)
+    buf.set.foreach(bb.putLong)
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+  override def deserialize(bytes: Array[Byte]): KmvBuf = {
     val bb = ByteBuffer.wrap(bytes)
+    val kk = bb.getInt
     val n = bb.getInt
     val buf = createAggregationBuffer()
-    (0 until n).foreach(_ => buf += bb.getLong)
+    buf.k = kk
+    (0 until n).foreach(_ => buf.set += bb.getLong)
     buf
   }
 
@@ -109,30 +118,34 @@ case class KmvUnionEstimate(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+  extends TypedImperativeAggregate[KmvBuf]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
   override def prettyName: String = "kmv_union_estimate"
+  // serialized sketches only — a raw value column would deserialize
+  // garbage; fail at analysis, not per-row on an executor
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
 
   private val impl = KmvDistinctSketch(child, k)
 
-  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+  override def createAggregationBuffer(): KmvBuf =
     impl.createAggregationBuffer()
 
-  override def update(buf: mutable.TreeSet[Long], input: org.apache.spark.sql.catalyst.InternalRow): mutable.TreeSet[Long] = {
+  override def update(buf: KmvBuf, input: org.apache.spark.sql.catalyst.InternalRow): KmvBuf = {
     val v = child.eval(input)
     if (v != null) impl.merge(buf, impl.deserialize(v.asInstanceOf[Array[Byte]]))
     buf
   }
 
-  override def merge(buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] =
+  override def merge(buf: KmvBuf, other: KmvBuf): KmvBuf =
     impl.merge(buf, other)
 
-  override def eval(buf: mutable.TreeSet[Long]): Any = impl.eval(buf)
-  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = impl.serialize(buf)
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = impl.deserialize(bytes)
+  override def eval(buf: KmvBuf): Any = impl.eval(buf)
+  override def serialize(buf: KmvBuf): Array[Byte] = impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuf = impl.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvUnionEstimate =
     copy(mutableAggBufferOffset = newOffset)
@@ -171,7 +184,7 @@ case class KmvSketchBytes(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+  extends TypedImperativeAggregate[KmvBuf] {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -179,14 +192,14 @@ case class KmvSketchBytes(
   override def prettyName: String = "kmv_sketch"
 
   private val impl = KmvDistinctSketch(child, k)
-  override def createAggregationBuffer(): mutable.TreeSet[Long] = impl.createAggregationBuffer()
-  override def update(buf: mutable.TreeSet[Long], input: org.apache.spark.sql.catalyst.InternalRow): mutable.TreeSet[Long] =
+  override def createAggregationBuffer(): KmvBuf = impl.createAggregationBuffer()
+  override def update(buf: KmvBuf, input: org.apache.spark.sql.catalyst.InternalRow): KmvBuf =
     impl.update(buf, input)
-  override def merge(buf: mutable.TreeSet[Long], other: mutable.TreeSet[Long]): mutable.TreeSet[Long] =
+  override def merge(buf: KmvBuf, other: KmvBuf): KmvBuf =
     impl.merge(buf, other)
-  override def eval(buf: mutable.TreeSet[Long]): Any = impl.serialize(buf)
-  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = impl.serialize(buf)
-  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = impl.deserialize(bytes)
+  override def eval(buf: KmvBuf): Any = impl.serialize(buf)
+  override def serialize(buf: KmvBuf): Array[Byte] = impl.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuf = impl.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketchBytes =
     copy(mutableAggBufferOffset = newOffset)

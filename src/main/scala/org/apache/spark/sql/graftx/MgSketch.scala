@@ -55,6 +55,11 @@ case class MgHeavyHitters(
     buf.get(item) match {
       case Some(c) => buf(item) = c + by
       case None if buf.size < k => buf(item) = by
+      case None if by == 1L =>
+        // the hot path (update always offers weight 1): every resident
+        // counter is ≥ 1 by the filter below, so the decrement is
+        // exactly 1 — the classic MG step, with no extra O(k) min scan
+        buf.mapValuesInPlace((_, c) => c - 1L).filterInPlace((_, c) => c > 0)
       case None =>
         // decrement-all by the offered weight, dropping exhausted counters;
         // any remainder of the offered item survives as a new counter

@@ -45,6 +45,9 @@ final class TDig(val delta: Int) {
   private var dirty = true
 
   def add(x: Double, w: Long = 1L): Unit = {
+    // skip NaN like null: one NaN row would otherwise poison centroid
+    // means in compress() and turn every quantile into NaN silently
+    if (x.isNaN || w <= 0L) return
     pts += ((x, w))
     dirty = true
     if (x < lo) lo = x
@@ -147,7 +150,8 @@ case class TDigestQuantiles(
     compression: Int = 100,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TDig] {
+  extends TypedImperativeAggregate[TDig]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
@@ -156,12 +160,17 @@ case class TDigestQuantiles(
 
   override def createAggregationBuffer(): TDig = new TDig(compression)
 
+  // NumericType via ExpectsInputTypes (below): the old toString
+  // fallback let a string/date column silently parse or fail per-row
+  override def inputTypes: Seq[AbstractDataType] = Seq(NumericType)
+
   override def update(buf: TDig, input: InternalRow): TDig = {
     val v = child.eval(input)
     if (v != null) buf.add(v match {
       case n: java.lang.Number => n.doubleValue()
       case d: org.apache.spark.sql.types.Decimal => d.toDouble
-      case other => other.toString.toDouble
+      case other => throw new IllegalStateException(
+        s"tdigest_quantiles: unexpected non-numeric value $other")
     })
     buf
   }
@@ -223,12 +232,16 @@ case class TDigestUnionQuantiles(
     compression: Int = 100,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TDig] {
+  extends TypedImperativeAggregate[TDig]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "tdigest_union_quantiles"
+  // serialized digests only — a raw value column would deserialize
+  // garbage; fail at analysis, not per-row on an executor
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
 
   override def createAggregationBuffer(): TDig = new TDig(compression)
 
@@ -268,17 +281,20 @@ case class TDigestWeightedQuantiles(
     compression: Int = 100,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[TDig] {
+  extends TypedImperativeAggregate[TDig]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(valueExpr, weightExpr)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "tdigest_weighted_quantiles"
+  override def inputTypes: Seq[AbstractDataType] = Seq(NumericType, NumericType)
 
   private def toDouble(v: Any): Double = v match {
     case n: java.lang.Number => n.doubleValue()
     case d: org.apache.spark.sql.types.Decimal => d.toDouble
-    case other => other.toString.toDouble
+    case other => throw new IllegalStateException(
+      s"tdigest_weighted_quantiles: unexpected non-numeric value $other")
   }
 
   override def createAggregationBuffer(): TDig = new TDig(compression)

@@ -91,7 +91,13 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder
             h
           case h => h
         }
-        heap += row.copy() // same for the row buffer
+        // only COPY rows the heap will actually admit: on the hot path
+        // (heap full, row loses to the current k-th) virtually every
+        // row is rejected, and an unconditional row.copy() would pay a
+        // fresh UnsafeRow allocation per rejected row
+        if (heap.size < kk || rowOrd.reverse.gt(row, heap.head)) {
+          heap += row.copy(); ()
+        }
       }
       heaps.valuesIterator.flatMap(_.iterator)
     }
@@ -112,6 +118,17 @@ object GraftPlans {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // float/double group keys bypass NormalizeFloatingNumbers (the rule
+    // only rewrites Aggregate/Window/Join), so 0.0 vs -0.0 and distinct
+    // NaN bit patterns would silently split one logical group in two —
+    // reject them like SQL engines reject grouping on approximate types
+    groupCols.foreach { c =>
+      val dt = df.schema(c).dataType
+      require(dt != org.apache.spark.sql.types.FloatType &&
+        dt != org.apache.spark.sql.types.DoubleType,
+        s"topKPerGroup: group column $c is $dt — float group keys split " +
+          "0.0/-0.0 and NaN bit patterns; bucket or cast them first")
+    }
     // self-register the strategy so plain sessions (no
     // GraftExtensions wiring) can still plan the node; lock so two
     // threads' first use can't append it twice
