@@ -114,13 +114,18 @@ object Aqi {
     * pollutant's own EPA table (plan :38); null-skipping via
     * `greatest`.
     */
-  def rowAqi(named: (String, Column)*): Column =
-    greatest(named.map { case (n, c) => pollutantAqi(n, c) }: _*)
+  def rowAqi(named: (String, Column)*): Column = {
+    val aqis = named.map { case (n, c) => pollutantAqi(n, c) }
+    // Spark's greatest() demands >= 2 args — a one-pollutant caller
+    // should get that pollutant's AQI, not an analysis error
+    if (aqis.size == 1) aqis.head else greatest(aqis: _*)
+  }
 
   /** Dominant pollutant = argmax by AQI (plan :63), as a when-chain. */
   def dominantPollutant(named: (String, Column)*): Column = {
     val aqis = named.map { case (n, c) => n -> pollutantAqi(n, c) }
-    val overall = greatest(aqis.map(_._2): _*)
+    val overall =
+      if (aqis.size == 1) aqis.head._2 else greatest(aqis.map(_._2): _*)
     aqis.foldRight(lit(null).cast("string")) { case ((n, a), tail) =>
       when(a.isNotNull && a === overall, lit(n)).otherwise(tail)
     }

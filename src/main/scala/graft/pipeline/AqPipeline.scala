@@ -50,6 +50,12 @@ object AqPipeline {
     * `good` flows on, `bad` is preserved for reprocessing (the ops
     * answer to a poison NDJSON line in a 100 TB landing zone).
     */
+  // CACHE LIFETIME: the parsed input stays persisted for the session
+  // (both splits must come from ONE parse pass; there is no safe point
+  // inside this function to release it). Callers that land many
+  // batches should unpersist after materializing good/bad — e.g.
+  // `good.sparkSession.sharedState.cacheManager.clearCache()` at batch
+  // end, or persist-scope the call site.
   def readRawQuarantine(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
     val schema = AqSchemas.rawMeasurement.add("_corrupt_record", "string")
     val df = spark.read.schema(schema)
@@ -100,16 +106,27 @@ object AqPipeline {
 
   /** P1/P7 — per-location metadata dimension from the same raw scan
     * (`process_openaq_raw.py:179-185`): select+cast+rename, one row
-    * per location.
+    * per location. The survivor is DETERMINISTIC — freshest
+    * extraction, ties to the smallest sensor — not dropDuplicates'
+    * partition-order pick: metadata rows for one location can disagree
+    * (a later extraction corrects the city), and an arbitrary survivor
+    * makes "idempotent" re-runs rewrite partitions with different
+    * bytes.
     */
-  def locationDim(raw: DataFrame): DataFrame =
+  def locationDim(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy("location_id")
+      .orderBy(col("extracted_at").desc_nulls_last, col("sensor_id").asc_nulls_last)
     raw.select(
       col("location_id"),
       col("city").cast("string").as("city_name"),
       col("country").cast("string").as("country_code"),
       col("latitude").cast("double"),
-      col("longitude").cast("double"))
-      .dropDuplicates("location_id")
+      col("longitude").cast("double"),
+      col("extracted_at"), col("sensor_id"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "extracted_at", "sensor_id")
+  }
 
   /** S3-shape ingestion of the nested locations dimension: read the
     * API-shaped JSON (explicit nested schema), explode `sensors[]`,
@@ -151,11 +168,32 @@ object AqPipeline {
       .na.fill(Map("city_name" -> "Unknown", "country_code" -> "VN"))
       .na.fill(Map("latitude" -> 0.0, "longitude" -> 0.0))
 
-  /** §2.10 — append AQI columns (pm2.5-driven overall AQI, level,
-    * dominant pollutant) as pure expressions.
+  /** §2.10 — append AQI columns (overall AQI = max over per-pollutant
+    * AQIs, level, dominant pollutant) as pure expressions.
+    *
+    * UNITS: the EPA breakpoint tables are µg/m³ for PM but ppb
+    * (o3/no2/so2) / ppm (co) for gases, while OpenAQ feeds report
+    * µg/m³ across the board. The REFERENCE's AQI plan feeds raw
+    * values straight into the tables (doc/archive/AQI plan:58-65 —
+    * no conversion step exists there), so parity mode
+    * (`convertGasUnits = false`, default) reproduces that behavior
+    * exactly. `convertGasUnits = true` applies the standard
+    * 25 °C/1 atm molar-volume conversion (ppb = µg/m³ × 24.45 / M)
+    * before scoring — the physically-correct mode for real µg/m³
+    * gas readings.
     */
-  def withAqi(mart: DataFrame): DataFrame = {
-    val byPollutant = AqSchemas.parameters.map(p => p -> col(p))
+  def withAqi(mart: DataFrame, convertGasUnits: Boolean = false): DataFrame = {
+    // molar masses g/mol; co table is ppm (= ppb / 1000)
+    val gasConv: Map[String, org.apache.spark.sql.Column => org.apache.spark.sql.Column] = Map(
+      "o3" -> (c => c * 24.45 / 48.00),
+      "no2" -> (c => c * 24.45 / 46.0055),
+      "so2" -> (c => c * 24.45 / 64.066),
+      "co" -> (c => c * 24.45 / 28.01 / 1000.0))
+    val byPollutant = AqSchemas.parameters.map { p =>
+      val v = if (convertGasUnits) gasConv.get(p).map(f => f(col(p))).getOrElse(col(p))
+              else col(p)
+      p -> v
+    }
     mart
       .withColumn("aqi", Aqi.rowAqi(byPollutant: _*))
       .withColumn("aqi_level", Aqi.aqiLevel(col("aqi")))
@@ -182,10 +220,13 @@ object AqPipeline {
     * (`process_openaq_raw.py:253-256`; fix per SURVEY §7.4-3). AQE
     * handles file sizing — no manual repartition.
     */
-  def writeMart(df: DataFrame, path: String): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy("year", "month", "day").parquet(path)
-  }
+  def writeMart(df: DataFrame, path: String): Unit =
+    // per-WRITE option, not a session conf mutation (a session-wide
+    // dynamic mode would silently leave stale partitions behind in any
+    // LATER full-table overwrite elsewhere in the session)
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("year", "month", "day").parquet(path)
 
   /** K4 — time-bucketed RAW archive: land the raw NDJSON lines
     * VERBATIM under extraction-time paths
@@ -210,8 +251,17 @@ object AqPipeline {
 
   /** K5 — register the mart for the SQL surface (§3.3). */
   def registerMart(spark: SparkSession, path: String, name: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    spark.read.parquet(path).createOrReplaceTempView(name)
+    // inference off only for THIS read (year/month/day stay the
+    // zero-padded strings the mart wrote); restore the session conf so
+    // unrelated later reads keep their configured behavior
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try spark.read.parquet(path).createOrReplaceTempView(name)
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** A3 — single-pass data-quality audit over the critical columns

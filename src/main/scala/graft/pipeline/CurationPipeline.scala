@@ -48,18 +48,25 @@ object CurationPipeline {
     */
   def curate(docs: DataFrame, cfg: Config = Config(),
              benchmark: Option[DataFrame] = None): DataFrame = {
-    // 1. analysis columns (scan-local, codegen'd)
+    // 1. analysis columns (scan-local, codegen'd). TextFunctions'
+    // token metrics assume single-space-normalized text (split on one
+    // space); real-world newlines/double spaces would otherwise gate
+    // docs on garbage token counts — so METRICS run on a whitespace-
+    // collapsed view, while the fingerprint (dedup identity) and the
+    // emitted text stay byte-exact.
+    val normText = regexp_replace(trim(col("text")), "\\s+", " ")
     val annotated = docs
-      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
-      .withColumn("quality", TextFunctions.qualityScore(col("text")))
-      .withColumn("pred_lang", TextFunctions.langIdHeuristic(col("text")))
+      .withColumn("__norm_text", normText)
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("__norm_text")))
+      .withColumn("quality", TextFunctions.qualityScore(col("__norm_text")))
+      .withColumn("pred_lang", TextFunctions.langIdHeuristic(col("__norm_text")))
       .withColumn("fingerprint", md5(col("text").cast("binary")))
 
     // 2. gates: length/quality (scan-local), repetition (per-doc
     // bigram partials), optional benchmark decontamination
     val gated0 = annotated.filter(
       col("n_tokens") >= cfg.minTokens && col("quality") >= cfg.minQuality)
-    val repetitionKeep = QualityOps.repetitionMetrics(gated0, "doc_id", "text",
+    val repetitionKeep = QualityOps.repetitionMetrics(gated0, "doc_id", "__norm_text",
         cfg.maxDupTokenFrac, cfg.maxTopBigramFrac)
       .filter(col("keep")).select("doc_id")
     val gated1 = gated0.join(repetitionKeep, "doc_id")
@@ -78,8 +85,13 @@ object CurationPipeline {
       cfg.shingleSize, cfg.lshBands, cfg.lshRowsPerBand, cfg.nearDupSim)
     val clusters = RelationalOps.connectedComponents(
       exact.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+    // cluster_size rides along so audit() can report REAL clustering
+    // numbers — on the canonical frame alone every row is its own
+    // cluster minimum and countDistinct(cluster_id) == count(*)
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     val canonical = exact.join(clusters, "doc_id")
       .filter(col("doc_id") === col("cluster_id"))
+      .join(sizes, "cluster_id")
 
     // 5. per-source mixture downsampling (content-hash deterministic;
     // unlisted sources keep everything), then the split
@@ -90,31 +102,47 @@ object CurationPipeline {
           case (acc, (src, k)) =>
             when(col("source") === src, lit(QualityOps.nibbleChar(k))).otherwise(acc)
         }
-        canonical.filter(QualityOps.hashSampled(col("text"), thr))
+        // the digest already exists — compare its first nibble instead
+        // of re-running a full-text MD5 on the scan path
+        canonical.filter(substring(col("fingerprint"), 1, 1) < thr)
       }
+    // split on the SECOND digest nibble: the mixture filter consumed
+    // the first, and keying both on the same nibble would hand every
+    // downsampled source's survivors entirely to train (a source kept
+    // at k/16 retains only nibbles < k, all inside the train range) —
+    // md5 nibbles are independent, so nibble 2 restores the unbiased
+    // trainFraction16/16 split within every source
     sampled.withColumn("split",
-      when(substring(col("fingerprint"), 1, 1).isin(
+      when(substring(col("fingerprint"), 2, 1).isin(
         (0 until cfg.trainFraction16).map(java.lang.Integer.toHexString): _*),
         lit("train")).otherwise(lit("test")))
       .select("doc_id", "text", "lang", "source", "n_tokens", "quality",
-        "pred_lang", "fingerprint", "cluster_id", "split")
+        "pred_lang", "fingerprint", "cluster_id", "cluster_size", "split")
   }
 
   /** Write the curated corpus partitioned by split (train/test dirs —
     * the layout a training job consumes).
     */
-  def write(curated: DataFrame, path: String): Unit = {
-    curated.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    curated.write.mode("overwrite").partitionBy("split").parquet(path)
-  }
+  def write(curated: DataFrame, path: String): Unit =
+    // per-WRITE option, not a session conf mutation: setting the conf
+    // would silently flip every later overwrite in the session to
+    // dynamic mode (stale partitions surviving a full-table replace)
+    curated.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("split").parquet(path)
 
-  /** Corpus-level audit: one row of counts a curation run reports. */
+  /** Corpus-level audit: one row of counts a curation run reports.
+    * Cluster metrics come from the carried `cluster_size` (every
+    * curated row is its own cluster's canonical doc, so a naive
+    * countDistinct(cluster_id) would vacuously equal n_docs).
+    */
   def audit(curated: DataFrame): DataFrame =
     curated.agg(
       count(lit(1)).as("n_docs"),
       count(when(col("split") === "train", 1)).as("n_train"),
       count(when(col("split") === "test", 1)).as("n_test"),
-      countDistinct("cluster_id").as("n_clusters"),
+      count(when(col("cluster_size") > 1, 1)).as("n_neardup_clusters"),
+      coalesce(sum(col("cluster_size") - 1), lit(0L)).as("n_neardup_removed"),
       round(avg("quality"), 4).as("mean_quality"))
 
   def main(args: Array[String]): Unit = {

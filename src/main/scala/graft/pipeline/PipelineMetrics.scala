@@ -35,8 +35,16 @@ object PipelineMetrics {
 
     private def harvest(qe: QueryExecution): Unit =
       qe.observedMetrics.foreach { case (name, row) =>
-        collected(name) = row.schema.fieldNames.map(f =>
-          f -> row.getAs[Any](f).asInstanceOf[Number].longValue()).toMap
+        // the listener sees EVERY session observation, not just ours —
+        // a null or non-numeric metric (avg over an empty frame, a
+        // string-valued observe elsewhere) must be skipped, not NPE the
+        // harvest and lose this query's other metrics with it
+        collected(name) = row.schema.fieldNames.flatMap { f =>
+          row.getAs[Any](f) match {
+            case n: Number => Some(f -> n.longValue())
+            case _ => None
+          }
+        }.toMap
       }
 
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

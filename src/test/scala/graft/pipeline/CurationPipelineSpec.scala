@@ -57,12 +57,22 @@ class CurationPipelineSpec extends SparkSpec {
     assert(mixed == Set(0L), s"kept $mixed")
   }
 
-  test("audit reports consistent totals") {
+  test("audit reports consistent totals and real clustering metrics") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val curated = CurationPipeline.curate(docs)
     val a = CurationPipeline.audit(curated).head()
     assert(a.getAs[Long]("n_docs") ==
       a.getAs[Long]("n_train") + a.getAs[Long]("n_test"))
-    assert(a.getAs[Long]("n_clusters") == a.getAs[Long]("n_docs"))
+    // cluster metrics come from the carried cluster_size (the old
+    // countDistinct(cluster_id) was vacuously == n_docs on the
+    // canonical frame): every multi-doc cluster removes >= 1 doc,
+    // and zero clusters means zero removed
+    val nc = a.getAs[Long]("n_neardup_clusters")
+    val nr = a.getAs[Long]("n_neardup_removed")
+    assert(nr >= nc, s"each multi-doc cluster removes at least one: $nc/$nr")
+    assert((nc == 0) == (nr == 0))
+    val minSize = curated.agg(org.apache.spark.sql.functions.min("cluster_size"))
+      .head().getLong(0)
+    assert(minSize >= 1L)
   }
 }
