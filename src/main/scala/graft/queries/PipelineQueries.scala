@@ -2061,6 +2061,65 @@ object PipelineQueries extends QueryPack {
     s.table(sinkName).orderBy("hour", "event_type")
   }
 
+  // §2.9 streaming↔batch parity #3 — the CUSTOM BUCKET-STATE class
+  // (st_sessionize_parity: per-key custom state; st_hourly_parity:
+  // streaming aggregation; here: flatMapGroupsWithState keyed by LSH
+  // pigeonhole bucket): the documents corpus, given deterministic
+  // ascending event times, split into two micro-batches through the
+  // streaming SimHash near-dup detector must emit EXACTLY the batch
+  // simHashPairs pair set — pairs whose two docs arrive in DIFFERENT
+  // micro-batches only exist if bucket state carries members across
+  // batches, which is the property under test. Watermark spans the
+  // corpus so no eviction interferes (eviction semantics are pinned in
+  // NearDupStreamSpec). Non-vacuous: the corpus has real Hamming≤3
+  // pairs at every sf (17 at sf0.01, 525 at sf0.1).
+  q("st_neardup_parity",
+    """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |  true AS nonvacuous_ok, true AS parity_ok
+      |FROM documents""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.DedupOps
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    // deterministic event times ascending by doc_id (2024-01-01 + id s)
+    val evd = docs.withColumn("ts",
+      timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val stage = tmpDir("graft_st_nd_in")
+    stageFile(evd.filter(col("doc_id") <= maxId / 2), stage, "b1.parquet", 1000000L)
+    stageFile(evd.filter(col("doc_id") > maxId / 2), stage, "b2.parquet", 2000000L)
+    val outDir = tmpDir("graft_st_nd_out")
+    val ckpt = tmpDir("graft_st_nd_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      awaitOrFail(graft.streaming.NearDupStream
+        .nearDupPairs(s.readStream.schema(evd.schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage),
+          "doc_id", "text", "ts", delay = "3650 days", maxHamming = 3)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, "st_neardup_parity stream")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // explicit schema: a zero-pair run leaves no parquet files to infer from
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType),
+      StructField("hamming", IntegerType), StructField("ts", TimestampType)))
+    val streamPairs = s.read.schema(pairSchema).parquet(outDir)
+      .select(col("id_a"), col("id_b")).distinct()
+    val batchPairs = DedupOps.simHashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select(col("id_a"), col("id_b")).distinct()
+    val sym = batchPairs.withColumn("__b", lit(1))
+      .join(streamPairs.withColumn("__s", lit(1)), Seq("id_a", "id_b"), "full_outer")
+      .agg(count(lit(1)).as("__n_pairs"),
+        coalesce(min(col("__b").isNotNull && col("__s").isNotNull), lit(true))
+          .as("parity_ok"))
+    docs.agg(count(lit(1)).as("n_docs")).crossJoin(sym)
+      .select(col("n_docs"), (col("__n_pairs") > 0).as("nonvacuous_ok"),
+        col("parity_ok"))
+  }
+
   // P9 — drop-unparseable timestamps (reference openaq_etl.py:293-297,
   // AqPipeline.parseTimestamps): a timestamp-string column with
   // deterministic corruption — keys ≡0 mod 7 carry garbage text, keys
