@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Time a single named query (Bench methodology: warm run, then
-  * min-of-2 timed runs) — the iterate-on-one-plan feedback loop.
+  * min-of-3 timed runs) — the iterate-on-one-plan feedback loop.
   *
   * Usage: sbt "runMain graft.TimeQuery <queryName> [sfDir]"
   */
@@ -27,7 +27,7 @@ object TimeQuery {
       (System.nanoTime() - t0) / 1e9
     }
     once() // codegen warm
-    val best = (1 to 2).map(_ => once()).min
+    val best = (1 to 3).map(_ => once()).min
     val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(best))
     println(s"""{"query":"$name","sec":$sec,"sf":"$sfDir"}""")
     spark.stop()

@@ -118,7 +118,8 @@ object SimQueries extends QueryPack {
       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
       |      (a, b) -> a + b)) AS nrm
-      |  FROM embeddings),
+      |  FROM embeddings
+      |  WHERE nrm > 0),  -- mirror withNorm's zero-vector exclusion (cosine undefined)
       |s AS (
       |  SELECT c.vec_id, max(
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

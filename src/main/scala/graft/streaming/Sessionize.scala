@@ -171,9 +171,24 @@ object Sessionize {
     }
     val out = ArrayBuffer.empty[Session]
     val prior = state.getOption
-    val (cur, stale) = foldBatchCarry(gapUs, userId,
+    val (cur, stale0) = foldBatchCarry(gapUs, userId,
       events.toSeq.sortBy(e => (micros(e.ts), e.value)),
       prior.map(_.open), prior.flatMap(_.stale), out)
+    // Eager stale flush: the timeout is registered at the OPEN
+    // session's horizon, so a carried stale run — certainly closed
+    // once the watermark passes ITS horizon — would otherwise wait for
+    // the open session to close (indefinitely, if the open session
+    // keeps extending; forever, if the query stops first). Emit it as
+    // soon as the watermark proves no event can bridge into it.
+    // STRICT inequality in micros: an event stamped exactly at the
+    // watermark is still admitted and (gap is inclusive) could bridge
+    // a run whose horizon equals the watermark.
+    val stale = stale0.filter { st =>
+      val closedByWatermark =
+        state.getCurrentWatermarkMs() * 1000L > st.lastTs + gapUs
+      if (closedByWatermark) out += toSession(userId, st)
+      !closedByWatermark
+    }
     cur.foreach { s =>
       state.update(DuoState(s, stale))
       // GroupState timeouts are epoch-MILLIS; round the micros horizon up

@@ -81,8 +81,17 @@ case class KmvDistinctSketch(
       math.round((buf.k - 1) / math.max(r, Double.MinPositiveValue))
     }
 
+  // Serialized layout v2: [magic "KMV2"][k][size][hashes…]. The magic
+  // tag exists because kmv_sketch bytes are a PERSISTABLE artifact
+  // (the per-partition rollup pattern): a layout change without a tag
+  // would misread old bytes as a garbled-but-parseable sketch. Old
+  // untagged bytes (and non-sketch binaries fed to kmv_union_estimate)
+  // now fail loudly instead.
+  private[graftx] val Magic = 0x4B4D5632 // "KMV2"
+
   override def serialize(buf: KmvBuf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + buf.set.size * 8)
+    val bb = ByteBuffer.allocate(12 + buf.set.size * 8)
+    bb.putInt(Magic)
     bb.putInt(buf.k)
     bb.putInt(buf.set.size)
     buf.set.foreach(bb.putLong)
@@ -90,9 +99,15 @@ case class KmvDistinctSketch(
   }
 
   override def deserialize(bytes: Array[Byte]): KmvBuf = {
+    require(bytes.length >= 12 && ByteBuffer.wrap(bytes).getInt == Magic,
+      "unsupported KMV sketch format: expected v2 bytes " +
+        "(magic 'KMV2'); re-materialize sketches with kmv_sketch")
     val bb = ByteBuffer.wrap(bytes)
+    bb.getInt // magic
     val kk = bb.getInt
     val n = bb.getInt
+    require(kk > 0 && n >= 0 && n <= kk && bytes.length == 12 + n * 8L,
+      s"corrupt KMV sketch: k=$kk size=$n bytes=${bytes.length}")
     val buf = createAggregationBuffer()
     buf.k = kk
     (0 until n).foreach(_ => buf.set += bb.getLong)

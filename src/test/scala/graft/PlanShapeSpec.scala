@@ -168,13 +168,23 @@ class PlanShapeSpec extends SparkSpec {
     // SimilarityOps.sampleModulus), so the BNLJ is O(n·s) with s
     // pinned, not O(n²). Detected as a Filter whose condition carries
     // a Remainder-vs-literal equality in the build subtree.
-    import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Remainder}
+    // Only TOP-LEVEL conjuncts count, and the comparand must be the
+    // literal 0: `condition.exists` would descend into Not(...), so a
+    // build side filtered with the O(n) COMPLEMENT `id % k != 0`
+    // (which also CONTAINS an EqualTo(Remainder, Literal)) would
+    // wrongly exempt a genuinely quadratic BNLJ.
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, Literal, Remainder}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
     def sampledBuildSide(p: SparkPlan): Boolean = p.collectFirst {
-      case f: org.apache.spark.sql.execution.FilterExec if f.condition.exists {
-        case EqualTo(r: Remainder, _: Literal) => r.right.isInstanceOf[Literal]
-        case EqualTo(_: Literal, r: Remainder) => r.right.isInstanceOf[Literal]
-        case _ => false
-      } => ()
+      case f: org.apache.spark.sql.execution.FilterExec
+        if conjuncts(f.condition).exists {
+          case EqualTo(r: Remainder, Literal(0L | 0, _)) => r.right.isInstanceOf[Literal]
+          case EqualTo(Literal(0L | 0, _), r: Remainder) => r.right.isInstanceOf[Literal]
+          case _ => false
+        } => ()
     }.nonEmpty
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(quadraticByDesign)
