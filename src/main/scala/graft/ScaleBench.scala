@@ -31,7 +31,7 @@ object ScaleBench {
     "gr_bfs", "dd_canonical", "mm_embed_neardup", "a11_tdigest_rollup",
     "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash", "dd_clusters",
     "pipe_mart", "pipe_curate", "j6_star_join", "tx_tfidf",
-    "ann_lsh_topk", "ann_ivf_search", "dd_chunk_dedup", "tx_quality_score",
+    "ann_lsh_topk", "ann_ivf_search", "dd_chunk_dedup", "tx_quality",
     "w1_window_dedup", "dq_profile")
 
   def main(args: Array[String]): Unit = {
@@ -68,7 +68,12 @@ object ScaleBench {
       once() // codegen warm
       val best = (1 to 3).map(_ => once()).min
       val df = SparkEntry.queries(name)(spark, dir)
-      val boolCols = df.schema.fields.filter(_.dataType == BooleanType).map(_.name)
+      // self-check columns follow the `*_ok` naming convention; a bare
+      // boolean is DATA (dd_canonical's is_kept is false for every
+      // non-survivor row) and must not be conjoined into the check
+      val boolCols = df.schema.fields
+        .filter(f => f.dataType == BooleanType && f.name.endsWith("_ok"))
+        .map(_.name)
       val ok = if (boolCols.isEmpty) true else {
         import org.apache.spark.sql.functions.{min => smin, col}
         df.agg(smin(boolCols.map(col).reduce(_ && _)).as("ok"))

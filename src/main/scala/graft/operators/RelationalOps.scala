@@ -197,9 +197,20 @@ object RelationalOps {
     */
   def saltedAgg(df: DataFrame, key: String, salts: Int)(
       partial: Seq[Column], merge: Seq[Column]): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", saltCol(df, salts))
       .groupBy(col(key), col("__salt")).agg(partial.head, partial.tail: _*)
       .groupBy(col(key)).agg(merge.head, merge.tail: _*)
+
+  /** Deterministic salt: a content hash of the full row, NOT
+    * spark_partition_id/monotonically_increasing_id — those differ
+    * across task retries and replays, so a speculative re-execution
+    * could place the same row in a different partial group (benign for
+    * salt-invariant results, but it defeats replay-identical plans and
+    * trips the nondeterminism sweep). Identical duplicate rows share a
+    * salt; hot KEYS still spread because their rows differ elsewhere.
+    */
+  private def saltCol(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
 
   /** Skew-resistant equi-join: fan each left row into one of `salts`
     * sub-keys and replicate every right row across ALL of them, so a
@@ -213,8 +224,7 @@ object RelationalOps {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salts: Int): DataFrame = {
-    val saltedLeft = left.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedLeft = left.withColumn("__salt", saltCol(left, salts))
     val repRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     saltedLeft.join(repRight, Seq(key, "__salt")).drop("__salt")

@@ -196,6 +196,32 @@ object SimilarityOps {
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
         / math.log(2.0)).toInt))
 
+  /** bits/band for a corpus with a similarity NOISE FLOOR — the dense
+    * regime [[autoBitsPerBand]] does not model. That formula sizes
+    * buckets against RANDOM collisions (orthogonal vectors, per-bit
+    * agreement ½); when the bulk of the corpus sits at some
+    * `noiseSim > 0` (e.g. feature-hashed byte-gram stubs of documents
+    * sharing one vocabulary: unrelated pairs at cosine ≈ 0.6), those
+    * pairs collide per band at p(noiseSim)^bits ≫ 2^−bits, and
+    * candidates grow ∝ n² however well E[bucket] is controlled —
+    * measured: mm_embed_neardup's fixed 24×12 geometry went 15.7× the
+    * runtime at 10× the docs. The cure is the same log-ratio with the
+    * REAL per-bit collision probability in the base: bits =
+    * log(n/targetBucket) / log(1/p(noiseSim)), which keeps
+    * noise-pair candidate volume O(n · targetBucket) and reduces to
+    * [[autoBitsPerBand]] exactly at noiseSim = 0 (p = ½). Recall at
+    * the true-pair threshold is then restored by [[autoBandsForBits]].
+    * maxBits is 48 (bands pack into 64-bit signature words).
+    */
+  def autoBitsForNoise(n: Long, noiseSim: Double, targetBucket: Int = 32,
+                       minBits: Int = 5, maxBits: Int = 48): Int = {
+    val p = rhpBitProb(noiseSim)
+    require(p < 1.0, s"noiseSim $noiseSim leaves no per-bit signal")
+    math.max(minBits, math.min(maxBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+        / math.log(1.0 / p)).toInt))
+  }
+
   /** Drop over-full LSH buckets (skew guard): a bucket with f members
     * yields f² candidate rows, and a degenerate region of the sphere
     * (e.g. near-zero vectors) can capture a large corpus fraction.
@@ -334,21 +360,88 @@ object SimilarityOps {
     * contract the 100 TB path needs — fixed bits were the r5
     * scale-killer (E[bucket] ∝ n ⇒ candidates ∝ n², then the absolute
     * cap zeroes recall).
+    *
+    * When `bands <= 0`, the band count comes from [[autoBands]] at
+    * `nnSim` — the assumed similarity of the k-th true neighbor. Top-k
+    * has no explicit threshold, so recall is governed by where the
+    * k-NN cosine typically sits; 0.5 is a conservative default for
+    * mid-density corpora (a denser corpus pulls the k-NN similarity
+    * UP, which only helps). Without this the fixed band count loses
+    * top-k recall exactly like the pairs case as bits grow with n
+    * (measured: 8 bands held 0.92 at sf0.1 but failed the 0.9 pin at
+    * 10× when bits moved 6 → 9).
     */
   def lshTopKAuto(vectors: DataFrame, idCol: String, vecCol: String,
                   dim: Int, bands: Int, k: Int,
-                  targetBucket: Int = 32): DataFrame = {
-    val bits = autoBitsPerBand(vectors.count(), targetBucket)
-    lshTopK(vectors, idCol, vecCol, dim, bands, bits, k)
+                  targetBucket: Int = 32, nnSim: Double = 0.5): DataFrame = {
+    val n = vectors.count()
+    val bits = autoBitsPerBand(n, targetBucket)
+    val b = if (bands > 0) bands else autoBands(n, nnSim, targetBucket)
+    lshTopK(vectors, idCol, vecCol, dim, b, bits, k)
   }
 
-  /** [[embeddingLshPairs]] with corpus-size-derived band width (see
-    * [[lshTopKAuto]]). */
+  /** RHP per-bit collision probability for cosine similarity `s`:
+    * P[sign agreement under a random hyperplane] = 1 − θ/π.
+    */
+  private def rhpBitProb(s: Double): Double =
+    1.0 - math.acos(math.max(-1.0, math.min(1.0, s))) / math.Pi
+
+  /** Recall-derived band (hash-table) count — the OTHER half of the
+    * auto geometry. [[autoBitsPerBand]] keeps E[bucket] flat by
+    * GROWING bits with n, but each added bit multiplies the per-band
+    * match probability for a τ-similarity pair by p(τ) < 1, so a FIXED
+    * band count silently loses recall as the corpus grows (measured:
+    * the τ=0.45 pair recall of 12 bands fell 0.99 → ~0.78 when a 10×
+    * corpus moved bits from 6 to 9 — the r10 ScaleBench finding).
+    * This solves the s-curve for the band count that holds
+    * `targetRecall` AT the threshold (pairs above τ recall higher):
+    * with radius-1 multiprobe, P_band = p^b + b·p^(b−1)(1−p), and
+    * recall over B tables = 1 − (1 − P_band)^B ≥ target.
+    *
+    * Honest scaling law: holding recall at a FIXED τ costs
+    * B ∝ 1/P_band ≈ p(τ)^−bits = (n/targetBucket)^(−log₂ p(τ)) — total
+    * candidate work grows as n^(1+ρ), sub-quadratic but real. For
+    * near-dup thresholds (τ ≥ 0.8, p ≥ 0.79) the exponent is mild and
+    * B stays small at any realistic n; weak thresholds (τ ≈ 0.45)
+    * saturate `maxBands` around n ≈ 10⁵·targetBucket, after which
+    * recall degrades gracefully below target — callers who need
+    * recall there should raise the probe radius or τ. The cap is
+    * logged via the return value being == maxBands.
+    */
+  def autoBands(n: Long, minSim: Double, targetBucket: Int = 32,
+                targetRecall: Double = 0.97, maxBands: Int = 96): Int =
+    autoBandsForBits(autoBitsPerBand(n, targetBucket), minSim,
+      targetRecall, maxBands)
+
+  /** The s-curve solve of [[autoBands]] for an explicit band width —
+    * for callers that size bits themselves (e.g. the
+    * [[autoBitsForNoise]] dense-corpus geometry).
+    */
+  def autoBandsForBits(bits: Int, minSim: Double,
+                       targetRecall: Double = 0.97, maxBands: Int = 96): Int = {
+    val p = rhpBitProb(minSim)
+    val pBand = math.pow(p, bits) + bits * math.pow(p, bits - 1) * (1 - p)
+    if (pBand >= 0.999) 4
+    else {
+      val needed = math.log(1.0 - math.min(targetRecall, 0.999)) /
+        math.log(1.0 - pBand)
+      math.max(4, math.min(maxBands, math.ceil(needed).toInt))
+    }
+  }
+
+  /** [[embeddingLshPairs]] with corpus-size-derived geometry: bits =
+    * log₂(n/targetBucket) (see [[lshTopKAuto]]) and, when `bands <= 0`
+    * (the default), the recall-holding band count from [[autoBands]] —
+    * pass an explicit positive `bands` only to pin a fixed operating
+    * point (specs/benchmarks).
+    */
   def embeddingLshPairsAuto(vectors: DataFrame, idCol: String, vecCol: String,
                             dim: Int, bands: Int, minSim: Double,
                             targetBucket: Int = 32): DataFrame = {
-    val bits = autoBitsPerBand(vectors.count(), targetBucket)
-    embeddingLshPairs(vectors, idCol, vecCol, dim, bands, bits, minSim)
+    val n = vectors.count()
+    val bits = autoBitsPerBand(n, targetBucket)
+    val b = if (bands > 0) bands else autoBands(n, minSim, targetBucket)
+    embeddingLshPairs(vectors, idCol, vecCol, dim, b, bits, minSim)
   }
 
   /** Embedding duplicate clusters: near-dup edges → min-label
@@ -361,7 +454,7 @@ object SimilarityOps {
     * set it.
     */
   def embeddingClusters(vectors: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, minSim: Double, bands: Int = 12,
+                        dim: Int, minSim: Double, bands: Int = 0,
                         exact: Boolean = false): DataFrame = {
     val pairs =
       if (exact) cosinePairs(vectors, idCol, vecCol, minSim)

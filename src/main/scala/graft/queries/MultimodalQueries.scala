@@ -76,17 +76,23 @@ object MultimodalQueries extends QueryPack {
     val emb = Multimodal.stubEmbedding(
       Multimodal.withPayload(docs), dim = 64)
       .localCheckpoint()
-    // 24 bands × 12 bits: ≥99.9% recall for pairs at cos ≥0.944 (the
-    // weakest true pair on this corpus) while buckets stay ~singleton
-    // (4096/band for 5k docs), so candidate volume ≈ true pairs — the
-    // geometry that scales: more docs → raise bitsPerBand, not buckets
+    // DENSE-corpus geometry: stub embeddings of same-vocabulary docs
+    // put unrelated pairs at cosine ≈ 0.6 (not ≈ 0), so bits/band must
+    // grow as log(n/32)/log(1/p(0.62)) — sizing against the noise
+    // FLOOR, not random collisions — or noise-pair candidates grow
+    // ∝ n² (measured 15.7× runtime at 10× docs under the old fixed
+    // 24×12). Bands then come from the s-curve at the τ=0.9 verify
+    // threshold (true pairs sit ≥0.944 — recalled strictly higher).
+    val nDocs = docs.count()
+    val bits = SimilarityOps.autoBitsForNoise(nDocs, noiseSim = 0.62)
+    val nBands = SimilarityOps.autoBandsForBits(bits, minSim = 0.9)
     val lsh = SimilarityOps.embeddingLshPairs(emb, "doc_id", "embedding",
-        dim = 64, bands = 24, bitsPerBand = 12, minSim = 0.9)
+        dim = 64, bands = nBands, bitsPerBand = bits, minSim = 0.9)
       .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
     // exact twin sampled to a fixed ~512-doc modulus slice: recall is
     // pinned on pairs incident to the sample (O(n·s), not O(n²) — the
     // LSH path itself answers the full corpus)
-    val k = SimilarityOps.sampleModulus(docs.count(), 512)
+    val k = SimilarityOps.sampleModulus(nDocs, 512)
     val exact = SimilarityOps.cosinePairsFor(
         emb.filter(col("doc_id") % k === 0), emb,
         "doc_id", "embedding", minSim = 0.9)

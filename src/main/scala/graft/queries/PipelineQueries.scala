@@ -2198,4 +2198,194 @@ object PipelineQueries extends QueryPack {
         Seq("user_id", "hour"), Seq("user_id", "hour", "segment")))
       .orderBy("stage")
   }
+
+  // K20 — the conf-gated approximation rewrites driven end-to-end (the
+  // flip-one-flag 100 TB incident mode): EXACT-syntax SQL —
+  // COUNT(DISTINCT) and percentile() — runs once with
+  // spark.graft.approxDistinct/approxPercentile=true, and the row
+  // FAILS LOUDLY unless the optimized plan actually carries the HLL++
+  // and t-digest aggregates (the rules are verified ACTIVE, not merely
+  // registered). The approximate results (3 groups — bounded) are then
+  // pinned against the exact computation, which the oracle recomputes:
+  // the HLL++ estimate must sit within 3·rsd of the exact distinct
+  // count and the digest median inside the exact p45–p55 rank window.
+  // The approx rows are materialized UNDER the enabled conf (a lazy
+  // plan would silently re-optimize at sink time with the conf already
+  // reset, pinning the exact path instead of the rewrite).
+  q("k20_approx_rewrite",
+    """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_nd,
+      |  true AS distinct_ok, true AS median_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables.registerAll(s, dir)
+    val sqlText =
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd,
+        |  percentile(l_extendedprice, 0.5) AS med
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    s.conf.set("spark.graft.approxDistinct", "true")
+    s.conf.set("spark.graft.approxPercentile", "true")
+    val approxRows = try {
+      val adf = s.sql(sqlText)
+      val opt = adf.queryExecution.optimizedPlan
+      val hasHll = opt.exists(_.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus => true
+        case _ => false
+      }))
+      val hasDigest = opt.exists(_.expressions.exists(_.exists {
+        case _: org.apache.spark.sql.graftx.TDigestQuantiles => true
+        case _ => false
+      }))
+      require(hasHll, "approxDistinct rewrite registered but NOT active in the plan")
+      require(hasDigest, "approxPercentile rewrite registered but NOT active in the plan")
+      adf.collect() // 3 groups — materialize under the enabled conf
+    } finally {
+      s.conf.set("spark.graft.approxDistinct", "false")
+      s.conf.set("spark.graft.approxPercentile", "false")
+    }
+    val approx = s.createDataFrame(
+      java.util.Arrays.asList(approxRows: _*),
+      StructType(Seq(StructField("l_returnflag", StringType),
+        StructField("approx_nd", LongType), StructField("approx_med", DoubleType))))
+    val exact = s.sql(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
+        |  percentile(l_extendedprice, 0.45) AS p45,
+        |  percentile(l_extendedprice, 0.55) AS p55
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    exact.join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_nd"),
+        (abs(col("approx_nd") - col("exact_nd")) <=
+          greatest(lit(1L), col("exact_nd") * lit(3 * 0.05))).as("distinct_ok"),
+        col("approx_med").between(col("p45"), col("p55")).as("median_ok"))
+      .orderBy("l_returnflag")
+  }
+
+  // §2.9 streaming↔batch parity #4 — the LATE-DATA DROP semantics (the
+  // three rows above deliberately disable lateness with a 3650-day
+  // watermark; here the watermark is REAL and the drop path is the
+  // property under test). Three micro-batches through
+  // withWatermark(7 days) + dropDuplicates(event_id, ts), split so the
+  // one-batch LAG in Spark's late-event filter is respected
+  // (IncrementalExecution hands stateful operators the watermark in
+  // effect during the PREVIOUS batch for late-row filtering, and the
+  // freshly-updated one only for state eviction — measured in this
+  // harness: late rows in batch 1 pass, the same rows in batch 2 drop):
+  //   b1  even events — the full 30-day range; establishes watermark
+  //       maxEven − 7d at its completion (runs at watermark 0 itself).
+  //   b2  the last-3-days even rows re-injected — not late (the filter
+  //       for batch 1 still uses watermark 0), but DUPLICATE, so
+  //       batch-1 state must suppress them: emitting them twice fails
+  //       the hash, and so does dropping them as late (they sit above
+  //       the watermark, whose eviction must NOT have removed their
+  //       keys).
+  //   b3  odd events — the whole range again; the late filter now uses
+  //       the b1-established watermark, so an odd event survives iff
+  //       its timestamp is at/after it.
+  // The oracle reproduces Spark's exact arithmetic: the watermark is
+  // floor(maxEventMs(evens)) − delayMs, and the stateful operator
+  // admits rows with ts_us ≥ wm_ms·1000 (it drops ts_us ≤ wm_ms·1000−1).
+  q("st_late_drop_parity",
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+      |wm AS (
+      |  SELECT (epoch_us(max(ts)) // 1000 - 604800000) * 1000 AS wm_us
+      |  FROM e WHERE event_id % 2 = 0)
+      |SELECT event_id, ts, user_id, value FROM e
+      |WHERE event_id % 2 = 0 OR epoch_us(ts) >= (SELECT wm_us FROM wm)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+    val even = ev.filter(col("event_id") % 2 === 0)
+    val maxEven = even.agg(max("ts")).collect()(0).getTimestamp(0)
+    val reinjectFrom = new java.sql.Timestamp(maxEven.getTime - 3L * 86400 * 1000)
+    val stage = tmpDir("graft_st_late_in")
+    stageFile(even, stage, "b1.parquet", 1000000L)
+    stageFile(even.filter(col("ts") >= reinjectFrom), stage, "b2.parquet", 2000000L)
+    stageFile(ev.filter(col("event_id") % 2 === 1), stage, "b3.parquet", 3000000L)
+    val outDir = tmpDir("graft_st_late_out")
+    val ckpt = tmpDir("graft_st_late_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      awaitOrFail(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+          .withWatermark("ts", "7 days")
+          .dropDuplicates("event_id", "ts")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start(), 300000, "st_late_drop_parity stream")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.schema(ev.schema).parquet(outDir).orderBy("event_id")
+  }
+
+  // §2.9 streaming↔batch parity #5 — freshest-wins streaming dedup
+  // (AqStreaming.dedupFreshestStream) against its batch twin
+  // (AqPipeline.deduplicate's exact ordering: extracted_at DESC,
+  // sensor_id ASC). events is mapped to the raw-measurement shape with
+  // the event HOUR as the reading time — so one (location, hour,
+  // parameter) key collects many candidate rows — and split by
+  // event_id parity, putting a key's candidates in BOTH micro-batches:
+  // a batch-2 "correction" (fresher extracted_at) must REPLACE batch
+  // 1's in-state candidate, and a batch-2 loser must NOT dislodge a
+  // fresher batch-1 winner. Winners emit via event-time timeout, so
+  // batch 3 stages a far-future dummy reading that drags the watermark
+  // past every real hour (the dummy's own key never times out and is
+  // therefore never emitted — output is exactly the real winner set).
+  // The 3650-day delay disables late-drops (pinned by the row above).
+  q("st_dedup_freshest_parity",
+    """WITH src AS (
+      |  SELECT user_id AS location_id, event_id AS sensor_id,
+      |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS datetime,
+      |    event_type AS parameter, value,
+      |    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') AS extracted_at
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY location_id, datetime, parameter
+      |    ORDER BY extracted_at DESC, sensor_id ASC) AS rn
+      |  FROM src)
+      |SELECT location_id, CAST(datetime AS TIMESTAMP) AS datetime, parameter,
+      |  value, extracted_at, sensor_id
+      |FROM r WHERE rn = 1
+      |ORDER BY location_id, datetime, parameter""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val meas = Tables.load(s, dir, "events").select(
+      col("user_id").as("location_id"),
+      col("event_id").as("sensor_id"),
+      date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("datetime"),
+      col("event_type").as("parameter"),
+      col("value"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("extracted_at"))
+    def dummy(tsStr: String, id: Long) = s.range(1).select(
+      lit(-1L).as("location_id"), lit(id).as("sensor_id"),
+      lit(tsStr).as("datetime"), lit("none").as("parameter"),
+      lit(0.0).as("value"), lit("").as("extracted_at"))
+    val stage = tmpDir("graft_st_fresh_in")
+    stageFile(meas.filter(col("sensor_id") % 2 === 0), stage, "b1.parquet", 1000000L)
+    stageFile(meas.filter(col("sensor_id") % 2 === 1)
+        .unionByName(dummy("2100-01-01 00:00:00", -1L)),
+      stage, "b2.parquet", 2000000L)
+    stageFile(dummy("2100-01-02 00:00:00", -2L), stage, "b3.parquet", 3000000L)
+    val outDir = tmpDir("graft_st_fresh_out")
+    val ckpt = tmpDir("graft_st_fresh_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      awaitOrFail(graft.streaming.AqStreaming
+        .dedupFreshestStream(
+          s.readStream.schema(meas.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+          watermark = "3650 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, "st_dedup_freshest_parity stream")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .select("location_id", "datetime", "parameter", "value",
+        "extracted_at", "sensor_id")
+      .orderBy("location_id", "datetime", "parameter")
+  }
 }

@@ -90,7 +90,7 @@ object SimQueries extends QueryPack {
     val k = SimilarityOps.sampleModulus(emb.count(), 256)
     val sample = emb.filter(col("vec_id") % k === 0)
     val lsh = SimilarityOps.lshTopKAuto(emb, "vec_id", "embedding",
-        dim = 64, bands = 8, k = 5)
+        dim = 64, bands = 0, k = 5)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", k = 5)
       .select(col("query_id"), col("neighbor_id"))
@@ -320,7 +320,7 @@ object SimQueries extends QueryPack {
     val k = SimilarityOps.sampleModulus(emb.count(), 512)
     val sample = emb.filter(col("vec_id") % k === 0)
     val lsh = SimilarityOps.embeddingLshPairsAuto(emb,
-        "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.45)
+        "vec_id", "embedding", dim = 64, bands = 0, minSim = 0.45)
       .select(col("id_a"), col("id_b"), lit(1).as("__hit"))
     val exact = SimilarityOps.cosinePairsFor(sample, emb,
         "vec_id", "embedding", minSim = 0.45)
@@ -470,7 +470,7 @@ object SimQueries extends QueryPack {
     // long-lived production job that cannot afford a restart should use
     // reliable checkpoint() to durable storage instead.
     val lshPairs = SimilarityOps.embeddingLshPairsAuto(emb,
-        "vec_id", "embedding", dim = 64, bands = 12, minSim = 0.4)
+        "vec_id", "embedding", dim = 64, bands = 0, minSim = 0.4)
       .localCheckpoint()
     val exact = SimilarityOps.cosinePairsFor(sample, emb,
         "vec_id", "embedding", minSim = 0.4)

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Exchange/sort budgets for the flagship plans, pinned against a
+  * golden manifest. [[PlanShapeSpec]] bans cartesians and unpushed
+  * filters; it does NOT stop a regression that quietly adds a shuffle
+  * to a composite (a lost broadcast hint, a new repartition, a window
+  * that stops sharing its neighbor's partitioning). Every shuffle is a
+  * full materialize-and-redistribute of the stream — at 100 TB an
+  * extra one on a fact table is minutes of cluster time — so the
+  * budget IS the performance contract, asserted per commit.
+  *
+  * Budgets are ceilings (an improvement that REMOVES a shuffle
+  * passes; tighten the manifest when one lands), measured at sf0.01 on
+  * the INITIAL physical plan (pre-AQE re-optimization — what the
+  * optimizer committed to before runtime stats, which is the planning
+  * regression this guards). Iterative queries (CC rounds, Lloyd
+  * iterations) have data-dependent round counts; their budgets hold
+  * for the sf0.01 fixture and exist to catch per-round shape changes,
+  * not round-count drift — which BenchNotes' scaling runs watch.
+  */
+class PlanBudgetSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  /** query -> (max ShuffleExchangeExec, max SortExec) in the initial plan. */
+  private val budgets: Map[String, (Int, Int)] = Map(
+    "pipe_mart" -> (4, 3),
+    "j6_star_join" -> (1, 1),
+    "j1_join_groupby" -> (1, 1),
+    "o2_topk" -> (1, 0),
+    "o3b_topn_heap" -> (2, 1),
+    "a1_groupby_agg" -> (2, 1),
+    "dd_exact" -> (2, 1),
+    "dd_minhash_lsh" -> (8, 2),
+    "dd_ngram_jaccard" -> (8, 2),
+    "ann_pca_topk" -> (8, 2),
+    "tx_tfidf" -> (6, 2),
+    "tx_bpe_apply" -> (4, 2),
+    "w1_window_dedup" -> (2, 2),
+    "dq_profile" -> (4, 1),
+    "pipe_curate" -> (8, 2)
+  )
+
+  private def counts(p: SparkPlan): (Int, Int) = {
+    val roots = p.collect { case a: AdaptiveSparkPlanExec => a.executedPlan }
+    val scan = if (roots.isEmpty) Seq(p) else roots
+    val sh = scan.map(_.collect { case e: ShuffleExchangeExec => e }.size).sum
+    val so = scan.map(_.collect { case s: SortExec => s }.size).sum
+    (sh, so)
+  }
+
+  budgets.toSeq.sortBy(_._1).foreach { case (name, (maxSh, maxSo)) =>
+    test(s"$name stays within its exchange budget (<=$maxSh shuffles, <=$maxSo sorts)") {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+      val (sh, so) = counts(p)
+      assert(sh <= maxSh && so <= maxSo,
+        s"$name plan budget exceeded: $sh shuffles (max $maxSh), $so sorts " +
+          s"(max $maxSo) — a regression added an exchange, or tighten the manifest")
+    }
+  }
+}

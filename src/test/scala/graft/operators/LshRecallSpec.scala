@@ -147,13 +147,14 @@ class LshRecallSpec extends SparkSpec {
 
   test("lshTopK corpus recall: shipped auto geometry holds ≥0.9 on real embeddings") {
     // pins the SHIPPED operating point of ann_lsh_topk (lshTopKAuto:
-    // 8 tables, radius-1 multiprobe, bits = log₂(n/32)) against
-    // silent geometry drift — the exact path the checked query runs
+    // recall-derived table count via autoBands(n, 0.5), radius-1
+    // multiprobe, bits = log₂(n/32)) against silent geometry drift —
+    // the exact path the checked query runs
     val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val exact = SimilarityOps.bruteForceTopK(emb, emb, "vec_id", "embedding", k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val lsh = SimilarityOps.lshTopKAuto(emb, "vec_id", "embedding",
-        dim = 64, bands = 8, k = 5)
+        dim = 64, bands = 0, k = 5)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (lsh & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"corpus recall $recall")
@@ -164,6 +165,38 @@ class LshRecallSpec extends SparkSpec {
     assert(SimilarityOps.autoBitsPerBand(2000) == 6)  // 2000/32 → 2^6 buckets
     assert(SimilarityOps.autoBitsPerBand(200000) == 13)
     assert(SimilarityOps.autoBitsPerBand(2000000000L) == 24) // ceiling binds
+  }
+
+  test("autoBands grows tables as bits grow, holding recall at the threshold") {
+    // the r10 ScaleBench finding: bits 6→9 (n 2000→20000) dropped the
+    // τ=0.45 recall of a FIXED 12 bands from ~0.99 to ~0.78; the band
+    // count must grow with bits to hold the s-curve target
+    val b2k = SimilarityOps.autoBands(2000, 0.45)
+    val b20k = SimilarityOps.autoBands(20000, 0.45)
+    assert(b2k >= 8 && b2k <= 16, s"sf0.1 operating point moved: $b2k")
+    assert(b20k > b2k && b20k <= 48, s"10x operating point: $b20k")
+    // near-dup thresholds stay cheap at large n (mild exponent)
+    assert(SimilarityOps.autoBands(20000000L, 0.9) <= 24)
+    // weak thresholds saturate the cap instead of exploding
+    assert(SimilarityOps.autoBands(20000000L, 0.45) == 96)
+  }
+
+  test("autoBitsForNoise sizes bands against the noise floor, not random collisions") {
+    // noiseSim = 0 (isotropic corpus): exactly the autoBitsPerBand formula
+    assert(SimilarityOps.autoBitsForNoise(2000, 0.0) ==
+      SimilarityOps.autoBitsPerBand(2000))
+    assert(SimilarityOps.autoBitsForNoise(200000, 0.0) ==
+      SimilarityOps.autoBitsPerBand(200000))
+    // a cos≈0.62 noise floor (p/bit ≈ 0.713) needs log2(1/p) ≈ 0.49 —
+    // about 2× the bits of the isotropic formula at the same n
+    val b5k = SimilarityOps.autoBitsForNoise(5000, 0.62)
+    val b50k = SimilarityOps.autoBitsForNoise(50000, 0.62)
+    assert(b5k >= 14 && b5k <= 17, s"5k-doc dense operating point: $b5k")
+    assert(b50k >= 21 && b50k <= 24, s"50k-doc dense operating point: $b50k")
+    // recall at the τ=0.9 verify threshold (p/bit ≈ 0.856) at the
+    // wider bands needs no more tables than the old fixed-24 geometry
+    // — while each band is ~2^10 times more noise-selective
+    assert(SimilarityOps.autoBandsForBits(b50k, 0.9) <= 24)
   }
 
   test("quantile bucket cap: candidates survive n >> buckets (the 100x recall-collapse guard)") {
