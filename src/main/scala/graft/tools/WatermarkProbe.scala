@@ -1,14 +1,24 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-/** Scratch: does maxFilesPerTrigger=1 + AvailableNow actually split a
-  * parquet file source into one micro-batch per file, and does the
-  * watermark advance between them? Prints per-batch progress.
+/** Diagnostic for the micro-batch/watermark mechanics the `st_*`
+  * parity rows depend on: confirms that maxFilesPerTrigger=1 +
+  * AvailableNow splits a parquet file source into one micro-batch per
+  * file (mtime order), and measures WHEN the advancing watermark takes
+  * effect for each stateful operator class (`dedup`, `dedupwm`, `agg`
+  * arg). This is how the one-batch LAG in the late-event filter was
+  * established (IncrementalExecution hands stateful operators the
+  * PREVIOUS batch's watermark for late-row filtering and the fresh one
+  * only for state eviction) — the fact `st_late_drop_parity`'s batch
+  * split and oracle arithmetic encode. Prints per-batch rows /
+  * watermark / dropped-by-watermark counts and the survivor count.
+  *
+  * Usage: runMain graft.tools.WatermarkProbe [dedup|dedupwm|agg]
   */
-object DebugBatches {
+object WatermarkProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
