@@ -1654,15 +1654,22 @@ object CoreQueries extends QueryPack {
        |FROM lineitem
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-    Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
-      .agg(
-        expr("percentile(l_quantity, array(0.5, 0.9))").as("__q"),
-        r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_price"))
+    // l_quantity (50 distinct values) keeps `percentile`'s value→count
+    // map tiny and map-side-mergeable; the CONTINUOUS l_extendedprice
+    // goes through the distributed histogram-guided selection instead —
+    // Spark's exact percentile on an all-distinct column ships one
+    // group-sized hashmap to a single reducer per group (measured 14×
+    // at the 10× stress set, OOM-shaped at 100 TB)
+    val li = Tables.load(s, dir, "lineitem")
+    val exPrice = graft.operators.QuantileOps.exactQuantilesDF(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5))
+    li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, array(0.5, 0.9))").as("__q"))
+      .join(broadcast(exPrice), "l_returnflag")
       .select(col("l_returnflag"),
         r4(element_at(col("__q"), 1)).as("p50_qty"),
         r4(element_at(col("__q"), 2)).as("p90_qty"),
-        col("p50_price"))
+        r4(element_at(col("quantiles"), 1)).as("p50_price"))
       .orderBy("l_returnflag")
   }
 
@@ -1715,21 +1722,26 @@ object CoreQueries extends QueryPack {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.TDigest.tdigestQuantiles
-    // ONE array-percentile aggregate, not six scalar ones: each
-    // scalar `percentile` keeps its own full per-group value buffer —
-    // six copies cost 11 s at sf0.1; the array form shares one buffer
-    Tables.load(s, dir, "lineitem")
-      .groupBy("l_returnflag")
+    // the exact twin comes from the distributed histogram-guided
+    // selection (QuantileOps), NOT `percentile`: on the continuous
+    // l_extendedprice the exact aggregate's per-group value map is the
+    // whole group, shipped to one reducer per group and sorted there —
+    // the scale-killer the digest exists to avoid (measured 14× at the
+    // 10× stress set before this swap)
+    val li = Tables.load(s, dir, "lineitem")
+    val ex = graft.operators.QuantileOps.exactQuantilesDF(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.99, 0.48, 0.52, 0.975))
+    li.groupBy("l_returnflag")
       .agg(tdigestQuantiles(col("l_extendedprice"), Seq(0.5, 0.99), 100).as("__qq"),
-        expr("percentile(l_extendedprice, array(0.5, 0.99, 0.48, 0.52, 0.975))").as("__ex"),
         max(col("l_extendedprice")).as("__hi99"))
+      .join(broadcast(ex), "l_returnflag")
       .select(col("l_returnflag"),
-        r4(element_at(col("__ex"), 1)).as("p50_price"),
-        r4(element_at(col("__ex"), 2)).as("p99_price"),
+        r4(element_at(col("quantiles"), 1)).as("p50_price"),
+        r4(element_at(col("quantiles"), 2)).as("p99_price"),
         element_at(col("__qq"), 1)
-          .between(element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p50_ok"),
+          .between(element_at(col("quantiles"), 3), element_at(col("quantiles"), 4)).as("p50_ok"),
         element_at(col("__qq"), 2)
-          .between(element_at(col("__ex"), 5), col("__hi99")).as("p99_ok"))
+          .between(element_at(col("quantiles"), 5), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -1799,18 +1811,20 @@ object CoreQueries extends QueryPack {
     val est = perShard
       .groupBy("l_returnflag")
       .agg(tdigestUnionQuantiles(col("dig"), Seq(0.5, 0.99), 100).as("__qq"))
-    // one array-percentile buffer per group, not five (see a11_tdigest)
-    val exact = li.groupBy("l_returnflag").agg(
-      expr("percentile(l_extendedprice, array(0.5, 0.99, 0.47, 0.53, 0.97))").as("__ex"),
-      max(col("l_extendedprice")).as("__hi99"))
-    exact.join(est, "l_returnflag")
+    // exact twin via distributed histogram-guided selection (see
+    // a11_tdigest — `percentile` on a continuous column is the
+    // one-reducer-per-group scale-killer, measured 14× at 10×)
+    val ex = graft.operators.QuantileOps.exactQuantilesDF(
+      li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.99, 0.47, 0.53, 0.97))
+    val hi = li.groupBy("l_returnflag").agg(max(col("l_extendedprice")).as("__hi99"))
+    hi.join(broadcast(ex), "l_returnflag").join(est, "l_returnflag")
       .select(col("l_returnflag"),
-        r4(element_at(col("__ex"), 1)).as("p50_price"),
-        r4(element_at(col("__ex"), 2)).as("p99_price"),
+        r4(element_at(col("quantiles"), 1)).as("p50_price"),
+        r4(element_at(col("quantiles"), 2)).as("p99_price"),
         element_at(col("__qq"), 1)
-          .between(element_at(col("__ex"), 3), element_at(col("__ex"), 4)).as("p50_ok"),
+          .between(element_at(col("quantiles"), 3), element_at(col("quantiles"), 4)).as("p50_ok"),
         element_at(col("__qq"), 2)
-          .between(element_at(col("__ex"), 5), col("__hi99")).as("p99_ok"))
+          .between(element_at(col("quantiles"), 5), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -2245,11 +2245,20 @@ object PipelineQueries extends QueryPack {
       java.util.Arrays.asList(approxRows: _*),
       StructType(Seq(StructField("l_returnflag", StringType),
         StructField("approx_nd", LongType), StructField("approx_med", DoubleType))))
+    // exact distinct is a scalable two-phase hash agg; the exact
+    // QUANTILE window comes from the distributed histogram-guided
+    // selection — `percentile` on the continuous l_extendedprice is
+    // the one-reducer-per-group shape (see a11_tdigest)
+    val exQ = graft.operators.QuantileOps.exactQuantilesDF(
+      Tables.load(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq(0.45, 0.55))
     val exact = s.sql(
-      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd,
-        |  percentile(l_extendedprice, 0.45) AS p45,
-        |  percentile(l_extendedprice, 0.55) AS p55
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      .join(broadcast(exQ), "l_returnflag")
+      .select(col("l_returnflag"), col("exact_nd"),
+        element_at(col("quantiles"), 1).as("p45"),
+        element_at(col("quantiles"), 2).as("p55"))
     exact.join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("exact_nd"),
         (abs(col("approx_nd") - col("exact_nd")) <=
