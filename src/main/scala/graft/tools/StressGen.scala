@@ -29,6 +29,7 @@ import org.apache.spark.sql.functions._
   * plan Spark materializes in parallel.
   *
   * Usage: sbt "runMain graft.tools.StressGen /tmp/stress/sf1 10"
+  *        sbt "runMain graft.tools.StressGen /tmp/stress/sf1skew 10 skew"
   */
 object StressGen {
 
@@ -41,6 +42,27 @@ object StressGen {
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/stress/sf1"
     val mult = if (args.length > 1) args(1).toDouble else 10.0
+    // "skew" mode: same volumes, HOT-KEY distributions — a cluster
+    // run meets zipfian users and viral join keys, not uniform hash
+    // spray. Skew is injected exactly where 100 TB pipelines die:
+    //   events.user_id   ~ floor(nUsers · u⁴): user 0 takes ~9% of all
+    //                      events (vs a uniform 1/nUsers) — stresses
+    //                      per-user windows/sessionization state;
+    //   orders.o_custkey  10% → customer 0 (hot probe key);
+    //   lineitem.l_suppkey 15% → supplier 0, l_partkey 8% → part 0
+    //                      (hot fact-side join keys: AQE skew split /
+    //                      broadcast probe territory);
+    //   documents.source  40% → src0 (hot group for per-source
+    //                      aggs/mixture weighting).
+    // Embeddings and token content are left UNCHANGED: embedding-side
+    // "skew" is output-volume (a tight cluster means quadratically
+    // many TRUE near-dup pairs — any correct miner pays it), not
+    // partition skew; the bucket-cap guard for pathological identical
+    // vectors is spec-tested (LshRecallSpec). Shingle-space heat is
+    // already exercised by the uniform set (31-token vocab ⇒ mean
+    // trigram posting ≈ cap/2 at 10×, so the hot tail hits the
+    // posting caps there).
+    val skew = args.length > 2 && args(2) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -100,7 +122,9 @@ object StressGen {
     // orders: o_orderdate uniform over 1995-01-01 .. 2001-08-01
     write(spark.range(nOrd).select(
       col("id").as("o_orderkey"),
-      pm(nCust)(col("id"), lit("ocust")).cast("long").as("o_custkey"),
+      (if (skew) when(u(col("id"), lit("ohot")) < 0.10, lit(0L))
+          .otherwise(pm(nCust)(col("id"), lit("ocust")))
+       else pm(nCust)(col("id"), lit("ocust"))).cast("long").as("o_custkey"),
       element_at(array(Seq("O", "F", "P").map(lit): _*),
         pm(3)(col("id"), lit("ost")).cast("int") + 1).as("o_orderstatus"),
       round(u(col("id"), lit("otp")) * 400000 + 1000, 2).as("o_totalprice"),
@@ -114,8 +138,12 @@ object StressGen {
     // ~98% orderkey coverage sf0.1 shows.
     write(spark.range(nLine).select(
       pm(nOrd)(col("id"), lit("lord")).cast("long").as("l_orderkey"),
-      pm(nPart)(col("id"), lit("lprt")).cast("long").as("l_partkey"),
-      pm(nSupp)(col("id"), lit("lsup")).cast("long").as("l_suppkey"),
+      (if (skew) when(u(col("id"), lit("lhtp")) < 0.08, lit(0L))
+          .otherwise(pm(nPart)(col("id"), lit("lprt")))
+       else pm(nPart)(col("id"), lit("lprt"))).cast("long").as("l_partkey"),
+      (if (skew) when(u(col("id"), lit("lhts")) < 0.15, lit(0L))
+          .otherwise(pm(nSupp)(col("id"), lit("lsup")))
+       else pm(nSupp)(col("id"), lit("lsup"))).cast("long").as("l_suppkey"),
       (pm(7)(col("id"), lit("lln")).cast("int") + 1).as("l_linenumber"),
       (pm(50)(col("id"), lit("lqty")).cast("double") + 1).as("l_quantity"),
       round(u(col("id"), lit("lep")) * 100000 + 900, 2).as("l_extendedprice"),
@@ -135,7 +163,8 @@ object StressGen {
       col("id").as("event_id"),
       timestamp_micros((epoch0 + (u(col("id"), lit("ets")) *
         lit(30L * 86400 * 1000000L)).cast("long")).cast("long")).as("ts"),
-      pm(nUsers)(col("id"), lit("eusr")).cast("long").as("user_id"),
+      (if (skew) floor(pow(u(col("id"), lit("eusr")), 4.0) * nUsers).cast("long")
+       else pm(nUsers)(col("id"), lit("eusr")).cast("long")).as("user_id"),
       element_at(array(Seq("click", "view", "purchase", "signup", "error")
         .map(lit): _*), pm(5)(col("id"), lit("etyp")).cast("int") + 1).as("event_type"),
       round(least(-log(lit(1.0) - u(col("id"), lit("eval"))) * 50, lit(560.0)), 2)
@@ -173,7 +202,10 @@ object StressGen {
         .otherwise(element_at(array(Seq("zh", "es", "fr", "de").map(lit): _*),
           pm(4)(col("id"), lit("dln2")).cast("int") + 1)))
       .select(col("id").as("doc_id"), col("text"), col("lang"),
-        concat(lit("src"), pm(20)(col("id"), lit("dsrc")).cast("int")).as("source"),
+        (if (skew) when(u(col("id"), lit("dhot")) < 0.40, lit("src0"))
+            .otherwise(concat(lit("src"), pm(20)(col("id"), lit("dsrc")).cast("int")))
+         else concat(lit("src"), pm(20)(col("id"), lit("dsrc")).cast("int")))
+          .as("source"),
         length(col("text")).cast("long").as("n_chars"))
     write(docs, "documents", 4)
 
@@ -201,7 +233,8 @@ object StressGen {
         pm(10)(col("id"), lit("vlbl")).cast("int").as("label"))
     write(emb, "embeddings", 2)
 
-    println(s"[stressgen] done: $outDir at ${mult}x sf0.1")
+    println(s"[stressgen] done: $outDir at ${mult}x sf0.1" +
+      (if (skew) " (skewed keys)" else ""))
     spark.stop()
   }
 }
