@@ -2217,6 +2217,20 @@ object PipelineQueries extends QueryPack {
       |  true AS distinct_ok, true AS median_ok
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
+    // self-register the rewrite rules on plain sessions (no
+    // GraftExtensions wiring — same fallback pattern as TopKPerGroup's
+    // strategy): extraOptimizations runs in the optimizer's
+    // user-provided batch, so the ACTIVE-in-plan requirement below
+    // holds under any harness that reaches this query
+    graft.plans.ApproxDistinctRewrite.synchronized {
+      val extra = s.experimental.extraOptimizations
+      val want = Seq(graft.plans.ApproxDistinctRewrite(s),
+        graft.plans.ApproxPercentileRewrite(s))
+      val missing = want.filterNot(extra.contains)
+      if (missing.nonEmpty && !s.sessionState.optimizer.extendedOperatorOptimizationRules
+            .exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite]))
+        s.experimental.extraOptimizations = extra ++ missing
+    }
     val sqlText =
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd,
         |  percentile(l_extendedprice, 0.5) AS med
@@ -2396,5 +2410,80 @@ object PipelineQueries extends QueryPack {
       .select("location_id", "datetime", "parameter", "value",
         "extracted_at", "sensor_id")
       .orderBy("location_id", "datetime", "parameter")
+  }
+
+  // §2.9 streaming↔batch parity #6 — CHECKPOINT-RESTART recovery (what
+  // a production cluster does on every driver/executor loss or planned
+  // redeploy). st_sessionize_parity carries state across micro-batches
+  // of ONE query — state lives in executor memory between triggers;
+  // here the query is STOPPED after batch 1 and a brand-new query is
+  // started on the SAME checkpoint for batch 2, so per-key session
+  // state must round-trip the on-disk state store (snapshot/delta
+  // replay) and the offset log must resume past the committed batch.
+  // Non-vacuous by construction: every user's last batch-1 session
+  // stays OPEN in state at shutdown (no sentinel in b1) and is only
+  // emitted/merged correctly in run 2 if recovery restored it — lost
+  // state would drop or split those sessions and fail the hash. The
+  // oracle is the one-shot batch sessionization, identical to
+  // st_sessionize_parity's.
+  q("st_restart_parity",
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  ${sqlR4("sum(value)")} AS total_value
+      |FROM s GROUP BY user_id, seq
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val cutoff = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    val sentinelTs = new java.sql.Timestamp(hi.getTime + 24L * 3600 * 1000)
+    val sentinels = ev.select("user_id").distinct()
+      .withColumn("ts", lit(sentinelTs)).withColumn("value", lit(0.0))
+    val stage = tmpDir("graft_st_restart_in")
+    val outDir = tmpDir("graft_st_restart_out")
+    val ckpt = tmpDir("graft_st_restart_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    def runOnce(label: String): Unit =
+      awaitOrFail(graft.streaming.Sessionize
+        .sessionizeStream(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+          gapMinutes = 30, watermarkDelay = "3650 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, label)
+    try {
+      // run 1: only batch 1 exists; AvailableNow drains it and the
+      // query TERMINATES — open sessions now live only in the
+      // checkpoint's state store files.
+      stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
+      runOnce("st_restart_parity stream run 1")
+      // run 2: a NEW query (fresh StreamingQuery id incarnation, same
+      // checkpoint) must resume past b1 via the offset log and restore
+      // per-user state from disk before folding in batch 2.
+      stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
+        stage, "b2.parquet", 2000000L)
+      runOnce("st_restart_parity stream run 2")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), r4(col("total_value")).as("total_value"))
+      .orderBy("user_id", "session_start")
   }
 }
