@@ -39,10 +39,15 @@ object ScaleBench {
     val dirB = if (args.length > 1) args(1) else "/tmp/stress/sf1"
     val names = if (args.length > 2) args(2).split(",").toSeq.map(_.trim) else TOP
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Independent shuffle-partition override: partition count is THE
+    // per-task memory knob at scale (hash-agg/join state per partition
+    // shrinks as partitions grow) — the constrained-memory sweep uses
+    // this to measure how much spill the standard knob recovers.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // same engine Verify checks
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
