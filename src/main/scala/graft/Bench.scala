@@ -35,6 +35,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftExtensions.assertWired(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def materialize(name: String, dir: String): Unit =

@@ -77,9 +77,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Fail loudly if `spark` is NOT carrying these extensions.
+    * `withExtensions(...)` on `getOrCreate()` is silently IGNORED when
+    * a session already exists in the JVM (e.g. a reused sbt shell) —
+    * the bench/verify mains would then measure a different engine than
+    * the one the correctness gate checks. Every main that builds its
+    * session via getOrCreate() calls this right after.
+    */
+  def assertWired(spark: SparkSession): Unit =
+    require(spark.sessionState.functionRegistry
+        .functionExists(FunctionIdentifier("float_vec_dot")),
+      "GraftExtensions not active in this SparkSession — a pre-existing " +
+        "session was reused and withExtensions() was ignored. Stop the " +
+        "stale session or build via GraftExtensions.session().")
+
   /** Convenience builder for a fully-wired session. */
-  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
-    SparkSession.builder()
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession.builder()
       .master(master)
       .appName("graft")
       .withExtensions(new GraftExtensions)
@@ -88,4 +102,7 @@ object GraftExtensions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    assertWired(s)
+    s
+  }
 }

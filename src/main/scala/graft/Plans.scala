@@ -92,6 +92,7 @@ object Plans {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftExtensions.assertWired(spark)
     spark.sparkContext.setLogLevel("ERROR")
 
     val sb = new StringBuilder

@@ -51,6 +51,7 @@ object ScaleBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftExtensions.assertWired(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def clearState(): Unit = {

@@ -19,6 +19,7 @@ object TimeQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftExtensions.assertWired(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     def once(): Double = {

@@ -42,8 +42,11 @@ import org.apache.spark.sql.types._
   * round and O(groups × quantiles × sliceThreshold) at the slice —
   * the operator targets DRIVER-BOUNDED group cardinalities (telemetry
   * / audit groupings; reference: glue_jobs/process_openaq_raw.py's
-  * per-parameter stats). For unbounded groups use the t-digest
-  * aggregate instead (`graftx.TDigest` — estimates with rank bounds).
+  * per-parameter stats). The contract is SELF-ENFORCING: a cheap
+  * HLL++ pre-scan counts groups and fails fast above `maxGroups`
+  * (default 100k) before anything per-group reaches the driver. For
+  * unbounded groups use the t-digest aggregate instead
+  * (`graftx.TDigest` — estimates with rank bounds).
   *
   * Everything is deterministic: no rand/partition-id anywhere, so the
   * result is replay-identical (ReplayStabilitySpec sweeps it).
@@ -61,11 +64,12 @@ object QuantileOps {
   def exactQuantilesDF(df: DataFrame, groupCol: String, valueCol: String,
                        qs: Seq[Double], buckets: Int = 4096,
                        sliceThreshold: Int = 4096,
-                       maxRounds: Int = 6): DataFrame = {
+                       maxRounds: Int = 6,
+                       maxGroups: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     val groupField = df.schema(groupCol)
     val res = exactQuantiles(df, groupCol, valueCol, qs, buckets,
-      sliceThreshold, maxRounds)
+      sliceThreshold, maxRounds, maxGroups)
     val rows = res.toSeq.map { case (g, vs) =>
       Row(g, if (vs == null) null else vs)
     }
@@ -89,7 +93,8 @@ object QuantileOps {
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                      qs: Seq[Double], buckets: Int = 4096,
                      sliceThreshold: Int = 4096,
-                     maxRounds: Int = 6): Map[Any, Seq[Double]] = {
+                     maxRounds: Int = 6,
+                     maxGroups: Int = 100000): Map[Any, Seq[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     val spark = df.sparkSession
@@ -97,6 +102,22 @@ object QuantileOps {
     val v = col(valueCol).cast(DoubleType)
     val raw = df.select(g.as("__g"), v.as("__v"))
     val base = raw.filter(col("__v").isNotNull)
+
+    // Fail-fast cardinality guard: driver state is O(groups × quantiles
+    // × buckets) and pass 1 collects one row per group — a miscalled
+    // high-cardinality group column (e.g. a fact-table key) would OOM
+    // the driver with only the scaladoc as defense. One cheap pre-scan
+    // (HLL++ sketch, a single row to the driver — no per-group shuffle)
+    // makes the documented contract self-enforcing. The default 100k
+    // bound keeps driver state ≤ a few GB at the default buckets; the
+    // sketch's ~5% rsd is immaterial at OOM-protection granularity.
+    val approxGroups = raw
+      .agg(approx_count_distinct(col("__g")).as("g")).collect()(0).getLong(0)
+    require(approxGroups <= maxGroups,
+      s"~$approxGroups distinct '$groupCol' groups exceeds maxGroups=$maxGroups: " +
+        "exactQuantiles targets DRIVER-BOUNDED group cardinalities; for " +
+        "unbounded groups use the t-digest aggregate " +
+        "(org.apache.spark.sql.graftx.TDigestQuantiles — rank-bounded estimates)")
 
     // pass 1: per-group n / min / max (+ NaN guard — NaN breaks the
     // ordering every engine's quantile assumes). Computed on the

@@ -152,6 +152,7 @@ object CurationPipeline {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    graft.GraftExtensions.assertWired(spark)
     spark.sparkContext.setLogLevel("WARN")
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
     val out = java.nio.file.Files.createTempDirectory("curated").toString

@@ -22,19 +22,31 @@ object PipelineQueries extends QueryPack {
     */
   val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
 
-  private def tmpDir(prefix: String): String = {
-    val dir = Files.createTempDirectory(prefix)
-    // Bench/Verify invoke each sink query several times (warm + timed
-    // runs), each minting a fresh directory; without cleanup the host's
-    // /tmp accrues hundreds of orphaned parquet trees per round.
+  // Bench/Verify invoke each sink query several times (warm + timed
+  // runs), each minting fresh directories; without cleanup the host's
+  // /tmp accrues hundreds of orphaned parquet trees per round. ONE
+  // shutdown hook drains a shared list — a hook per dir would pile up
+  // JVM hook registrations across a full bench run (st_restart_parity
+  // alone mints 5 trees per invocation × 4 runs).
+  private val tmpDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.util.Comparator
       import scala.util.Try
-      Try {
-        Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => { Files.deleteIfExists(p); () })
+      var dir = tmpDirs.poll()
+      while (dir != null) {
+        Try {
+          Files.walk(dir).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        }
+        dir = tmpDirs.poll()
       }
     }))
+  }
+
+  private def tmpDir(prefix: String): String = {
+    val dir = Files.createTempDirectory(prefix)
+    tmpDirs.add(dir)
     dir.toString
   }
 
@@ -2224,11 +2236,19 @@ object PipelineQueries extends QueryPack {
     // holds under any harness that reaches this query
     graft.plans.ApproxDistinctRewrite.synchronized {
       val extra = s.experimental.extraOptimizations
-      val want = Seq(graft.plans.ApproxDistinctRewrite(s),
+      val injected = s.sessionState.optimizer.extendedOperatorOptimizationRules
+      // per-rule presence: a wiring that injects only ONE of the two
+      // rules (e.g. a future extension variant) must not cause the
+      // other to be skipped NOR this one to be double-registered
+      def present(isRule: org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] => Boolean) =
+        extra.exists(isRule) || injected.exists(isRule)
+      val missing = Seq[org.apache.spark.sql.catalyst.rules.Rule[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]](
+        graft.plans.ApproxDistinctRewrite(s),
         graft.plans.ApproxPercentileRewrite(s))
-      val missing = want.filterNot(extra.contains)
-      if (missing.nonEmpty && !s.sessionState.optimizer.extendedOperatorOptimizationRules
-            .exists(_.isInstanceOf[graft.plans.ApproxDistinctRewrite]))
+        .filterNot(r => present(_.getClass == r.getClass))
+      if (missing.nonEmpty)
         s.experimental.extraOptimizations = extra ++ missing
     }
     val sqlText =

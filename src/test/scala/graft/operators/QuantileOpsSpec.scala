@@ -91,6 +91,25 @@ class QuantileOpsSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("NaN"))
   }
 
+  test("group-cardinality guard fails fast above maxGroups, naming t-digest") {
+    // a miscalled high-cardinality group column (fact-table key) must
+    // error BEFORE anything per-group reaches the driver
+    val wide = (1 to 1000).map(i => (s"k$i", i * 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5), maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    assert(e.getMessage.contains("TDigest"))
+    // well under the bound: unaffected (exactness re-pinned)
+    val ok = QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5), maxGroups = 5000)
+    assert(ok.size == 1000 && ok("k7") == Seq(7.0))
+    // the DF wrapper threads the bound through
+    val e2 = intercept[IllegalArgumentException] {
+      QuantileOps.exactQuantilesDF(wide, "g", "v", Seq(0.5), maxGroups = 10).collect()
+    }
+    assert(e2.getMessage.contains("maxGroups"))
+  }
+
   test("exactQuantilesDF round-trips the map as a broadcastable frame") {
     val df = (1 to 300).map(i => (s"g${i % 2}", i * 1.1)).toDF("g", "v")
     val out = QuantileOps.exactQuantilesDF(df, "g", "v", Seq(0.5, 0.9))
