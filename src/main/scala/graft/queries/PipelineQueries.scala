@@ -2506,4 +2506,218 @@ object PipelineQueries extends QueryPack {
         col("n_events"), r4(col("total_value")).as("total_value"))
       .orderBy("user_id", "session_start")
   }
+
+  // §2.9 streaming↔batch parity #7 — STREAM-STREAM JOIN with
+  // watermark-bounded state (StreamJoins.attributionJoinLeftOuter),
+  // the one streaming state class previously pinned only in specs.
+  // Clicks and purchases flow as two file streams in two time-ordered
+  // micro-batches (split at the mid-timestamp), left-outer joined on
+  // user within a 30-minute preceding window under a REAL 10-minute
+  // watermark, and the full output must hash-equal the one-shot batch
+  // left-outer join. Three semantics are exercised at once:
+  //   - inner matches WITHIN a batch emit immediately;
+  //   - a batch-1 cause can match a batch-2 effect (cross-batch state:
+  //     retained because eviction needs wm > c_ts + window, and any
+  //     such cause has c_ts > cutoff − window ≥ wm − window);
+  //   - OUTER rows emit only after the watermark closes their window —
+  //     batch-1 stragglers after batch 2's watermark, and everything
+  //     else in the trailing no-data batch a far-future heartbeat
+  //     (user −1, filtered from output and absent from the oracle)
+  //     forces by dragging the watermark past every real window.
+  // Parity is exact (not just row-count) BECAUSE the split is
+  // time-ordered: a cause evicted after batch 1 has c_ts + 30 min <
+  // wm ≤ cutoff, while every batch-2 effect has e_ts > cutoff — no
+  // match can span the eviction boundary, so state bounded by the
+  // window loses nothing (the 100 TB story: join state ∝ window, not
+  // stream length, with zero missed pairs).
+  q("st_join_parity",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+      |  FROM events),
+      |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.ts AS c_ts, p.ts AS e_ts,
+      |  c.value AS c_value, p.value AS e_value
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      |ORDER BY 1, 2, 3, 5""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+    val causes = ev.filter(col("event_type") === "click").drop("event_type")
+    val effects = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val cutoff = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    def heartbeat = s.range(1).select(lit(-1L).as("user_id"),
+      lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts"),
+      lit(0.0).as("value"))
+    val cStage = tmpDir("graft_st_join_c")
+    val eStage = tmpDir("graft_st_join_e")
+    stageFile(causes.filter(col("ts") <= cutoff), cStage, "b1.parquet", 1000000L)
+    stageFile(causes.filter(col("ts") > cutoff).unionByName(heartbeat),
+      cStage, "b2.parquet", 2000000L)
+    stageFile(effects.filter(col("ts") <= cutoff), eStage, "b1.parquet", 1000000L)
+    stageFile(effects.filter(col("ts") > cutoff).unionByName(heartbeat),
+      eStage, "b2.parquet", 2000000L)
+    val outDir = tmpDir("graft_st_join_out")
+    val ckpt = tmpDir("graft_st_join_ckpt")
+    val schema = causes.schema
+    def read(d: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      awaitOrFail(graft.streaming.StreamJoins
+        .attributionJoinLeftOuter(read(cStage), read(eStage),
+          windowMinutes = 30, watermarkDelay = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, "st_join_parity stream")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0) // drop the two heartbeats' self-pair
+      .select("user_id", "c_ts", "e_ts", "c_value", "e_value")
+      .orderBy("user_id", "c_ts", "e_ts", "e_value")
+  }
+
+  // §2.9 streaming↔batch parity #8 — CHECKPOINT-RESTART for the
+  // WINDOWED-AGGREGATION state backend (st_restart_parity proves
+  // restart for flatMapGroupsWithState; st_hourly_parity runs this
+  // operator but in one query incarnation). Append-mode
+  // window(ts, 1 hour) × event_type counts under a REAL 1-hour
+  // watermark: run 1 drains batch 1 (events ≤ mid-ts) and STOPS — the
+  // cutoff-straddling hour's partial counts now live only in the
+  // checkpoint's state store; run 2 is a brand-new query on the same
+  // checkpoint folding in batch 2 plus a far-future heartbeat (type
+  // 'hb') that drags the watermark past every real window so the
+  // trailing no-data batch flushes them all. Parity is exact because
+  // emission and arrival can't cross: a window emitted in run 1 has
+  // end ≤ max(b1.ts) − 1 h < cutoff, while every batch-2 row has
+  // ts > cutoff — append-once is never violated; and batch 2 is never
+  // late-dropped because the restored watermark is max(b1.ts) − 1 h <
+  // cutoff < min(b2.ts). Lost window state would under-count the
+  // straddling hour and fail the hash. The heartbeat's own window
+  // never closes (wm stops 1 h short of it) and is never emitted.
+  q("st_restart_agg_parity",
+    """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+      |  event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events").select(col("ts"), col("event_type"))
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val cutoff = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    val heartbeat = s.range(1).select(
+      lit(new java.sql.Timestamp(hi.getTime + 2L * 86400 * 1000)).as("ts"),
+      lit("hb").as("event_type"))
+    val stage = tmpDir("graft_st_ragg_in")
+    val outDir = tmpDir("graft_st_ragg_out")
+    val ckpt = tmpDir("graft_st_ragg_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    def runOnce(label: String): Unit =
+      awaitOrFail(
+        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+          .parquet(stage)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("hour"), col("event_type"), col("n"))
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start(), 300000, label)
+    try {
+      stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
+      runOnce("st_restart_agg_parity stream run 1")
+      stageFile(ev.filter(col("ts") > cutoff).unionByName(heartbeat),
+        stage, "b2.parquet", 2000000L)
+      runOnce("st_restart_agg_parity stream run 2")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .filter(col("event_type") =!= "hb") // belt-and-braces: never emits
+      .select("hour", "event_type", "n")
+      .orderBy("hour", "event_type")
+  }
+
+  // §2.9 streaming↔batch parity #9 — CHECKPOINT-RESTART for the
+  // transformWithState / RocksDB state backend (the third and last
+  // stateful backend: st_restart_parity covers flatMapGroupsWithState
+  // on the default HDFS-backed provider, st_restart_agg_parity the
+  // windowed-aggregate store). Identical harness to st_restart_parity
+  // — stop after batch 1 with every user's last session OPEN in state,
+  // resume a brand-new query from the same checkpoint — but through
+  // [[graft.streaming.SessionizeV2]], so recovery must replay RocksDB
+  // snapshot/changelog files AND restore the per-key event-time timer
+  // registry (timers never fire here — the 3650-day delay pins gap
+  // semantics; per-user sentinels close final sessions inline). The
+  // oracle is the same one-shot batch sessionization.
+  q("st_restart_v2_parity",
+    s"""WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |g AS (
+      |  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, sum(new_s) OVER (
+      |    PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(count(*) AS BIGINT) AS n_events,
+      |  ${sqlR4("sum(value)")} AS total_value
+      |FROM s GROUP BY user_id, seq
+      |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events").select(col("user_id"), col("ts"), col("value"))
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val cutoff = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+    val sentinelTs = new java.sql.Timestamp(hi.getTime + 24L * 3600 * 1000)
+    val sentinels = ev.select("user_id").distinct()
+      .withColumn("ts", lit(sentinelTs)).withColumn("value", lit(0.0))
+    val stage = tmpDir("graft_st_rv2_in")
+    val outDir = tmpDir("graft_st_rv2_out")
+    val ckpt = tmpDir("graft_st_rv2_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def runOnce(label: String): Unit =
+      awaitOrFail(graft.streaming.SessionizeV2
+        .sessionizeStream(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+          gapMinutes = 30, watermarkDelay = "3650 days")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, label)
+    try {
+      stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
+      runOnce("st_restart_v2_parity stream run 1")
+      stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
+        stage, "b2.parquet", 2000000L)
+      runOnce("st_restart_v2_parity stream run 2")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), r4(col("total_value")).as("total_value"))
+      .orderBy("user_id", "session_start")
+  }
 }

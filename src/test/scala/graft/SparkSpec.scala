@@ -9,7 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: allow ONE task retry — normal runs never fail a
+      // task, but TaskRetrySpec injects first-attempt failures to pin
+      // retry determinism, and local's default maxFailures=1 would
+      // fail the whole job instead of re-attempting the task
+      .master("local[4, 2]")
       .appName("graft-tests")
       .withExtensions(new GraftExtensions) // dogfood the extension wiring
       .config("spark.sql.warehouse.dir",
