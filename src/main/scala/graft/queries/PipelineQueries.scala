@@ -2301,6 +2301,110 @@ object PipelineQueries extends QueryPack {
       .orderBy("l_returnflag")
   }
 
+  // K21 — ANALYZE/CBO driven end-to-end: per-column statistics must
+  // actually CHANGE the physical plan, not just sit in the catalog
+  // (CatalogOps.analyzeTable was spec-only before this row). The
+  // selective customer filter (segment equality × acctbal range) is
+  // invisible to the size-only estimator — the filtered relation
+  // keeps the full table's sizeInBytes, so with the broadcast
+  // threshold pinned between the two estimates the baseline plans a
+  // shuffle join — while the CBO estimator with column NDV/min-max
+  // stats prices it at ~2% and flips the build side to a broadcast.
+  // Both plan shapes are REQUIRED (pre-AQE sparkPlan: no broadcast
+  // without column stats, BroadcastHashJoin with them), the estimate
+  // drop is required (≥ 4×), and the join result is materialized
+  // UNDER the CBO conf (k20's lazy-plan lesson) then hash-pinned
+  // against the oracle's recomputation. Runs on an isolated
+  // newSession(): threshold/CBO knobs never leak into concurrently
+  // verifying queries. At 100 TB this flip is the difference between
+  // shuffling a fact table and shipping a few-MB dim — stats turn the
+  // optimizer's size guess into a measurement.
+  q("k21_cbo_join",
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+      |  ${sqlR2("sum(o_totalprice)")} AS sum_price,
+      |  true AS estimate_dropped_ok, true AS baseline_no_bhj_ok,
+      |  true AS cbo_bhj_ok
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal < 1000
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.io.CatalogOps
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val ns = s.newSession()
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val tOrders = s"k21_orders_$tag"; val tCust = s"k21_cust_$tag"
+    Tables.load(ns, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+      .write.format("parquet").saveAsTable(tOrders)
+    Tables.load(ns, dir, "customer")
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+      .write.format("parquet").saveAsTable(tCust)
+    // plan-stats evaluation reads the THREAD-ACTIVE session's SQLConf
+    // (SQLConf.get), not the Dataset's — without this, ns's CBO flag
+    // is invisible to Statistics.toPlanStats and the estimates never
+    // move (measured: rows=None with the stats sitting in the catalog)
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(ns)
+    val rows = try {
+      def joined = ns.table(tOrders)
+        .join(ns.table(tCust), col("o_custkey") === col("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 1000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), r2(sum("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+      // estimate the shape the JOIN actually builds on — filter THEN
+      // key-only projection (column pruning scales even the size-only
+      // estimate by the width ratio, so measuring the full-width
+      // filter would place the threshold on the wrong side of the
+      // baseline's pruned child)
+      def custEstimate: BigInt = ns.table(tCust)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 1000)
+        .select("c_custkey")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      CatalogOps.analyzeTable(ns, tCust)
+      CatalogOps.analyzeTable(ns, tOrders)
+      // s0: the size-only baseline — filter keeps the table's on-disk
+      // bytes (what the optimizer believes without CBO)
+      val s0 = custEstimate
+      ns.conf.set("spark.sql.cbo.enabled", "true")
+      // column stats: NDV(c_mktsegment)=5 × acctbal min/max range
+      // prices the filter at ~2% of the rows
+      CatalogOps.analyzeTable(ns, tCust, Seq("c_custkey", "c_mktsegment", "c_acctbal"))
+      val s2 = custEstimate
+      require(s2 * 4 <= s0,
+        s"column stats did not drop the filter estimate: $s0 -> $s2")
+      // threshold strictly between the two estimates (geometric mean:
+      // ≥ 2× margin to each side once s0/s2 ≥ 4)
+      val threshold = BigInt(math.sqrt((s0 * s2).toDouble).toLong)
+      ns.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+      def hasBhj = joined.queryExecution.sparkPlan.exists {
+        case _: BroadcastHashJoinExec => true
+        case _ => false
+      }
+      require(hasBhj,
+        "CBO + column stats did not flip the join to a broadcast")
+      val out = joined.collect() // materialize UNDER the CBO conf
+      ns.conf.set("spark.sql.cbo.enabled", "false")
+      require(!hasBhj,
+        "size-only baseline unexpectedly broadcasts — threshold not binding")
+      out
+    } finally {
+      ns.sql(s"DROP TABLE IF EXISTS $tOrders")
+      ns.sql(s"DROP TABLE IF EXISTS $tCust")
+      prevActive match {
+        case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+        case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+      }
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("o_orderpriority", StringType),
+          StructField("n_orders", LongType),
+          StructField("sum_price", DoubleType))))
+      .select(col("o_orderpriority"), col("n_orders"), col("sum_price"),
+        lit(true).as("estimate_dropped_ok"),
+        lit(true).as("baseline_no_bhj_ok"), lit(true).as("cbo_bhj_ok"))
+      .orderBy("o_orderpriority")
+  }
+
   // §2.9 streaming↔batch parity #4 — the LATE-DATA DROP semantics (the
   // three rows above deliberately disable lateness with a 3650-day
   // watermark; here the watermark is REAL and the drop path is the

@@ -30,6 +30,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: sbt "runMain graft.tools.StressGen /tmp/stress/sf1 10"
   *        sbt "runMain graft.tools.StressGen /tmp/stress/sf1skew 10 skew"
+  *        sbt "runMain graft.tools.StressGen /tmp/stress/sf1vskew 10 vskew"
   */
 object StressGen {
 
@@ -62,7 +63,20 @@ object StressGen {
     // already exercised by the uniform set (31-token vocab ⇒ mean
     // trigram posting ≈ cap/2 at 10×, so the hot tail hits the
     // posting caps there).
-    val skew = args.length > 2 && args(2) == "skew"
+    val mode = if (args.length > 2) args(2) else ""
+    val skew = mode == "skew"
+    // "vskew" mode: everything uniform EXCEPT embeddings — 5% of
+    // vectors become jittered copies of ONE base direction (pairwise
+    // cosine ≈ 0.999): a single tight cluster, the embedding-side skew
+    // a crawl of a template-heavy site produces. Unlike key skew this
+    // is OUTPUT-VOLUME skew — all ~(0.05·n)²/2 hot pairs are TRUE
+    // near-dups any correct miner must surface — so the question the
+    // tier answers is whether the LSH bucket-cap quantile bounds the
+    // hot buckets' candidate work while recall on the UNCAPPED
+    // remainder (the normal 1.5% near-dup population, which this mode
+    // keeps intact on the other 95%) holds. Isolated from key skew on
+    // purpose: one variable per tier (tools.VecSkewProbe measures it).
+    val vskew = mode == "vskew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -217,13 +231,18 @@ object StressGen {
       .withColumn("h", pm(1000)(col("id"), lit("vdup")))
       .withColumn("partner",
         greatest(lit(0L), col("id") - 1 - pm(53)(col("id"), lit("vptn"))))
+      // vskew: h ≥ 950 (top 5‰-disjoint band, so the normal near-dup
+      // population at h < 15 survives untouched on the remainder) →
+      // a jittered copy of the FIXED base direction seed −1
+      .withColumn("isHot", if (vskew) col("h") >= 950 else lit(false))
       .withColumn("isNear", col("h") < 15 && col("id") > 0)
-      .withColumn("seed", when(col("isNear"), col("partner")).otherwise(col("id")))
+      .withColumn("seed", when(col("isHot"), lit(-1L))
+        .when(col("isNear"), col("partner")).otherwise(col("id")))
       .withColumn("raw", expr(
         """transform(sequence(0, 63), i ->
           |  (cast(shiftrightunsigned(xxhash64(seed, 'vcmp', i), 11) as double)
           |     / 9007199254740992.0 - 0.5)
-          |  + CASE WHEN isNear
+          |  + CASE WHEN isNear OR isHot
           |      THEN (cast(shiftrightunsigned(xxhash64(id, 'vjit', i), 11) as double)
           |              / 9007199254740992.0 - 0.5) * 0.02
           |      ELSE 0.0 END)""".stripMargin))
@@ -234,7 +253,7 @@ object StressGen {
     write(emb, "embeddings", 2)
 
     println(s"[stressgen] done: $outDir at ${mult}x sf0.1" +
-      (if (skew) " (skewed keys)" else ""))
+      (if (skew) " (skewed keys)" else if (vskew) " (hot vector cluster)" else ""))
     spark.stop()
   }
 }
