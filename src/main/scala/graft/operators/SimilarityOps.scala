@@ -295,19 +295,48 @@ object SimilarityOps {
     val probes =
       if (multiprobe) radius1Probes(banded, bitsPerBand)
       else banded.withColumn("probe_val", col("band_val"))
-    val cand = probes.as("a")
+    val candRaw = probes.as("a")
       .join(banded.hint("SHUFFLE_HASH").as("b"),
         col("a.band") === col("b.band") &&
           col("a.probe_val") === col("b.band_val") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
-      .withColumn("cos", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= minSim)
-      .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+    // Verification order is a SCRATCH-DISK question, not a semantic
+    // one. At weak thresholds the auto geometry saturates its band
+    // count and candidate volume approaches bands × probes × bucket
+    // per vector — at n = 200k / τ = 0.45 that is ~6 G candidate rows,
+    // and the old shape (dedup exchange + two shuffle joins to fetch
+    // vectors) wrote >80 GB of shuffle and died on a full scratch disk
+    // (measured, round-11 100× sweep). When the vector payload fits a
+    // broadcast (plan-stats estimate ≤ 256 MB — 200k×64 floats is
+    // ~51 MB), verify INLINE instead: two broadcast hash joins + the
+    // cosine filter run map-side fused with the bucket join, so the
+    // billions of candidates stream through one stage and only
+    // τ-survivors (the true output, plus per-extra-band duplicates that
+    // distinct() folds) ever hit an exchange. A pair colliding in
+    // several bands is dot-producted once per band — idempotent
+    // arithmetic traded for not materializing the candidate list.
+    // Above the broadcast bound, the shuffle-verify shape remains: at
+    // that scale the corpus doesn't broadcast and a real cluster's
+    // aggregate scratch is the right place to pay.
+    val vecStats = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (vecStats <= 256L * 1024 * 1024) {
+      candRaw
+        .join(broadcast(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))), "id_a")
+        .join(broadcast(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))), "id_b")
+        .withColumn("cos", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= minSim)
+        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+        .distinct()
+    } else {
+      val cand = candRaw.dropDuplicates("id_a", "id_b")
+      cand
+        .join(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb")), "id_b")
+        .withColumn("cos", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= minSim)
+        .select(col("id_a"), col("id_b"), r4(col("cos")).as("cos"))
+    }
   }
 
   /** ANN via banded LSH: candidates agree on ≥1 of `bands` hash
