@@ -64,7 +64,13 @@ class PlanBudgetSpec extends SparkSpec {
     // composite: exact-dedup fingerprint window, near-dup CC rounds
     // (doc_id / (doc_id, g)), decontamination fingerprint join, split
     // assignment agg + final orderBy
-    "pipe_curate" -> (9, 3)
+    "pipe_curate" -> (9, 3),
+    // r11 broadcast-verify shape: bucket-stats agg + bucket join +
+    // survivors-only distinct, with the remaining exchanges belonging
+    // to the SAMPLED exact-twin recall harness (broadcast cosine scan
+    // + left join + final agg) — the candidate set itself no longer
+    // crosses an exchange (the r11 100x scratch-disk fix)
+    "dd_embedding_lsh" -> (9, 2)
   )
 
   private def counts(p: SparkPlan): (Int, Int) = {
