@@ -2687,6 +2687,79 @@ object PipelineQueries extends QueryPack {
       .orderBy("user_id", "c_ts", "e_ts", "e_value")
   }
 
+  // §2.9 streaming↔batch parity #10 — CHECKPOINT-RESTART for the
+  // STREAM-STREAM JOIN state backend (SymmetricHashJoinStateManager —
+  // the fourth distinct stateful-operator store, after
+  // flatMapGroupsWithState, windowed aggregation, and
+  // transformWithState/RocksDB). Identical join and oracle to
+  // st_join_parity, but the query is STOPPED after batch 1 — every
+  // unmatched batch-1 row on BOTH sides now lives only in the
+  // checkpoint's keyed join state — and a brand-new query resumes for
+  // batch 2. Non-vacuous two ways: a batch-1 cause can only match a
+  // batch-2 effect if the restored cause state is probed by the new
+  // incarnation, and a batch-1 unmatched cause can only emit its
+  // outer row if recovery carried it to the post-heartbeat watermark
+  // close. Lost or double-restored state fails the hash either way.
+  q("st_join_restart_parity",
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type
+      |  FROM events),
+      |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.ts AS c_ts, p.ts AS e_ts,
+      |  c.value AS c_value, p.value AS e_value
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      |ORDER BY 1, 2, 3, 5""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("value"), col("event_type"))
+    val causes = ev.filter(col("event_type") === "click").drop("event_type")
+    val effects = ev.filter(col("event_type") === "purchase").drop("event_type")
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val cutoff = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    def heartbeat = s.range(1).select(lit(-1L).as("user_id"),
+      lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts"),
+      lit(0.0).as("value"))
+    val cStage = tmpDir("graft_st_jr_c")
+    val eStage = tmpDir("graft_st_jr_e")
+    val outDir = tmpDir("graft_st_jr_out")
+    val ckpt = tmpDir("graft_st_jr_ckpt")
+    val schema = causes.schema
+    def read(d: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    def runOnce(label: String): Unit =
+      awaitOrFail(graft.streaming.StreamJoins
+        .attributionJoinLeftOuter(read(cStage), read(eStage),
+          windowMinutes = 30, watermarkDelay = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, label)
+    try {
+      // run 1: batch 1 only (both sides ≤ cutoff); on termination every
+      // still-joinable row sits solely in the symmetric join state
+      stageFile(causes.filter(col("ts") <= cutoff), cStage, "b1.parquet", 1000000L)
+      stageFile(effects.filter(col("ts") <= cutoff), eStage, "b1.parquet", 1000000L)
+      runOnce("st_join_restart_parity stream run 1")
+      // run 2: a NEW query on the same checkpoint folds in batch 2 +
+      // the far-future heartbeats that close every remaining window
+      stageFile(causes.filter(col("ts") > cutoff).unionByName(heartbeat),
+        cStage, "b2.parquet", 2000000L)
+      stageFile(effects.filter(col("ts") > cutoff).unionByName(heartbeat),
+        eStage, "b2.parquet", 2000000L)
+      runOnce("st_join_restart_parity stream run 2")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0) // drop the two heartbeats' self-pair
+      .select("user_id", "c_ts", "e_ts", "c_value", "e_value")
+      .orderBy("user_id", "c_ts", "e_ts", "e_value")
+  }
+
   // §2.9 streaming↔batch parity #8 — CHECKPOINT-RESTART for the
   // WINDOWED-AGGREGATION state backend (st_restart_parity proves
   // restart for flatMapGroupsWithState; st_hourly_parity runs this
