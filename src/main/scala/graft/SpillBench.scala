@@ -113,8 +113,12 @@ object SpillBench {
           s""""peak_task_mem_mb":${mb(peakTaskMem.get)},"gc_sec":${r1(gcTime.get / 1000.0)},""" +
           s""""shuffle_write_mb":${mb(shuffleWritten.get)},"checks":$ok}""")
       } catch { case e: Throwable =>
+        // backslashes FIRST, then quotes and ALL control chars (\r,
+        // \t, … — common in paths and Spark stack-trace messages):
+        // the quotes-and-\n-only form emitted malformed JSON for
+        // exactly the OOM-shaped failures this sweep exists to record
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\n]", " ").take(200)
+          .replace("\\", " ").replaceAll("[\\u0000-\\u001f\"]", " ").take(200)
         println(s"""{"query":"$name","error":"$msg"}""")
       } finally clearState()
     }

@@ -48,6 +48,15 @@ import org.apache.spark.sql.types._
   * unbounded groups use the t-digest aggregate instead
   * (`graftx.TDigest` — estimates with rank bounds).
   *
+  * `maxGroups` resolution: an explicit non-default argument wins;
+  * otherwise `spark.graft.quantile.maxGroups` (session conf — safety
+  * knobs belong in conf, not call sites, on a shared cluster);
+  * otherwise 100k. A resolved value ≤ 0 DISABLES the guard and skips
+  * the pre-scan entirely — the caller-asserts-bounded escape hatch
+  * for callers that already know their group cardinality (repeated
+  * calls on the same frame, tiny literal test frames) and would
+  * otherwise pay one whole pass of pure overhead per call.
+  *
   * Everything is deterministic: no rand/partition-id anywhere, so the
   * result is replay-identical (ReplayStabilitySpec sweeps it).
   *
@@ -57,6 +66,12 @@ import org.apache.spark.sql.types._
   */
 object QuantileOps {
 
+  /** Session-conf name for the cardinality-guard bound (scaladoc above). */
+  val maxGroupsConf = "spark.graft.quantile.maxGroups"
+
+  /** Built-in guard bound when neither the argument nor the conf sets one. */
+  val defaultMaxGroups = 100000
+
   /** (groupCol, quantiles array<double> aligned with `qs`) — one row
     * per group, built driver-side (bounded by group cardinality) so
     * callers can broadcast-join it back to facts.
@@ -65,7 +80,7 @@ object QuantileOps {
                        qs: Seq[Double], buckets: Int = 4096,
                        sliceThreshold: Int = 4096,
                        maxRounds: Int = 6,
-                       maxGroups: Int = 100000): DataFrame = {
+                       maxGroups: Int = defaultMaxGroups): DataFrame = {
     val spark = df.sparkSession
     val groupField = df.schema(groupCol)
     val res = exactQuantiles(df, groupCol, valueCol, qs, buckets,
@@ -94,7 +109,7 @@ object QuantileOps {
                      qs: Seq[Double], buckets: Int = 4096,
                      sliceThreshold: Int = 4096,
                      maxRounds: Int = 6,
-                     maxGroups: Int = 100000): Map[Any, Seq[Double]] = {
+                     maxGroups: Int = defaultMaxGroups): Map[Any, Seq[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     val spark = df.sparkSession
@@ -111,13 +126,21 @@ object QuantileOps {
     // makes the documented contract self-enforcing. The default 100k
     // bound keeps driver state ≤ a few GB at the default buckets; the
     // sketch's ~5% rsd is immaterial at OOM-protection granularity.
-    val approxGroups = raw
-      .agg(approx_count_distinct(col("__g")).as("g")).collect()(0).getLong(0)
-    require(approxGroups <= maxGroups,
-      s"~$approxGroups distinct '$groupCol' groups exceeds maxGroups=$maxGroups: " +
-        "exactQuantiles targets DRIVER-BOUNDED group cardinalities; for " +
-        "unbounded groups use the t-digest aggregate " +
-        "(org.apache.spark.sql.graftx.TDigestQuantiles — rank-bounded estimates)")
+    // Bound resolution (see object scaladoc): explicit arg > session
+    // conf > 100k default; ≤ 0 disables the guard (and its scan).
+    val effMaxGroups =
+      if (maxGroups != defaultMaxGroups) maxGroups
+      else spark.conf.getOption(maxGroupsConf).map(_.trim.toInt)
+        .getOrElse(defaultMaxGroups)
+    if (effMaxGroups > 0) {
+      val approxGroups = raw
+        .agg(approx_count_distinct(col("__g")).as("g")).collect()(0).getLong(0)
+      require(approxGroups <= effMaxGroups,
+        s"~$approxGroups distinct '$groupCol' groups exceeds maxGroups=$effMaxGroups: " +
+          "exactQuantiles targets DRIVER-BOUNDED group cardinalities; for " +
+          "unbounded groups use the t-digest aggregate " +
+          "(org.apache.spark.sql.graftx.TDigestQuantiles — rank-bounded estimates)")
+    }
 
     // pass 1: per-group n / min / max (+ NaN guard — NaN breaks the
     // ordering every engine's quantile assumes). Computed on the

@@ -319,8 +319,26 @@ object SimilarityOps {
     // Above the broadcast bound, the shuffle-verify shape remains: at
     // that scale the corpus doesn't broadcast and a real cluster's
     // aggregate scratch is the right place to pay.
+    //
+    // The bound compares 4× the plan-stats estimate against
+    // `spark.graft.lsh.broadcastVerifyBound` (default 256 MiB).
+    // sizeInBytes reflects compressed columnar on-disk bytes; the
+    // in-memory BroadcastHashedRelation (UnsafeRow rows + hash map +
+    // the added norm column) expands that severalfold, so a corpus
+    // estimated just under the raw bound could materialize ~1–2 GB
+    // per broadcast and OOM a tight driver/executor heap — an
+    // availability regression the always-shuffle shape could not hit.
+    // The 4× factor keeps the r11 measured case (200k × 64 floats,
+    // ~51 MB estimate) on the broadcast path while rejecting
+    // estimates that only "fit" before expansion; constrained-heap
+    // callers (the 4g SpillBench regime) can opt down via the conf,
+    // and the branch-parity spec forces the shuffle shape by setting
+    // it to 1.
+    val bound = vectors.sparkSession.conf
+      .getOption("spark.graft.lsh.broadcastVerifyBound")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
     val vecStats = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (vecStats <= 256L * 1024 * 1024) {
+    if (vecStats * 4 <= bound) {
       candRaw
         .join(broadcast(base.select(col("id").as("id_a"), col("v").as("va"), col("n").as("na"))), "id_a")
         .join(broadcast(base.select(col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))), "id_b")

@@ -2332,19 +2332,23 @@ object PipelineQueries extends QueryPack {
     val ns = s.newSession()
     val tag = java.lang.Long.toHexString(System.nanoTime())
     val tOrders = s"k21_orders_$tag"; val tCust = s"k21_cust_$tag"
-    Tables.load(ns, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-      .write.format("parquet").saveAsTable(tOrders)
-    Tables.load(ns, dir, "customer")
-      .select("c_custkey", "c_mktsegment", "c_acctbal")
-      .write.format("parquet").saveAsTable(tCust)
     // plan-stats evaluation reads the THREAD-ACTIVE session's SQLConf
     // (SQLConf.get), not the Dataset's — without this, ns's CBO flag
     // is invisible to Statistics.toPlanStats and the estimates never
     // move (measured: rows=None with the stats sitting in the catalog)
     val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
     org.apache.spark.sql.SparkSession.setActiveSession(ns)
-    val rows = try {
+    val (rows, sepOk, cboBhjOk, baseNoBhjOk) = try {
+      // table creation INSIDE the try: if the second write (or a load)
+      // throws, the finally's DROP TABLE IF EXISTS still covers
+      // whatever was created — otherwise repeated verify runs leak
+      // orphaned k21_* tables into the shared warehouse
+      Tables.load(ns, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.format("parquet").saveAsTable(tOrders)
+      Tables.load(ns, dir, "customer")
+        .select("c_custkey", "c_mktsegment", "c_acctbal")
+        .write.format("parquet").saveAsTable(tCust)
       def joined = ns.table(tOrders)
         .join(ns.table(tCust), col("o_custkey") === col("c_custkey"))
         .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 1000)
@@ -2370,7 +2374,14 @@ object PipelineQueries extends QueryPack {
       // prices the filter at ~2% of the rows
       CatalogOps.analyzeTable(ns, tCust, Seq("c_custkey", "c_mktsegment", "c_acctbal"))
       val s2 = custEstimate
-      require(s2 * 4 <= s0,
+      // the ≥4× separation is BOTH a local fail-fast AND a hashed
+      // *_ok column below: a stats drift (e.g. a Spark version bump
+      // moving both estimates to the same side of the threshold)
+      // would otherwise pass the plan asserts vacuously — putting the
+      // measured margin in the oracle-pinned output makes the
+      // separation itself regression-proof
+      val sep = s2 * 4 <= s0
+      require(sep,
         s"column stats did not drop the filter estimate: $s0 -> $s2")
       // threshold strictly between the two estimates (geometric mean:
       // ≥ 2× margin to each side once s0/s2 ≥ 4)
@@ -2380,13 +2391,15 @@ object PipelineQueries extends QueryPack {
         case _: BroadcastHashJoinExec => true
         case _ => false
       }
-      require(hasBhj,
+      val cboFlipped = hasBhj
+      require(cboFlipped,
         "CBO + column stats did not flip the join to a broadcast")
       val out = joined.collect() // materialize UNDER the CBO conf
       ns.conf.set("spark.sql.cbo.enabled", "false")
-      require(!hasBhj,
+      val baseShuffles = !hasBhj
+      require(baseShuffles,
         "size-only baseline unexpectedly broadcasts — threshold not binding")
-      out
+      (out, sep, cboFlipped, baseShuffles)
     } finally {
       ns.sql(s"DROP TABLE IF EXISTS $tOrders")
       ns.sql(s"DROP TABLE IF EXISTS $tCust")
@@ -2400,8 +2413,9 @@ object PipelineQueries extends QueryPack {
           StructField("n_orders", LongType),
           StructField("sum_price", DoubleType))))
       .select(col("o_orderpriority"), col("n_orders"), col("sum_price"),
-        lit(true).as("estimate_dropped_ok"),
-        lit(true).as("baseline_no_bhj_ok"), lit(true).as("cbo_bhj_ok"))
+        lit(sepOk).as("estimate_dropped_ok"),
+        lit(baseNoBhjOk).as("baseline_no_bhj_ok"),
+        lit(cboBhjOk).as("cbo_bhj_ok"))
       .orderBy("o_orderpriority")
   }
 

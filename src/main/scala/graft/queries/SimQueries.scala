@@ -332,6 +332,80 @@ object SimQueries extends QueryPack {
         (coalesce(col("__hits"), lit(0)) >= col("n_pinned_pairs") * lit(0.9)).as("recall_ok"))
   }
 
+  // Embedding-SKEW robustness under the bucket cap — the r11
+  // VecSkewProbe contract promoted to a driver-hashed row. A planted
+  // hot cluster (vec_id % 5 = 2, 20% of the corpus, all sharing ONE
+  // exact vector — duplicated-asset skew, where every hot-hot pair is
+  // a true near-dup and a naive miner pays the (n/5)²/2 quadratic
+  // bill) is injected Spark-side; the cold 80% keep their original
+  // embeddings. The miner runs with an explicit cap of nHot/2: the
+  // hot mega-bucket (≥ nHot members in EVERY band — identical vectors
+  // have identical signatures) is excised deterministically, so the
+  // row pins hot_hot_pairs = 0 exactly (bounded hot cost), while
+  // typical cold buckets (~targetBucket = 32 ≪ nHot/2) survive and
+  // remainder recall vs the cold-population exact twin must hold
+  // ≥ 0.9 (intact remainder). The oracle recomputes the sampled
+  // cold-cold exact pair count with DuckDB list arithmetic
+  // (bit-identical cosine folds — cold embeddings are untouched by
+  // the plant) and pins the two skew booleans plus the literal 0.
+  q("dd_embedding_lsh_vskew",
+    """WITH cold AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 != 2),
+      |v AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |      (a, b) -> a + b)) AS nrm
+      |  FROM cold),
+      |k AS (SELECT greatest(1, count(*) // 512) AS k FROM cold)
+      |SELECT CAST(count(*) AS BIGINT) AS n_pinned_pairs,
+      |  true AS remainder_recall_ok,
+      |  CAST(0 AS BIGINT) AS hot_hot_pairs, true AS hot_excised_ok
+      |FROM v a JOIN v b ON a.vec_id < b.vec_id
+      |WHERE (a.vec_id % (SELECT k FROM k) = 0 OR b.vec_id % (SELECT k FROM k) = 0)
+      |  AND list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(a.embedding)),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (x, y) -> x + y) / (a.nrm * b.nrm) >= 0.45""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val isHot = col("vec_id") % 5 === 2
+    // the planted cluster vector: any fixed non-degenerate direction
+    // works — the pin is about bucket geometry, not its value
+    val planted = transform(sequence(lit(0), lit(63)),
+      i => sin(i.cast("double") + lit(1.0)).cast("float"))
+    val fix = emb.select(col("vec_id"),
+      when(isHot, planted).otherwise(col("embedding")).as("embedding"))
+    val n = emb.count()
+    val nHot = emb.filter(isHot).count()
+    val cold = emb.filter(!isHot)
+    val lsh = SimilarityOps.embeddingLshPairs(fix, "vec_id", "embedding",
+        dim = 64, bands = SimilarityOps.autoBands(n, 0.45),
+        bitsPerBand = SimilarityOps.autoBitsPerBand(n), minSim = 0.45,
+        maxBucket = Some(math.max(2L, nHot / 2).toInt), capQuantile = None)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val k = SimilarityOps.sampleModulus(n - nHot, 512)
+    val sample = cold.filter(col("vec_id") % k === 0)
+    val exact = SimilarityOps.cosinePairsFor(sample, cold,
+        "vec_id", "embedding", minSim = 0.45)
+      .select(col("id_a"), col("id_b"))
+    val rec = exact
+      .join(lsh.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_pinned_pairs"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    val hot = lsh.agg(coalesce(sum(
+        when(col("id_a") % 5 === 2 && col("id_b") % 5 === 2, 1L)),
+      lit(0L)).as("hot_hot_pairs"))
+    rec.crossJoin(hot)
+      .select(col("n_pinned_pairs"),
+        (coalesce(col("__hits"), lit(0)) >=
+          col("n_pinned_pairs") * lit(0.9)).as("remainder_recall_ok"),
+        col("hot_hot_pairs"),
+        (col("hot_hot_pairs") === 0).as("hot_excised_ok"))
+  }
+
   // Embedding-cosine near-duplicate detection, the exact oracle twin
   // of dd_embedding_lsh: brute-force all pairs above threshold —
   // correctness ground truth at small n, NOT the production plan.

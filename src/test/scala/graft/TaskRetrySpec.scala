@@ -54,10 +54,15 @@ class TaskRetrySpec extends SparkSpec {
   }
 
   /** Canonical multiset fingerprint — column order fixed by name, rows
-    * sorted, so only CONTENT differences fail.
+    * sorted, so only CONTENT differences fail. The U+0001 field
+    * separator (written as an escape — a raw control byte here reads
+    * as an EMPTY separator to reviewers) keeps distinct rows from
+    * colliding via concatenation (("ab","c") vs ("a","bc")) — a
+    * collision would mask a retry-nondeterminism diff as a false
+    * pass.
     */
   private def fingerprint(rows: Array[Row]): Seq[String] =
-    rows.map(_.toSeq.map(String.valueOf).mkString("")).sorted.toSeq
+    rows.map(_.toSeq.map(String.valueOf).mkString("\u0001")).sorted.toSeq
 
   private def assertRetryStable(name: String, df: DataFrame): Unit = {
     val clean = fingerprint(df.collect())

@@ -56,6 +56,36 @@ class LshRecallSpec extends SparkSpec {
     assert(nonPile.nonEmpty, "capping the hot bucket must not erase unrelated near-dups")
   }
 
+  test("embeddingLshPairs: broadcast-verify and shuffle-verify branches are bit-identical") {
+    // the r11 scale fix branches on plan stats ≤ the broadcast-verify
+    // bound: small corpora take the fused broadcast shape, corpora
+    // above it the dedup-first shuffle shape (the 100 TB fallback).
+    // Ordinary runs only ever exercise ONE branch per corpus size, so
+    // without this pin the fallback could silently diverge. Force the
+    // large-side branch by conf'ing the bound down to 1 byte and
+    // assert (id_a, id_b, cos) equality with the broadcast branch —
+    // the cos column included: verification arithmetic (per-band
+    // re-dot vs dedup-first single dot) must agree exactly, not just
+    // on the surviving pair ids.
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    def mine() = SimilarityOps.embeddingLshPairs(planted, "vec_id", "embedding",
+      dim, bands = 12, bitsPerBand = 5, minSim = 0.8)
+    val viaBroadcast = mine()
+    val conf = "spark.graft.lsh.broadcastVerifyBound"
+    val viaShuffle = try {
+      spark.conf.set(conf, "1")
+      mine()
+    } finally spark.conf.unset(conf)
+    // the conf genuinely selected a different logical shape (dedup
+    // position moves across the verify joins)…
+    assert(viaBroadcast.queryExecution.optimizedPlan.toString !=
+      viaShuffle.queryExecution.optimizedPlan.toString,
+      "bound conf did not change the verify branch")
+    // …and both shapes emit the same verified pairs with the same cos
+    assert(rows(viaShuffle) == rows(viaBroadcast))
+  }
+
   /** 10 tight clusters of 40 vectors each around well-separated centers. */
   private lazy val clustered: DataFrame = {
     val centers = (0 until 10).map(_ => randVec().map(_ * 5f))

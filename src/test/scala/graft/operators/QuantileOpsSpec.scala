@@ -110,6 +110,36 @@ class QuantileOpsSpec extends graft.SparkSpec {
     assert(e2.getMessage.contains("maxGroups"))
   }
 
+  test("guard bound resolves from spark.graft.quantile.maxGroups; <= 0 disables it") {
+    // safety knobs belong in conf, not call sites, on a shared
+    // cluster: the session conf must bind when the caller leaves the
+    // default, an explicit argument must still win, and a
+    // non-positive resolved bound must DISABLE the guard (the
+    // caller-asserts-bounded escape hatch — no pre-scan tax for
+    // callers that already know their cardinality)
+    val wide = (1 to 1000).map(i => (s"k$i", i * 1.0)).toDF("g", "v")
+    val conf = QuantileOps.maxGroupsConf
+    try {
+      // conf binds in place of the default
+      spark.conf.set(conf, "10")
+      val e = intercept[IllegalArgumentException] {
+        QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5))
+      }
+      assert(e.getMessage.contains("maxGroups=10"))
+      // explicit non-default argument overrides the conf
+      val ok = QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5), maxGroups = 5000)
+      assert(ok.size == 1000)
+      // conf <= 0 disables the guard entirely (not "a bound of -1")
+      spark.conf.set(conf, "-1")
+      val ok2 = QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5))
+      assert(ok2.size == 1000 && ok2("k7") == Seq(7.0))
+      // explicit <= 0 argument disables it too, conf notwithstanding
+      spark.conf.set(conf, "10")
+      val ok3 = QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5), maxGroups = -1)
+      assert(ok3.size == 1000)
+    } finally spark.conf.unset(conf)
+  }
+
   test("exactQuantilesDF round-trips the map as a broadcastable frame") {
     val df = (1 to 300).map(i => (s"g${i % 2}", i * 1.1)).toDF("g", "v")
     val out = QuantileOps.exactQuantilesDF(df, "g", "v", Seq(0.5, 0.9))
