@@ -100,7 +100,7 @@ object ScaleBench {
       } catch { case e: Throwable =>
         clearState()
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replaceAll("[\"\n]", " ").take(160)
+          .replace("\\", " ").replaceAll("[\\u0000-\\u001f\"]", " ").take(160)
         println(s"""{"query":"$name","error":"$msg"}""")
       }
     }

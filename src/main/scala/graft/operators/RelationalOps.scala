@@ -56,14 +56,36 @@ object RelationalOps {
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Broadcast `df` only when 4× its plan-stats estimate fits
+    * `spark.graft.broadcastDimBound` (default 256 MiB) — else return
+    * it unhinted and let Catalyst/AQE plan the join. The UNCONDITIONAL
+    * hint was the repo's one measured 1000×-tier kill (r12: pipe_mart
+    * at 100M events died broadcasting its 15M-row user dim): a hint
+    * bypasses autoBroadcastJoinThreshold entirely, so a dim that
+    * grows with the corpus eventually OOMs the build side. The 4×
+    * factor covers on-disk-columnar → in-memory-hash-relation
+    * expansion (same reasoning as the LSH broadcast-verify bound);
+    * the bound deliberately sits far above the 10 MB auto threshold —
+    * a 100 MB dim is still worth forcing against a 100 TB fact scan.
+    */
+  def broadcastIfFits(df: DataFrame): DataFrame = {
+    val bound = df.sparkSession.conf
+      .getOption("spark.graft.broadcastDimBound")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est * 4 <= bound) broadcast(df) else df
+  }
+
   /** J1/J2 — enrich facts with a small dimension via broadcast hash join
     * (`process_openaq_raw.py:188-192`). The dim is deduplicated first so
     * the join can never fan out (`:185`). Broadcast ⇒ no shuffle of the
-    * (huge) fact side — the 100 TB-safe join shape for dims.
+    * (huge) fact side — the 100 TB-safe join shape for dims that FIT;
+    * the [[broadcastIfFits]] stats gate falls back to a shuffle join
+    * when the dim outgrows the bound (the 1000×-measured failure mode).
     */
   def enrich(facts: DataFrame, dim: DataFrame, key: String,
              joinType: String = "left"): DataFrame =
-    facts.join(broadcast(dim.dropDuplicates(key)), Seq(key), joinType)
+    facts.join(broadcastIfFits(dim.dropDuplicates(key)), Seq(key), joinType)
 
   /** P8 — null defaulting (`process_openaq_raw.py:195-198`). */
   def fillDefaults(df: DataFrame, stringDefaults: Map[String, String],

@@ -161,10 +161,15 @@ object AqPipeline {
       lit("Unknown"))
 
   /** J1 + P8 — broadcast-enrich facts with the location dim, then
-    * default-fill (`process_openaq_raw.py:188-198`).
+    * default-fill (`process_openaq_raw.py:188-198`). The broadcast is
+    * stats-gated ([[graft.operators.RelationalOps.broadcastIfFits]]):
+    * the location dim grows with the corpus, and an unconditional
+    * hint OOMs once it outgrows the build side (the r12 1000×-tier
+    * finding on the events-shaped twin).
     */
   def enrich(facts: DataFrame, dim: DataFrame): DataFrame =
-    facts.join(broadcast(dim), Seq("location_id"), "left")
+    facts.join(graft.operators.RelationalOps.broadcastIfFits(dim),
+        Seq("location_id"), "left")
       .na.fill(Map("city_name" -> "Unknown", "country_code" -> "VN"))
       .na.fill(Map("latitude" -> 0.0, "longitude" -> 0.0))
 
@@ -217,14 +222,29 @@ object AqPipeline {
 
   /** K1 — partitioned parquet sink, idempotent per partition: dynamic
     * partition overwrite replaces the reference's blind append
-    * (`process_openaq_raw.py:253-256`; fix per SURVEY §7.4-3). AQE
-    * handles file sizing — no manual repartition.
+    * (`process_openaq_raw.py:253-256`; fix per SURVEY §7.4-3).
+    *
+    * File sizing: an AQE `rebalance` on the partition columns. A bare
+    * partitionBy write emits tasks × touched-partition-values files —
+    * the reference's documented production failure (50–200 KB files
+    * vs a 128–256 MB target, `doc/GLUE_JOBS_GUIDE.md:310,404-407`) —
+    * and its blunt fix, `repartition(cols)`, caps every partition at
+    * ONE task (a day-level hot partition serializes through one
+    * writer and emits one oversized file). Rebalance is the shape
+    * that survives both directions at 100 TB: AQE coalesces small
+    * hash partitions (few files per dir) and SPLITS oversized ones at
+    * the advisory partition size (bounded file size under date skew).
+    * Measured at the 100× set by `tools.SinkHygieneProbe`
+    * (BENCHNOTES round-12): 8.0 → 1.0 files per partition dir, mean
+    * file 0.96 → 6.85 MB, write 9.2 → 5.9 s (clustering also
+    * compresses better: 230 → 205 MB total).
     */
   def writeMart(df: DataFrame, path: String): Unit =
     // per-WRITE option, not a session conf mutation (a session-wide
     // dynamic mode would silently leave stale partitions behind in any
     // LATER full-table overwrite elsewhere in the session)
-    df.write.mode("overwrite")
+    df.hint("rebalance", col("year"), col("month"), col("day"))
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month", "day").parquet(path)
 
@@ -245,6 +265,10 @@ object AqPipeline {
         lpad(month(col(tsCol)).cast("string"), 2, "0").as("month"),
         lpad(dayofmonth(col(tsCol)).cast("string"), 2, "0").as("day"),
         lpad(hour(col(tsCol)).cast("string"), 2, "0").as("hour"))
+      // same file-hygiene rebalance as writeMart: hour-bucketed text
+      // lands as few right-sized files per hour dir instead of one
+      // sliver per (task × hour)
+      .hint("rebalance", col("year"), col("month"), col("day"), col("hour"))
       .write.mode("append")
       .partitionBy("year", "month", "day", "hour")
       .text(path)

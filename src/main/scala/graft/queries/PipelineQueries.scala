@@ -390,6 +390,10 @@ object PipelineQueries extends QueryPack {
     Tables.load(s, dir, "events")
       .withColumn("year", date_format(col("ts"), "yyyy"))
       .withColumn("month", lpad(month(col("ts")).cast("string"), 2, "0"))
+      // file hygiene at scale: cluster on the partition cols via AQE
+      // rebalance (see AqPipeline.writeMart — coalesces small
+      // partitions AND splits skewed ones at the advisory size)
+      .hint("rebalance", col("year"), col("month"))
       .write.mode("overwrite").partitionBy("year", "month").parquet(out)
     // keep hive partition values as the strings we wrote ("01" not 1)
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
