@@ -91,9 +91,20 @@ object FuzzyOps {
         greatest(col("la"), col("lb")) - lit(q - 1) - lit(maxDist * gramsPerEdit))
       .select("id_a", "id_b", "s_a", "s_b")
 
-    val shortSide = base.filter(col("len") <= shortMax)
+    // The short-string window join is inherently all-pairs within
+    // ±maxDist (too few q-grams to pin candidates), so the short side
+    // has no non-broadcast plan — the unhinted fallback would be a
+    // cartesian. Gate it loudly: broadcast while it fits, fail fast
+    // with the remedy once the short population outgrows the bound
+    // (r12: unconditional broadcasts of corpus-growing sides are the
+    // measured decade-kill class).
+    val shortSide = RelationalOps.requireBroadcastable(
+      base.filter(col("len") <= shortMax),
+      s"edit-distance short side (len <= $shortMax)",
+      "raise q / lower shortMax so more strings take the q-gram path, " +
+        "or pre-block the corpus before pairing")
     val candShort = shortSide.as("a")
-      .join(broadcast(shortSide.as("b")),
+      .join(shortSide.as("b"),
         col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

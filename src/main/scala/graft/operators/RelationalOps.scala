@@ -69,11 +69,29 @@ object RelationalOps {
     * a 100 MB dim is still worth forcing against a 100 TB fact scan.
     */
   def broadcastIfFits(df: DataFrame): DataFrame = {
-    val bound = df.sparkSession.conf
-      .getOption("spark.graft.broadcastDimBound")
-      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val bound = broadcastBound(df)
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (est * 4 <= bound) broadcast(df) else df
+  }
+
+  private def broadcastBound(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("spark.graft.broadcastDimBound")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+
+  /** [[broadcastIfFits]] for sides that have NO non-broadcast plan —
+    * e.g. an inherently all-pairs window join where the unhinted
+    * fallback would be a cartesian. Broadcasts when it fits; above
+    * the bound it fails FAST with the caller-supplied remedy instead
+    * of OOMing the build side mid-job.
+    */
+  def requireBroadcastable(df: DataFrame, what: String, remedy: String): DataFrame = {
+    val bound = broadcastBound(df)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    require(est * 4 <= bound,
+      s"$what (~$est bytes plan-stats, x4 in-memory) exceeds the broadcast " +
+        s"bound $bound (spark.graft.broadcastDimBound): $remedy")
+    broadcast(df)
   }
 
   /** J1/J2 — enrich facts with a small dimension via broadcast hash join
@@ -389,10 +407,13 @@ object RelationalOps {
           "labels are NOT a fixed point; raise maxIter or use connectedComponentsStar " +
           "(O(log n) rounds, diameter-independent)")
     // singletons rejoin with their own id as the cluster label; the
-    // paired-node set (the duplicate fraction) broadcasts, so the full
-    // corpus never shuffles just to learn which rows were untouched
+    // paired-node set (the duplicate fraction) broadcasts WHEN IT FITS
+    // — so the full corpus never shuffles just to learn which rows
+    // were untouched — and falls back to a shuffled anti-join when the
+    // dup set outgrows the bound (stats-gated like every other
+    // corpus-growing broadcast after the r12 1000×-tier OOM)
     val singletons = nodes.select(col(idCol).as("id"))
-      .join(broadcast(pairedNodes), Seq("id"), "left_anti")
+      .join(broadcastIfFits(pairedNodes), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     val out = labels.unionByName(singletons)
       .select(col("id").as(idCol), col("label").as("cluster_id"))
@@ -501,7 +522,7 @@ object RelationalOps {
     val mins = pairedNodes.join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     val singletons = nodes.select(col(idCol).as("id"))
-      .join(broadcast(pairedNodes), Seq("id"), "left_anti")
+      .join(broadcastIfFits(pairedNodes), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     // the final `edges` cache stays live — the returned plan reads the
     // converged edge set THROUGH it, and unpersisting here would force
