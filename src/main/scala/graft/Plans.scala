@@ -73,6 +73,7 @@ object Plans {
     "dd_embedding_clusters_lsh", // LSH-edge CC: label assembly over checkpointed loop state, paired-node broadcast
     "gr_components_star",  // star-contraction CC: converged star edges + broadcast singleton anti-join
     "dd_repeated_spans",   // exact-substring dedup: O(n) WindowHashes pass 1, string verify on candidates only
+    "dd_embedding_lsh_vskew", // planted hot cluster: capped bucket join, broadcast-fused verify, zero hot-hot
     "ann_pca_topk",        // PCA 16-dim stage-1 scan + full-width rescore on candidates only
     "tx_quality_quantile_gate", // 5-row per-lang threshold broadcast back over the corpus
     "tx_topk_tokens_heap", // TopKPerGroupExec over (lang, term) counts: heap stages, no sort
