@@ -1407,7 +1407,10 @@ object CoreQueries extends QueryPack {
     Tables.load(s, dir, "lineitem")
       .join(orders, col("l_orderkey") === col("o_orderkey"))
       .join(Tables.load(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.load(s, dir, "supplier")),
+      // supplier grows with the corpus → stats-gated; nation/region
+      // are constant-size (25/5 rows) and stay hard-broadcast
+      .join(graft.operators.RelationalOps.broadcastIfFits(
+          Tables.load(s, dir, "supplier")),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.load(s, dir, "nation")),
         col("c_nationkey") === col("n_nationkey") &&
@@ -2196,9 +2199,14 @@ object CoreQueries extends QueryPack {
     val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
     val c = Tables.load(s, dir, "customer").select("c_custkey", "c_nationkey")
     val su = Tables.load(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    // customer/supplier GROW with the corpus — stats-gated broadcast
+    // (fits → BHJ; at the 1000× tier the 15M-row customer build side
+    // killed a 4 g heap, so above the bound the join shuffles)
     val vol = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(graft.operators.RelationalOps.broadcastIfFits(c),
+        col("o_custkey") === col("c_custkey"))
+      .join(graft.operators.RelationalOps.broadcastIfFits(su),
+        col("l_suppkey") === col("s_suppkey"))
       .filter(col("c_nationkey") =!= col("s_nationkey"))
       .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
