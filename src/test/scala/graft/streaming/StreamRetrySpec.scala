@@ -62,6 +62,23 @@ class StreamRetrySpec extends graft.SparkSpec {
       .sorted.toSeq
 
   test("windowed-agg stream is exactly-once under injected task retries in the stateful stage") {
+    runRetryCase(rocksdb = false)
+  }
+
+  test("same exactly-once property on the RocksDB state backend") {
+    // the production provider keeps state off-heap + native; a failed
+    // attempt must roll back its uncommitted RocksDB changelog exactly
+    // like the HDFS provider discards its delta — task retry and
+    // backend choice compose, or failover behavior would be
+    // provider-dependent
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runRetryCase(rocksdb = true)
+    finally spark.conf.unset(conf)
+  }
+
+  private def runRetryCase(rocksdb: Boolean): Unit = {
     val ev = graft.Tables.load(spark, sf, "events")
       .select(col("ts"), col("event_type"))
     val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
@@ -79,7 +96,8 @@ class StreamRetrySpec extends graft.SparkSpec {
     // second attempt, not at the throw site: Spark discards
     // accumulator updates from failed tasks, so incrementing where
     // the exception is raised always reads 0
-    val retried = spark.sparkContext.longAccumulator("stream_retry_retried")
+    val retried = spark.sparkContext.longAccumulator(
+      if (rocksdb) "stream_retry_retried_rocksdb" else "stream_retry_retried")
 
     def runOnce(label: String): Unit = {
       val agg = spark.readStream.schema(ev.schema)
