@@ -99,8 +99,7 @@ object ScaleBench {
           s""""ratio":${r3(tB / math.max(tA, 1e-9))},"checks_small":$okA,"checks_big":$okB}""")
       } catch { case e: Throwable =>
         clearState()
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replace("\\", " ").replaceAll("[\\u0000-\\u001f\"]", " ").take(160)
+        val msg = graft.GraftConf.jsonSafeMsg(e, 160)
         println(s"""{"query":"$name","error":"$msg"}""")
       }
     }

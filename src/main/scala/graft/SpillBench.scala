@@ -117,8 +117,7 @@ object SpillBench {
         // \t, … — common in paths and Spark stack-trace messages):
         // the quotes-and-\n-only form emitted malformed JSON for
         // exactly the OOM-shaped failures this sweep exists to record
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replace("\\", " ").replaceAll("[\\u0000-\\u001f\"]", " ").take(200)
+        val msg = graft.GraftConf.jsonSafeMsg(e, 200)
         println(s"""{"query":"$name","error":"$msg"}""")
       } finally clearState()
     }

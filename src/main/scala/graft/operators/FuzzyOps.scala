@@ -97,12 +97,19 @@ object FuzzyOps {
     // cartesian. Gate it loudly: broadcast while it fits, fail fast
     // with the remedy once the short population outgrows the bound
     // (r12: unconditional broadcasts of corpus-growing sides are the
-    // measured decade-kill class).
-    val shortSide = RelationalOps.requireBroadcastable(
+    // measured decade-kill class). MEASURED gate, not plan stats: the
+    // side is a Filter over the corpus scan, and the size-only stats
+    // visitor gives a Filter its child's sizeInBytes — the stats form
+    // would reject by corpus size on any large parquet input even
+    // when zero strings are short. One pruned count+bytes job is the
+    // honest price (same trade as the QuantileOps cardinality
+    // pre-scan); rows are (id long, s ≤shortMax chars, len int).
+    val shortSide = RelationalOps.requireBroadcastableMeasured(
       base.filter(col("len") <= shortMax),
+      octet_length(col("s")),
       s"edit-distance short side (len <= $shortMax)",
-      "raise q / lower shortMax so more strings take the q-gram path, " +
-        "or pre-block the corpus before pairing")
+      "pre-block or pre-dedup the corpus before pairing, or raise " +
+        "spark.graft.broadcastDimBound if the heap affords it")
     val candShort = shortSide.as("a")
       .join(shortSide.as("b"),
         col("a.id") < col("b.id") &&

@@ -48,9 +48,12 @@ import org.apache.spark.sql.types._
   * unbounded groups use the t-digest aggregate instead
   * (`graftx.TDigest` — estimates with rank bounds).
   *
-  * `maxGroups` resolution: an explicit non-default argument wins;
-  * otherwise `spark.graft.quantile.maxGroups` (session conf — safety
-  * knobs belong in conf, not call sites, on a shared cluster);
+  * `maxGroups` resolution: any EXPLICIT argument wins (the default is
+  * the [[QuantileOps.useSessionMaxGroups]] sentinel, so passing the
+  * documented 100k explicitly is distinguishable from omitting it —
+  * a session conf can never silently override a caller's stated
+  * bound); otherwise `spark.graft.quantile.maxGroups` (session conf —
+  * safety knobs belong in conf, not call sites, on a shared cluster);
   * otherwise 100k. A resolved value ≤ 0 DISABLES the guard and skips
   * the pre-scan entirely — the caller-asserts-bounded escape hatch
   * for callers that already know their group cardinality (repeated
@@ -72,6 +75,13 @@ object QuantileOps {
   /** Built-in guard bound when neither the argument nor the conf sets one. */
   val defaultMaxGroups = 100000
 
+  /** Default-argument sentinel: "no explicit bound — resolve from the
+    * session conf, else [[defaultMaxGroups]]". Kept distinct from any
+    * meaningful bound (every real value, including the guard-disabling
+    * ≤ 0 ones, wins over the conf when passed explicitly).
+    */
+  val useSessionMaxGroups: Int = Int.MinValue
+
   /** (groupCol, quantiles array<double> aligned with `qs`) — one row
     * per group, built driver-side (bounded by group cardinality) so
     * callers can broadcast-join it back to facts.
@@ -80,7 +90,7 @@ object QuantileOps {
                        qs: Seq[Double], buckets: Int = 4096,
                        sliceThreshold: Int = 4096,
                        maxRounds: Int = 6,
-                       maxGroups: Int = defaultMaxGroups): DataFrame = {
+                       maxGroups: Int = useSessionMaxGroups): DataFrame = {
     val spark = df.sparkSession
     val groupField = df.schema(groupCol)
     val res = exactQuantiles(df, groupCol, valueCol, qs, buckets,
@@ -109,7 +119,7 @@ object QuantileOps {
                      qs: Seq[Double], buckets: Int = 4096,
                      sliceThreshold: Int = 4096,
                      maxRounds: Int = 6,
-                     maxGroups: Int = defaultMaxGroups): Map[Any, Seq[Double]] = {
+                     maxGroups: Int = useSessionMaxGroups): Map[Any, Seq[Double]] = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles must be in [0,1]: $qs")
     val spark = df.sparkSession
@@ -129,8 +139,8 @@ object QuantileOps {
     // Bound resolution (see object scaladoc): explicit arg > session
     // conf > 100k default; ≤ 0 disables the guard (and its scan).
     val effMaxGroups =
-      if (maxGroups != defaultMaxGroups) maxGroups
-      else spark.conf.getOption(maxGroupsConf).map(_.trim.toInt)
+      if (maxGroups != useSessionMaxGroups) maxGroups
+      else graft.GraftConf.intConf(spark, maxGroupsConf)
         .getOrElse(defaultMaxGroups)
     if (effMaxGroups > 0) {
       val approxGroups = raw

@@ -75,9 +75,8 @@ object RelationalOps {
   }
 
   private def broadcastBound(df: DataFrame): Long =
-    df.sparkSession.conf
-      .getOption("spark.graft.broadcastDimBound")
-      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    graft.GraftConf.sizeConf(df.sparkSession,
+      "spark.graft.broadcastDimBound", 256L * 1024 * 1024)
 
   /** [[broadcastIfFits]] for sides that have NO non-broadcast plan —
     * e.g. an inherently all-pairs window join where the unhinted
@@ -90,6 +89,34 @@ object RelationalOps {
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
     require(est * 4 <= bound,
       s"$what (~$est bytes plan-stats, x4 in-memory) exceeds the broadcast " +
+        s"bound $bound (spark.graft.broadcastDimBound): $remedy")
+    broadcast(df)
+  }
+
+  /** [[requireBroadcastable]] for sides whose PLAN STATS are opaque —
+    * a filtered slice of a big scan: Catalyst's size-only visitor
+    * gives a `Filter` its CHILD's `sizeInBytes` (selectivity needs
+    * CBO + column stats), so the stats gate would reject by CORPUS
+    * size however tiny the slice actually is, and the caller's remedy
+    * (tighten the filter) could never satisfy it. This variant
+    * MEASURES the side instead: one pruned aggregate job — exact row
+    * count plus the caller's per-row variable-width byte expression —
+    * so the gate is honest by construction. `perRowFixed` covers the
+    * UnsafeRow header, fixed-width fields, and the hashed-relation
+    * entry; the ×2 keeps margin for UTF-8→UnsafeRow padding without
+    * the ×4 columnar-expansion factor (nothing columnar is being
+    * estimated here — the bytes are measured).
+    */
+  def requireBroadcastableMeasured(df: DataFrame, payloadBytes: Column,
+                                   what: String, remedy: String,
+                                   perRowFixed: Long = 64L): DataFrame = {
+    val bound = broadcastBound(df)
+    val m = df.agg(count(lit(1)).as("n"),
+      coalesce(sum(payloadBytes.cast("long")), lit(0L)).as("b")).collect()(0)
+    val est = m.getLong(0) * perRowFixed + m.getLong(1)
+    require(est * 2 <= bound,
+      s"$what (measured ~$est bytes in-memory: ${m.getLong(0)} rows, " +
+        s"${m.getLong(1)} payload bytes, x2 margin) exceeds the broadcast " +
         s"bound $bound (spark.graft.broadcastDimBound): $remedy")
     broadcast(df)
   }

@@ -334,9 +334,8 @@ object SimilarityOps {
     // callers (the 4g SpillBench regime) can opt down via the conf,
     // and the branch-parity spec forces the shuffle shape by setting
     // it to 1.
-    val bound = vectors.sparkSession.conf
-      .getOption("spark.graft.lsh.broadcastVerifyBound")
-      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    val bound = graft.GraftConf.sizeConf(vectors.sparkSession,
+      "spark.graft.lsh.broadcastVerifyBound", 256L * 1024 * 1024)
     val vecStats = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
     if (vecStats * 4 <= bound) {
       candRaw

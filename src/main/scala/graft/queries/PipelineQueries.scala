@@ -2378,15 +2378,14 @@ object PipelineQueries extends QueryPack {
       // prices the filter at ~2% of the rows
       CatalogOps.analyzeTable(ns, tCust, Seq("c_custkey", "c_mktsegment", "c_acctbal"))
       val s2 = custEstimate
-      // the ≥4× separation is BOTH a local fail-fast AND a hashed
-      // *_ok column below: a stats drift (e.g. a Spark version bump
-      // moving both estimates to the same side of the threshold)
-      // would otherwise pass the plan asserts vacuously — putting the
-      // measured margin in the oracle-pinned output makes the
-      // separation itself regression-proof
+      // the three flags below are NOT require()d here — they flow
+      // into the hashed *_ok columns, where the oracle pins them
+      // true. A stats drift (e.g. a Spark version bump moving both
+      // estimates to the same side of the threshold) therefore shows
+      // up as a value/hash MISMATCH on this row rather than passing
+      // the plan asserts vacuously; a local require would detect the
+      // same drift but make the oracle columns unfalsifiable.
       val sep = s2 * 4 <= s0
-      require(sep,
-        s"column stats did not drop the filter estimate: $s0 -> $s2")
       // threshold strictly between the two estimates (geometric mean:
       // ≥ 2× margin to each side once s0/s2 ≥ 4)
       val threshold = BigInt(math.sqrt((s0 * s2).toDouble).toLong)
@@ -2396,13 +2395,9 @@ object PipelineQueries extends QueryPack {
         case _ => false
       }
       val cboFlipped = hasBhj
-      require(cboFlipped,
-        "CBO + column stats did not flip the join to a broadcast")
       val out = joined.collect() // materialize UNDER the CBO conf
       ns.conf.set("spark.sql.cbo.enabled", "false")
       val baseShuffles = !hasBhj
-      require(baseShuffles,
-        "size-only baseline unexpectedly broadcasts — threshold not binding")
       (out, sep, cboFlipped, baseShuffles)
     } finally {
       ns.sql(s"DROP TABLE IF EXISTS $tOrders")

@@ -85,8 +85,7 @@ object StateBackendProbe {
         println(s"""{"query":"$name","provider":"rocksdb","rows":$nRocks,""" +
           s""""rows_default":$nDefault,"match":$ok,"sec":${r1(sec)}}""")
       } catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .replace("\\", " ").replaceAll("[\\u0000-\\u001f\"]", " ").take(200)
+        val msg = graft.GraftConf.jsonSafeMsg(e, 200)
         println(s"""{"query":"$name","provider":"rocksdb","error":"$msg"}""")
       } finally spark.conf.unset(PROVIDER_CONF)
     }

@@ -61,9 +61,26 @@ object StreamThroughputProbe {
       .collect()(0)
     val (lo, hi) = (b.getLong(0), b.getLong(1))
     val sliceSec = math.max(1L, (hi - lo) / nFiles + 1)
-    val stage = Files.createTempDirectory("graft_tp_in")
+    // every temp artifact (staged slices, pre-copy part dirs,
+    // checkpoints) is deleted on exit — at the 10× usage each run
+    // stages a full copy of a 10M-row events table, and /tmp is the
+    // same scratch disk the BENCHNOTES decade sweeps already
+    // identified as the constrained resource
+    val tmpRoots = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    def tempDir(prefix: String): java.nio.file.Path = {
+      val p = Files.createTempDirectory(prefix)
+      tmpRoots += p
+      p
+    }
+    def deleteTree(p: java.nio.file.Path): Unit = {
+      val f = p.toFile
+      if (f.isDirectory) f.listFiles().foreach(c => deleteTree(c.toPath))
+      f.delete(); ()
+    }
+    sys.addShutdownHook(tmpRoots.foreach(deleteTree))
+    val stage = tempDir("graft_tp_in")
     (0 until nFiles).foreach { i =>
-      val tmp = Files.createTempDirectory("graft_tp_part")
+      val tmp = tempDir("graft_tp_part")
       ev.filter((col("ts").cast("long") - lo).divide(sliceSec).cast("int") === i)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = tmp.toFile.listFiles()
@@ -77,7 +94,7 @@ object StreamThroughputProbe {
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
     def run(name: String, build: DataFrame => DataFrame): Unit = {
-      val ckpt = Files.createTempDirectory(s"graft_tp_ckpt_$name").toString
+      val ckpt = tempDir(s"graft_tp_ckpt_$name").toString
       val src = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
       val t0 = System.nanoTime()

@@ -85,4 +85,55 @@ class BroadcastGateSpec extends graft.SparkSpec {
       assert(e.getMessage.contains("short side"))
     } finally spark.conf.unset(conf)
   }
+
+  test("fuzzy short-side gate measures the SIDE, not the corpus plan stats") {
+    // The short side is a Filter over the corpus scan, and Catalyst's
+    // size-only visitor gives a Filter its CHILD's sizeInBytes — a
+    // stats-based gate would reject any large parquet corpus even
+    // when almost nothing is short, and the only "remedy" would be
+    // raising the bound. Reproduce the exact shape: a parquet-backed
+    // corpus (no constant folding, real scan stats) whose plan
+    // estimate exceeds the bound while its short population is a
+    // handful of rows — the measured gate must let it through and
+    // still pair the short strings.
+    val dirp = java.nio.file.Files.createTempDirectory("graft_gate_corpus")
+    try {
+      // pseudo-random hex bodies: pairwise dissimilar, so the q-gram
+      // candidate join stays tiny and the test exercises only the gate
+      val long = (1L to 400L).map(i =>
+        (i, f"${i * 2654435761L}%016x${i * 1099511628211L}%016x"))
+      val short = Seq((9001L, "ab"), (9002L, "ac"), (9003L, "zz"))
+      (long ++ short).toDF("id", "s")
+        .write.mode("overwrite").parquet(dirp.toString)
+      val corpus = spark.read.parquet(dirp.toString)
+      val scanEst = corpus.queryExecution.optimizedPlan.stats.sizeInBytes
+      // bound BELOW the corpus estimate (the old stats gate would
+      // throw) but far above the measured 3-row short side
+      val bound = (scanEst / 2).max(BigInt(4096)).toString
+      spark.conf.set(conf, bound)
+      val pairs = FuzzyOps.editDistancePairs(corpus, "id", "s", maxDist = 1)
+        .filter(col("id_a") >= 9000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs == Set((9001L, 9002L)),
+        "short bucket must still resolve under a sub-corpus bound")
+    } finally {
+      spark.conf.unset(conf)
+      val f = dirp.toFile
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(_.delete()); f.delete()
+    }
+  }
+
+  test("size knobs accept Spark-style unit suffixes and name themselves on junk") {
+    // 256m parses like Spark's own size confs
+    spark.conf.set(conf, "256m")
+    try {
+      assert(hasBhj(RelationalOps.enrich(facts, dim, "k")))
+      spark.conf.set(conf, "tiny")
+      val e = intercept[IllegalArgumentException] {
+        RelationalOps.enrich(facts, dim, "k")
+      }
+      assert(e.getMessage.contains(conf) && e.getMessage.contains("256m"),
+        "a malformed size knob must name the conf and the accepted format")
+    } finally spark.conf.unset(conf)
+  }
 }

@@ -137,6 +137,27 @@ class QuantileOpsSpec extends graft.SparkSpec {
       spark.conf.set(conf, "10")
       val ok3 = QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5), maxGroups = -1)
       assert(ok3.size == 1000)
+      // EVERY explicit value wins — including ones matching the
+      // built-in default (the sentinel is out-of-band, so a caller
+      // stating the documented 100k bound is distinguishable from
+      // omitting it and can never be overridden by a conf another
+      // job set, in either direction)
+      spark.conf.set(conf, "10") // stricter conf must NOT override
+      val ok4 = QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5),
+        maxGroups = QuantileOps.defaultMaxGroups)
+      assert(ok4.size == 1000)
+      spark.conf.set(conf, "-1") // guard-disabling conf must NOT override
+      val e5 = intercept[IllegalArgumentException] {
+        QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5), maxGroups = 100)
+      }
+      assert(e5.getMessage.contains("maxGroups=100"),
+        "an explicit bound must bind even when the conf disables the guard")
+      // a junk conf value names itself instead of a bare NumberFormatException
+      spark.conf.set(conf, "lots")
+      val e6 = intercept[IllegalArgumentException] {
+        QuantileOps.exactQuantiles(wide, "g", "v", Seq(0.5))
+      }
+      assert(e6.getMessage.contains(conf))
     } finally spark.conf.unset(conf)
   }
 
