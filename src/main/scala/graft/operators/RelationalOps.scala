@@ -111,6 +111,12 @@ object RelationalOps {
                                    what: String, remedy: String,
                                    perRowFixed: Long = 64L): DataFrame = {
     val bound = broadcastBound(df)
+    // Fast accept, no job: the stats OVER-estimate (child's size), so
+    // if even that fits the bound the true side fits a fortiori — the
+    // measurement scan only runs where the stats-only gate would have
+    // (wrongly) rejected. Keeps the common small-corpus case free.
+    val statsEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (statsEst * 4 <= bound) return broadcast(df)
     val m = df.agg(count(lit(1)).as("n"),
       coalesce(sum(payloadBytes.cast("long")), lit(0L)).as("b")).collect()(0)
     val est = m.getLong(0) * perRowFixed + m.getLong(1)

@@ -2791,11 +2791,38 @@ object PipelineQueries extends QueryPack {
   // cutoff < min(b2.ts). Lost window state would under-count the
   // straddling hour and fail the hash. The heartbeat's own window
   // never closes (wm stops 1 h short of it) and is never emitted.
-  q("st_restart_agg_parity",
+  private val restartAggOracle =
     """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
       |  event_type, CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY 1, 2
-      |ORDER BY hour, event_type""".stripMargin) { (s, dir) =>
+      |ORDER BY hour, event_type""".stripMargin
+
+  q("st_restart_agg_parity", restartAggOracle) { (s, dir) =>
+    restartAggParity(s, dir, "st_restart_agg_parity", "ragg")
+  }
+
+  // Same restart harness on the PRODUCTION state backend: recovery
+  // must replay RocksDB snapshot+changelog files for the windowed
+  // aggregate's state store instead of the default provider's HDFS
+  // delta files. StateBackendProbe measures all four stateful
+  // families under RocksDB at a 4 g heap; this row puts the
+  // windowed-agg × restart × RocksDB combination inside the oracle
+  // gate so a provider-specific recovery regression turns a
+  // CORRECTNESS row red rather than only a probe line.
+  q("st_restart_agg_rocksdb_parity", restartAggOracle) { (s, dir) =>
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(conf)
+    s.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try restartAggParity(s, dir, "st_restart_agg_rocksdb_parity", "raggrdb")
+    finally prev match {
+      case Some(v) => s.conf.set(conf, v)
+      case None => s.conf.unset(conf)
+    }
+  }
+
+  private def restartAggParity(s: SparkSession, dir: String,
+                               label: String, tag: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val ev = Tables.load(s, dir, "events").select(col("ts"), col("event_type"))
     val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
@@ -2804,9 +2831,9 @@ object PipelineQueries extends QueryPack {
     val heartbeat = s.range(1).select(
       lit(new java.sql.Timestamp(hi.getTime + 2L * 86400 * 1000)).as("ts"),
       lit("hb").as("event_type"))
-    val stage = tmpDir("graft_st_ragg_in")
-    val outDir = tmpDir("graft_st_ragg_out")
-    val ckpt = tmpDir("graft_st_ragg_ckpt")
+    val stage = tmpDir(s"graft_st_${tag}_in")
+    val outDir = tmpDir(s"graft_st_${tag}_out")
+    val ckpt = tmpDir(s"graft_st_${tag}_ckpt")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     def runOnce(label: String): Unit =
@@ -2824,10 +2851,10 @@ object PipelineQueries extends QueryPack {
           .start(), 300000, label)
     try {
       stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
-      runOnce("st_restart_agg_parity stream run 1")
+      runOnce(s"$label stream run 1")
       stageFile(ev.filter(col("ts") > cutoff).unionByName(heartbeat),
         stage, "b2.parquet", 2000000L)
-      runOnce("st_restart_agg_parity stream run 2")
+      runOnce(s"$label stream run 2")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.parquet(outDir)
       .filter(col("event_type") =!= "hb") // belt-and-braces: never emits
