@@ -75,8 +75,8 @@ object PqDecadeProbe {
 
     for (candK <- Seq(100, 1000)) {
       val t3 = System.nanoTime()
-      val pq = SimilarityOps.pqTopKWith(sample, emb, "vec_id", "embedding",
-          dim, m, ksub, codebook, candK = candK, k = 5)
+      val pq = SimilarityOps.pqTopKEncoded(sample, emb, "vec_id", "embedding",
+          dim, m, ksub, codebook, codes, candK = candK, k = 5)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
         .localCheckpoint()
       pq.count()

@@ -70,12 +70,84 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ asymmetric-distance accumulation: for codes `c` (array<int>,
+  * one per subspace) and a per-query dense lookup table `qtab`
+  * (array<double>, indexed `sub·ksub + cell`), returns
+  * Σ_s qtab[s·ksub + c[s]] — the approximate dot product of the
+  * query against a product-quantized corpus vector. This runs once
+  * per (query, corpus-vector) pair, the widest loop in PQ search; the
+  * HOF form (`aggregate(sequence)` with two `element_at`s per step)
+  * is interpreted per element and measured at 1.2× the cost of the
+  * full 64-float brute-force dot at n=2M — erasing the compression
+  * win on the CPU axis. This codegen'd loop is m array loads + adds.
+  * An out-of-range code throws: reading a neighbors' slot would turn
+  * an encode/geometry bug into plausible but wrong similarities.
+  */
+case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def left: Expression = codes
+  override def right: Expression = qtab
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val c = a.asInstanceOf[ArrayData]
+    val t = b.asInstanceOf[ArrayData]
+    val m = c.numElements()
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      val code = c.getInt(s)
+      GraftHashOps.checkAdcCode(code, s, ksub, t.numElements())
+      acc += t.getDouble(s * ksub + code)
+      s += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s")
+      val m = ctx.freshName("m")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $m = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $idx = $a.getInt($s);
+         |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcCode(
+         |    $idx, $s, $ksub, $b.numElements());
+         |  $acc += $b.getDouble($s * $ksub + $idx);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, qtab = newRight)
+}
+
 /** Static helpers callable from generated Java (Scala objects emit
   * static forwarders), so the hash expressions participate in
   * whole-stage codegen as one method call instead of a CodegenFallback
   * row-materializing eval.
   */
 object GraftHashOps {
+  /** Loud guard for ADC lookups escaping the per-subspace table band
+    * (callable from codegen). A code >= ksub would stay INSIDE the
+    * table but read a neighbor subspace's slot — plausible wrong
+    * similarities, the worst failure shape — so the code itself is
+    * validated, not just the final index. */
+  def checkAdcCode(code: Int, sub: Int, ksub: Int, tabLen: Int): Unit =
+    if (code < 0 || code >= ksub || sub * ksub + code >= tabLen)
+      throw new IllegalArgumentException(
+        s"pq_adc_dot: code $code at subspace $sub escapes its [0, $ksub) " +
+          s"band (table has $tabLen slots) — codes and codebook disagree on (m, ksub)")
+
   /** Loud guard for vector-length mismatches (callable from codegen). */
   def checkSameLength(a: Int, b: Int): Unit =
     if (a != b) throw new IllegalArgumentException(
@@ -482,6 +554,9 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.sqrt
     sqrt(vecDot(a, a))
   }
+
+  def pqAdcDot(codes: Column, qtab: Column, ksub: Int): Column =
+    ExpressionUtils.column(PqAdcDot(expr(codes), expr(qtab), ksub))
 
   def simHash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64(expr(tokens)))

@@ -166,4 +166,31 @@ class ExtensionsSpec extends graft.SparkSpec {
     assert(ha(0) == ha(3)) // "éé" repeats at codepoint 1 and 4
     assert(r.getSeq[Long](1).isEmpty && r.getSeq[Long](2).isEmpty)
   }
+
+  test("PqAdcDot == the HOF lookup fold, bit for bit; out-of-range code throws") {
+    import spark.implicits._
+    val ksub = 4; val m = 3
+    // deterministic pseudo-random codes + tables
+    val rows = (0 until 50).map { i =>
+      val codes = (0 until m).map(s => (i * 7 + s * 3) % ksub)
+      val qtab = (0 until m * ksub).map(j => (i * 31 + j * 17) % 100 / 7.0)
+      (codes, qtab)
+    }.toDF("codes", "qtab")
+    val got = rows.select(
+        GraftFunctions.pqAdcDot($"codes", $"qtab", ksub).as("native"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at($"qtab",
+            s * ksub + element_at($"codes", s + 1) + 1)).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != hof ${r.getDouble(1)}"))
+    // a code >= ksub would read a NEIGHBOR subspace's slot — loud, not wrong
+    val bad = Seq((Seq(0, ksub, 0), (0 until m * ksub).map(_.toDouble)))
+      .toDF("codes", "qtab")
+    val e = intercept[Exception] {
+      bad.select(GraftFunctions.pqAdcDot($"codes", $"qtab", ksub)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("pq_adc_dot") ||
+      Option(e.getCause).exists(_.getMessage.contains("pq_adc_dot")))
+  }
 }
