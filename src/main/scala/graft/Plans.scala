@@ -82,6 +82,7 @@ object Plans {
     "tx_url_canonicalize", // codegen'd regex/array chain in the scan projection; one window on url_canon
     "tx_embed_decontaminate", // corpus scan x broadcast fixed benchmark; corpus never shuffles pre-agg
     "ann_pq_topk",         // PQ: sample-trained codebooks, 16-byte ADC code scan, heap top-k, candK rescore
+    "ann_ivf_pq",          // IVF-PQ composed: cell-equi candidate join (never all-pairs), native ADC, candK rescore
     "dq_anomaly")          // 5-row stats broadcast back over the corpus; no full-table window
 
   def main(args: Array[String]): Unit = {

@@ -980,4 +980,83 @@ object SimilarityOps {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), r4(col("cos")).as("cos"))
   }
+
+  /** IVF-PQ — the two scale levers composed into the canonical
+    * production index (FAISS's IVFPQ): an IVF coarse quantizer
+    * restricts each query to `nprobe` of `nCells` cells (the SCAN
+    * lever: per-query work is nprobe/nCells of the corpus, an
+    * equi-join on `cell`, never all-pairs), and inside the probed
+    * cells candidates are scored by PQ-ADC over the m-byte codes (the
+    * I/O lever: the cell scan reads codes, not vectors), with exact
+    * rescore of the candK survivors. All index structures are the
+    * reused building blocks — [[trainIvf]]'s Lloyd cells,
+    * [[trainPq]]'s sample-trained codebooks, [[pqEncode]]'s codes,
+    * [[graftx.PqAdcDot]]'s native accumulation.
+    *
+    * Scale shape end to end: corpus shuffled ONCE (by cell, at index
+    * build); queries replicated nprobe× through a broadcast centroid
+    * ranking; the candidate join is cell-equi; candK rows per query
+    * reach the full-precision rescore. Recall factors as
+    * (probe mass) × (ADC candidate quality) — both measured
+    * independently by `ann_ivf_search` and `ann_pq_topk`.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
+                nCells: Int, nprobe: Int, candK: Int, k: Int,
+                trainSample: Option[DataFrame] = None): DataFrame = {
+    // coarse quantizer: Lloyd cells over the corpus, centroids rebuilt
+    // from the final assignment (the ivfSearch pattern)
+    val assigned = trainIvf(corpus, idCol, vecCol, nCells, iters = 2)
+      .select(col("id").as("neighbor_id"), col("assigned_cell").as("cell"))
+    val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
+      .join(assigned, "neighbor_id")
+    val cents = centroids(corpusCells.select(col("neighbor_id"), col("cell"),
+      col("__v").as("v")), "cell", "v")
+    // PQ fine quantizer: sample-trained codebooks, full-corpus codes
+    val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
+      dim, m, ksub, iters = 2)
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn").cache()
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, codebook)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(assigned, "neighbor_id")
+      .join(c.select("neighbor_id", "cn"), "neighbor_id")
+    // per-query: nprobe nearest cells (broadcast centroids) + the
+    // dense ADC table (same densification as pqTopKEncoded)
+    val qsubs = subVectors(queries, idCol, vecCol, dim, m)
+    val qtabs = qsubs.join(broadcast(codebook), "sub")
+      .withColumn("qdot", dotD(col("sv"), col("centroid")))
+      .groupBy(col("id").as("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * ksub + col("cell")).cast("int"), col("qdot")))).as("qmap"))
+      .withColumn("qtab", transform(sequence(lit(0), lit(m * ksub - 1)),
+        i => coalesce(element_at(col("qmap"), i.cast("int")), lit(0.0))))
+      .drop("qmap")
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    val qD = transform(col("qv"), x => x.cast("double"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
+    val probed = q.join(broadcast(cents))
+      .withColumn("ccos", dotD(qD, col("centroid")) /
+        (col("qn") * sqrt(dotD(col("centroid"), col("centroid")))))
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qn"), col("cell"))
+      .join(qtabs, "query_id")
+    // candidate generation: cell-equi join, ADC scoring, heap top-candK
+    val scored = codes.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adot", org.apache.spark.sql.graftx.GraftFunctions
+        .pqAdcDot(col("codes"), col("qtab"), ksub))
+      .withColumn("acos", col("adot") / (col("qn") * col("cn")))
+    val cand = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
+      scored.select("query_id", "neighbor_id", "acos"),
+      Seq("query_id"), Seq(("acos", false), ("neighbor_id", true)), candK)
+    // exact rescore
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.select("query_id", "neighbor_id")
+      .join(broadcast(q), "query_id").join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
+      .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), r4(col("cos")).as("cos"))
+  }
 }

@@ -312,6 +312,42 @@ object SimQueries extends QueryPack {
         (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.9)).as("recall_ok"))
   }
 
+  // IVF-PQ — both scale levers composed into the canonical production
+  // index (the FAISS IVFPQ shape): the coarse quantizer restricts each
+  // query to 4 of 8 cells (per-query scan = nprobe/nCells of the
+  // corpus, a cell-equi join — never all-pairs), and inside probed
+  // cells candidates are scored by the native PQ-ADC over 16-byte
+  // codes, candK=100 exact-rescored. Recall factors as probe mass ×
+  // ADC candidate quality — measured 0.77-0.78 at every sf on this
+  // near-isotropic corpus, pinned ≥ 0.65 (IvfPqSpec holds the margin
+  // AND the full-open identity: nprobe=nCells + candK=n ≡ brute
+  // force). Oracle: corpus counts + literal true.
+  q("ann_ivf_pq",
+    """WITH k AS (SELECT greatest(1, count(*) // 64) AS k FROM embeddings)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(5 * count(CASE WHEN vec_id % (SELECT k FROM k) = 0 THEN 1 END) AS BIGINT) AS n_exact,
+      |  true AS recall_ok
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val n = emb.count()
+    val sample = emb.filter(
+      col("vec_id") % SimilarityOps.sampleModulus(n, 64) === 0)
+    val got = SimilarityOps.ivfPqTopK(sample, emb, "vec_id", "embedding",
+        dim = 64, m = 16, ksub = 32, nCells = 8, nprobe = 4,
+        candK = 100, k = 5,
+        trainSample = Some(emb.filter(
+          col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)))
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    val stats = exact.join(got, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    emb.agg(count(lit(1)).as("n_vectors")).crossJoin(stats)
+      .select(col("n_vectors"), col("n_exact"),
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.65)).as("recall_ok"))
+  }
+
   // IVF training end-to-end: Lloyd iterations from deterministic hash
   // init. Iterative float means aren't reasonably ANSI-SQL-expressible,
   // so the hashed row pins the training INVARIANTS instead of raw

@@ -88,6 +88,26 @@ object PqDecadeProbe {
         s""""search_sec":${r3(searchSec)},"twin_sec":${r3(twinSec)},""" +
         s""""n_exact":$nExact,"recall":${r3(hits.toDouble / nExact)}}""")
     }
+
+    // the composed index: IVF cells on top of the same PQ levers
+    // (index built inside the call — its build time reported
+    // separately from search is the pqTopKEncoded split's job; here
+    // the one number pins the composed END-TO-END at each decade, and
+    // the recall column shows probe-mass × ADC-quality factoring)
+    val t4 = System.nanoTime()
+    val ivfpq = SimilarityOps.ivfPqTopK(sample, emb, "vec_id", "embedding",
+        dim, m, ksub, nCells = 8, nprobe = 4, candK = 1000, k = 5,
+        trainSample = Some(emb.filter(
+          col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)))
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      .localCheckpoint()
+    ivfpq.count()
+    val ivfSec = (System.nanoTime() - t4) / 1e9
+    val ivfHits = exact.join(ivfpq, Seq("query_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("hit"), lit(0)))).collect()(0).getLong(0)
+    println(s"""{"probe":"ivfpq_decade","dir":"$dir","n":$n,"nprobe":4,""" +
+      s""""cells":8,"candk":1000,"end_to_end_sec":${r3(ivfSec)},""" +
+      s""""n_exact":$nExact,"recall":${r3(ivfHits.toDouble / nExact)}}""")
     spark.stop()
   }
 }

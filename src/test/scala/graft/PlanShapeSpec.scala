@@ -145,7 +145,11 @@ class PlanShapeSpec extends SparkSpec {
     // IVF assignment is vectors × the k-row broadcast centroid table —
     // O(n·k) with k ≪ n bounded by construction; the BNLJ build side
     // is the centroid aggregate (grouped, so not scalar-detectable)
-    "ann_ivf_search", "ann_ivf_train"
+    "ann_ivf_search", "ann_ivf_train",
+    // same centroid-table cross in the composed index (probe ranking:
+    // sampled queries × the 8-row cell-centroid aggregate, O(s·k));
+    // every corpus-sized join inside it is cell-/sub-equi or broadcast
+    "ann_ivf_pq"
   )
 
   test("engine-wide sweep: no accidental cartesian/nested-loop join in ANY query") {
