@@ -123,7 +123,8 @@ object Bench {
       "tx_lm_gate", "scd2_intervals", "t1_tumbling_hourly",
       "tx_bpe_train", "gr_triangles", "dd_chunk_dedup", "dd_bloom_incremental",
       "j11_spatial_join", "a11_tdigest_rollup", "sql_recursive_cte",
-      "dq_profile", "ml_feature_hash", "dd_repeated_spans", "ann_pca_topk")
+      "dq_profile", "ml_feature_hash", "dd_repeated_spans", "ann_pca_topk",
+      "ann_pq_topk", "ann_ivf_pq")
     val byName = results.toMap
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would make the JSON line unparseable
