@@ -55,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaro_winkler_similarity", "_FUNC_(a, b) - Jaro-Winkler similarity (0.7 boost threshold, prefix ≤ 4 at 0.1)"),
       (es: Seq[Expression]) => JaroWinklerSimilarity(es.head, es(1))))
     ext.injectFunction((
+      FunctionIdentifier("pq_adc_dot"),
+      info("pq_adc_dot",
+        "_FUNC_(codes, qtab, ksub) - PQ asymmetric-distance dot: sum of qtab[s*ksub+codes[s]] (ksub a literal)"),
+      (es: Seq[Expression]) => es match {
+        case Seq(codes, qtab, k) if k.foldable && k.eval() != null =>
+          org.apache.spark.sql.graftx.PqAdcDot(codes, qtab,
+            k.eval().asInstanceOf[Number].intValue())
+        case _ => throw new IllegalArgumentException(
+          "pq_adc_dot expects (array<int> codes, array<double> qtab, integer literal ksub)")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("mg_heavy_hitters"),
       info("mg_heavy_hitters",
         "_FUNC_(col) - 16-counter Misra-Gries heavy-hitters summary as array<struct<item,min_count>>"),

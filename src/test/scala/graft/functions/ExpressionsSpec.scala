@@ -192,5 +192,15 @@ class ExtensionsSpec extends graft.SparkSpec {
     }
     assert(e.getMessage != null && e.getMessage.contains("pq_adc_dot") ||
       Option(e.getCause).exists(_.getMessage.contains("pq_adc_dot")))
+    // SQL surface (extension-injected; ksub must be a literal)
+    rows.createOrReplaceTempView("pq_rows")
+    val viaSql = spark.sql(
+      s"SELECT pq_adc_dot(codes, qtab, $ksub) AS d FROM pq_rows")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(viaSql == got.map(_.getDouble(0)).sorted.toSeq)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT pq_adc_dot(codes, qtab, codes[0]) FROM pq_rows").collect()
+    }
+    assert(e2.getMessage.contains("literal"))
   }
 }
