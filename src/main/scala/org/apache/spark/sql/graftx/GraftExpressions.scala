@@ -609,5 +609,11 @@ object GraftFunctions {
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_ngrams",
       tokenNgramsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("pq_adc_dot", {
+      case Seq(codes, qtab, k) if k.foldable && k.eval() != null =>
+        PqAdcDot(codes, qtab, k.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "pq_adc_dot expects (array<int> codes, array<double> qtab, integer literal ksub)")
+    }, "built-in")
   }
 }
