@@ -58,13 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pq_adc_dot"),
       info("pq_adc_dot",
         "_FUNC_(codes, qtab, ksub) - PQ asymmetric-distance dot: sum of qtab[s*ksub+codes[s]] (ksub a literal)"),
-      (es: Seq[Expression]) => es match {
-        case Seq(codes, qtab, k) if k.foldable && k.eval() != null =>
-          org.apache.spark.sql.graftx.PqAdcDot(codes, qtab,
-            k.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "pq_adc_dot expects (array<int> codes, array<double> qtab, integer literal ksub)")
-      }))
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.graftx.GraftFunctions.pqAdcDotBuilder(es)))
     ext.injectFunction((
       FunctionIdentifier("mg_heavy_hitters"),
       info("mg_heavy_hitters",

@@ -111,12 +111,14 @@ object RelationalOps {
                                    what: String, remedy: String,
                                    perRowFixed: Long = 64L): DataFrame = {
     val bound = broadcastBound(df)
-    // Fast accept, no job: the stats OVER-estimate (child's size), so
-    // if even that fits the bound the true side fits a fortiori — the
-    // measurement scan only runs where the stats-only gate would have
-    // (wrongly) rejected. Keeps the common small-corpus case free.
-    val statsEst = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (statsEst * 4 <= bound) return broadcast(df)
+    // No stats fast-accept, deliberately: plan stats measure on-disk
+    // COLUMNAR bytes and are blind to the per-ROW hash-relation
+    // overhead this gate charges — a corpus of millions of narrow,
+    // dictionary-compressed rows can estimate at a tenth of its
+    // in-memory relation, so "stats fit ⇒ side fits a fortiori" holds
+    // for row counts only, not bytes, and a fast-accept would silently
+    // broadcast exactly the side the measured gate exists to reject.
+    // The one aggregate job is the price of the contract.
     val m = df.agg(count(lit(1)).as("n"),
       coalesce(sum(payloadBytes.cast("long")), lit(0L)).as("b")).collect()(0)
     val est = m.getLong(0) * perRowFixed + m.getLong(1)

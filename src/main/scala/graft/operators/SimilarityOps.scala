@@ -926,6 +926,32 @@ object SimilarityOps {
     * so a caller re-searching a stored code index must not pay it per
     * query batch (the decade probe measures exactly this split).
     */
+  /** Per-query ADC lookup tables — (query_id, qtab): dot(query
+    * subvector, centroid) for every (sub, cell), DENSIFIED into one
+    * array indexed `sub·ksub+cell`. A map column would read prettier,
+    * but Spark's `element_at` on MapData is a LINEAR key scan —
+    * m lookups × m·ksub/2 comparisons per scored row turned the ADC
+    * scan into the whole query's hotspot (measured 7 s → sub-second
+    * at sf0.1); the dense array is built once per QUERY row (the slow
+    * lookups run m·ksub times per query, not per candidate) and
+    * indexes O(1) in the scan. Empty cells densify to 0.0 —
+    * unreferencable, since codes only ever name cells the codebook
+    * contains. ONE definition, shared by the PQ and IVF-PQ scorers,
+    * so the two paths cannot drift.
+    */
+  private def adcTables(queries: DataFrame, idCol: String, vecCol: String,
+                        dim: Int, m: Int, ksub: Int,
+                        codebook: DataFrame): DataFrame =
+    subVectors(queries, idCol, vecCol, dim, m)
+      .join(broadcast(codebook), "sub")
+      .withColumn("qdot", dotD(col("sv"), col("centroid")))
+      .groupBy(col("id").as("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub") * ksub + col("cell")).cast("int"), col("qdot")))).as("qmap"))
+      .withColumn("qtab", transform(sequence(lit(0), lit(m * ksub - 1)),
+        i => coalesce(element_at(col("qmap"), i.cast("int")), lit(0.0))))
+      .drop("qmap")
+
   def pqTopKEncoded(queries: DataFrame, corpus: DataFrame,
                     idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                     codebook: DataFrame, corpusCodes: DataFrame,
@@ -934,25 +960,7 @@ object SimilarityOps {
     val codes = corpusCodes
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(c.select("neighbor_id", "cn"), "neighbor_id")
-    // per-query ADC table: dot(query subvector, centroid) for every
-    // (sub, cell) — m·ksub entries DENSIFIED into one array indexed
-    // sub·ksub+cell. A map column would read prettier, but Spark's
-    // element_at on MapData is a LINEAR key scan — m lookups × m·ksub/2
-    // comparisons per scored row turned the ADC scan into the query's
-    // hotspot (measured 7 s → sub-second at sf0.1); the dense array is
-    // built once per QUERY row (the slow lookups run m·ksub times per
-    // query, not per candidate) and indexes O(1) in the scan. Empty
-    // cells densify to 0.0 — unreferencable, since codes only ever
-    // name cells the codebook contains.
-    val qsubs = subVectors(queries, idCol, vecCol, dim, m)
-    val qtabs = qsubs.join(broadcast(codebook), "sub")
-      .withColumn("qdot", dotD(col("sv"), col("centroid")))
-      .groupBy(col("id").as("query_id"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * ksub + col("cell")).cast("int"), col("qdot")))).as("qmap"))
-      .withColumn("qtab", transform(sequence(lit(0), lit(m * ksub - 1)),
-        i => coalesce(element_at(col("qmap"), i.cast("int")), lit(0.0))))
-      .drop("qmap")
+    val qtabs = adcTables(queries, idCol, vecCol, dim, m, ksub, codebook)
       .join(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
         .select("query_id", "qn"), "query_id")
     // ADC scan: codes only — the full vectors are NOT in this stage.
@@ -1021,16 +1029,8 @@ object SimilarityOps {
       .join(assigned, "neighbor_id")
       .join(c.select("neighbor_id", "cn"), "neighbor_id")
     // per-query: nprobe nearest cells (broadcast centroids) + the
-    // dense ADC table (same densification as pqTopKEncoded)
-    val qsubs = subVectors(queries, idCol, vecCol, dim, m)
-    val qtabs = qsubs.join(broadcast(codebook), "sub")
-      .withColumn("qdot", dotD(col("sv"), col("centroid")))
-      .groupBy(col("id").as("query_id"))
-      .agg(map_from_entries(collect_list(struct(
-        (col("sub") * ksub + col("cell")).cast("int"), col("qdot")))).as("qmap"))
-      .withColumn("qtab", transform(sequence(lit(0), lit(m * ksub - 1)),
-        i => coalesce(element_at(col("qmap"), i.cast("int")), lit(0.0))))
-      .drop("qmap")
+    // shared dense ADC table
+    val qtabs = adcTables(queries, idCol, vecCol, dim, m, ksub, codebook)
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
     val qD = transform(col("qv"), x => x.cast("double"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)

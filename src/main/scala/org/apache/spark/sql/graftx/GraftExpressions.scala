@@ -100,6 +100,7 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
     var acc = 0.0
     var s = 0
     while (s < m) {
+      GraftHashOps.checkAdcNotNull(c.isNullAt(s), s)
       val code = c.getInt(s)
       GraftHashOps.checkAdcCode(code, s, ksub, t.numElements())
       acc += t.getDouble(s * ksub + code)
@@ -118,6 +119,8 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
          |int $m = $a.numElements();
          |double $acc = 0.0;
          |for (int $s = 0; $s < $m; $s++) {
+         |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcNotNull(
+         |    $a.isNullAt($s), $s);
          |  int $idx = $a.getInt($s);
          |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcCode(
          |    $idx, $s, $ksub, $b.numElements());
@@ -137,6 +140,14 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
   * row-materializing eval.
   */
 object GraftHashOps {
+  /** A NULL code slot would read as code 0 (ArrayData.getInt on a
+    * null slot) — a plausible wrong similarity, the exact failure
+    * shape these guards exist to prevent (callable from codegen). */
+  def checkAdcNotNull(isNull: Boolean, sub: Int): Unit =
+    if (isNull) throw new IllegalArgumentException(
+      s"pq_adc_dot: null code at subspace $sub — encode emitted an " +
+        "incomplete code array")
+
   /** Loud guard for ADC lookups escaping the per-subspace table band
     * (callable from codegen). A code >= ksub would stay INSIDE the
     * table but read a neighbor subspace's slot — plausible wrong
@@ -584,6 +595,19 @@ object GraftFunctions {
 
   private def expr(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** SQL builder for `pq_adc_dot(codes, qtab, ksub)` — ksub must be a
+    * FOLDABLE literal (a runtime ksub could silently disagree with the
+    * codes' geometry, the failure the band guard exists to catch).
+    * One builder shared by the extension and plain-session registries
+    * so the two SQL surfaces cannot drift.
+    */
+  def pqAdcDotBuilder(es: Seq[Expression]): Expression = es match {
+    case Seq(codes, qtab, k) if k.foldable && k.eval() != null =>
+      PqAdcDot(codes, qtab, k.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "pq_adc_dot expects (array<int> codes, array<double> qtab, integer literal ksub)")
+  }
+
   /** SQL builder for `token_ngrams(tokens[, n])`: optional FOLDABLE n
     * (default 3). A silently-ignored second argument is worse than an
     * error — `token_ngrams(toks, 2)` returning 3-grams is wrong
@@ -609,11 +633,6 @@ object GraftFunctions {
       es => SimHash64(es.head), "built-in")
     reg.createOrReplaceTempFunction("token_ngrams",
       tokenNgramsBuilder, "built-in")
-    reg.createOrReplaceTempFunction("pq_adc_dot", {
-      case Seq(codes, qtab, k) if k.foldable && k.eval() != null =>
-        PqAdcDot(codes, qtab, k.eval().asInstanceOf[Number].intValue())
-      case _ => throw new IllegalArgumentException(
-        "pq_adc_dot expects (array<int> codes, array<double> qtab, integer literal ksub)")
-    }, "built-in")
+    reg.createOrReplaceTempFunction("pq_adc_dot", pqAdcDotBuilder, "built-in")
   }
 }

@@ -192,6 +192,15 @@ class ExtensionsSpec extends graft.SparkSpec {
     }
     assert(e.getMessage != null && e.getMessage.contains("pq_adc_dot") ||
       Option(e.getCause).exists(_.getMessage.contains("pq_adc_dot")))
+    // a NULL code slot would read as code 0 (ArrayData.getInt) — a
+    // plausible wrong similarity; must throw instead
+    val nullCode = Seq((Seq(Some(0), None, Some(1)),
+      (0 until m * ksub).map(_.toDouble))).toDF("codes", "qtab")
+    val e3 = intercept[Exception] {
+      nullCode.select(GraftFunctions.pqAdcDot($"codes", $"qtab", ksub)).collect()
+    }
+    assert(e3.getMessage.contains("null code") ||
+      Option(e3.getCause).exists(_.getMessage.contains("null code")))
     // SQL surface (extension-injected; ksub must be a literal)
     rows.createOrReplaceTempView("pq_rows")
     val viaSql = spark.sql(
