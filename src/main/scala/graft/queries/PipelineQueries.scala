@@ -403,6 +403,51 @@ object PipelineQueries extends QueryPack {
       .orderBy("year", "month")
   }
 
+  // K22 — sink FILE HYGIENE inside the oracle gate. The reference's
+  // own documented production failure is output fragmentation
+  // (doc/GLUE_JOBS_GUIDE.md:310,404-407: 50–200 KB files against a
+  // 128–256 MB target) — each task writes one file per partition
+  // VALUE it holds, so an unclustered partitionBy emits
+  // tasks × touched-partitions files. The shipped cure is the AQE
+  // `rebalance` hint on the partition columns (measured at the 100×
+  // tier by tools.SinkHygieneProbe: 240 → 30 files, 1.6× faster
+  // write, 11% smaller bytes). This row makes the contract
+  // regression-proof: it writes the day-partitioned events sink the
+  // way AqPipeline does, CENSUSES the files it wrote, and folds the
+  // scale-invariant structural check — mean files per partition dir
+  // ≤ 2 — into the hashed output as `hygiene_ok`, pinned true by the
+  // oracle. Removing the hint (or a Spark upgrade breaking
+  // rebalance-before-partitionBy clustering) flips the boolean and
+  // turns this row red rather than silently re-fragmenting every
+  // sink. The data columns re-aggregate the READ-BACK files, so the
+  // row simultaneously proves the clustered write is lossless.
+  q("k22_sink_hygiene",
+    s"""SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+      |  count(*) AS n, ${sqlR2("sum(value)")} AS sum_value,
+      |  true AS hygiene_ok
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY day""".stripMargin) { (s, dir) =>
+    val out = tmpDir("graft_hygiene")
+    Tables.load(s, dir, "events")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .hint("rebalance", col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    // file census on what was just written: data files per day=… dir
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val data = walk(new java.io.File(out)).filter(_.getName.startsWith("part-"))
+    val dirs = data.map(_.getParentFile.getPath).distinct.size
+    val hygieneOk = dirs > 0 && data.size.toDouble / dirs <= 2.0
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    s.read.parquet(out)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+      .withColumn("hygiene_ok", lit(hygieneOk))
+      .orderBy("day")
+  }
+
   // K5 — catalog registration + SQL over the registered table (SURVEY
   // §2.1 K5, §3.3): the declared Athena-style SQL surface runs through
   // spark.sql against temp views.
@@ -2936,5 +2981,85 @@ object PipelineQueries extends QueryPack {
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), r4(col("total_value")).as("total_value"))
       .orderBy("user_id", "session_start")
+  }
+
+  // §2.9 streaming-state BOUND inside the oracle gate. The eleven
+  // parity rows pin WHAT the stateful operators emit; the claim that
+  // makes them deployable at 100 TB — state ∝ watermark window, NOT
+  // stream length — lived only in tools.StreamThroughputProbe's
+  // printed census. This row hashes it: events drain through
+  // withWatermark(3 days) + dropDuplicates(event_id) in four
+  // time-ordered micro-batches over a 30-day span (a REAL watermark —
+  // the other dedup rows disable lateness to isolate their own
+  // property), with a 10%-of-rows duplicate subset injected so the
+  // dedup is non-vacuous (kept duplicates would inflate the counts and
+  // fail the hash, so dedup correctness rides on the data columns).
+  // After the drain, the final progress's state census must show
+  // EVICTION did its job: state holds at most the keys of the last
+  // ~2× watermark window (the ×2 absorbs the one-batch lag in
+  // watermark propagation) and at most half of all keys ever seen.
+  // A regression that stops evicting (state grows with the stream —
+  // the unbounded-state failure mode) flips `state_bounded_ok` and
+  // turns the row red. Oracle: duplicates collapse, so the output is
+  // the plain per-type aggregate over events.
+  q("st_state_bound_parity",
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |  ${sqlR4("sum(value)")} AS sum_value, true AS state_bounded_ok
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getTimestamp(0), bounds.getTimestamp(1))
+    val spanMs = hi.getTime - lo.getTime
+    def cut(k: Int) = new java.sql.Timestamp(lo.getTime + spanMs * k / 4)
+    val dupes = ev.filter(col("event_id") % 10 === 0) // same rows again, same ts
+    val withDupes = ev.unionByName(dupes)
+    val stage = tmpDir("graft_st_bound_in")
+    val outDir = tmpDir("graft_st_bound_out")
+    val ckpt = tmpDir("graft_st_bound_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val stateRows = try {
+      stageFile(withDupes.filter(col("ts") < cut(1)), stage, "b1.parquet", 1000000L)
+      stageFile(withDupes.filter(col("ts") >= cut(1) && col("ts") < cut(2)),
+        stage, "b2.parquet", 2000000L)
+      stageFile(withDupes.filter(col("ts") >= cut(2) && col("ts") < cut(3)),
+        stage, "b3.parquet", 3000000L)
+      stageFile(withDupes.filter(col("ts") >= cut(3)), stage, "b4.parquet", 4000000L)
+      val query = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .withWatermark("ts", "3 days")
+        // NOT dropDuplicates(keys): with the event-time column absent
+        // from the key, that operator never evicts (state ∝ stream
+        // length — the exact failure mode this row guards against,
+        // confirmed here by measurement: stateRows stayed 10000/10000).
+        // dropDuplicatesWithinWatermark dedups the key within the
+        // watermark delay of first sight and evicts on watermark pass.
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(query, 300000, "st_state_bound_parity stream")
+      Option(query.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val windowKeys = ev.filter(
+      col("ts") >= new java.sql.Timestamp(hi.getTime - 6L * 24 * 3600 * 1000)).count()
+    val totalKeys = ev.count()
+    // strict lower bound too: the last watermark window's keys must
+    // still BE in state (0 would mean the census read nothing — a
+    // vacuous pass — or over-eviction)
+    val boundedOk = stateRows > 0 &&
+      stateRows <= windowKeys && stateRows * 2 <= totalKeys
+    s.read.parquet(outDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), r4(sum("value")).as("sum_value"))
+      .withColumn("state_bounded_ok", lit(boundedOk))
+      .orderBy("event_type")
   }
 }
