@@ -2,12 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Stateful-restart parity on the PRODUCTION state backend: the four
+/** Stateful parity on the PRODUCTION state backend: the four
   * `st_*restart*` rows prove checkpoint-restart for all four stateful
   * operator families (flatMapGroupsWithState, windowed agg,
-  * transformWithState, SymmetricHashJoinStateManager), but — except
-  * for transformWithState, which requires RocksDB — they run on the
-  * default HDFS-backed state store. A real cluster runs RocksDB
+  * transformWithState, SymmetricHashJoinStateManager), and
+  * `st_state_bound_parity` adds the fifth state format (streaming
+  * dedup — key + expiry per row, with its watermark-EVICTION census
+  * hashed into the row), but — except for transformWithState, which
+  * requires RocksDB — they run on the default HDFS-backed state store. A real cluster runs RocksDB
   * (state off-heap + native, snapshot/changelog files on the
   * checkpoint volume), so this probe re-runs each row with
   * `spark.sql.streaming.stateStore.providerClass = RocksDB…` and
@@ -32,7 +34,13 @@ object StateBackendProbe {
     "st_restart_parity",       // flatMapGroupsWithState sessionization
     "st_restart_agg_parity",   // windowed aggregation state
     "st_restart_v2_parity",    // transformWithState (RocksDB-native already)
-    "st_join_restart_parity")  // stream-stream join state manager
+    "st_join_restart_parity",  // stream-stream join state manager
+    // fifth state format: streaming-dedup state (dropDuplicates
+    // WithinWatermark — key + expiry timestamp per row). Not a
+    // restart row, but its state_bounded_ok column additionally pins
+    // that RocksDB EVICTION matches the default provider's, not just
+    // the emitted rows.
+    "st_state_bound_parity")
 
   private val ROCKSDB =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
