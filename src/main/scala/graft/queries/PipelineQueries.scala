@@ -434,12 +434,7 @@ object PipelineQueries extends QueryPack {
       .hint("rebalance", col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(out)
     // file census on what was just written: data files per day=… dir
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      else Seq(f)
-    val data = walk(new java.io.File(out)).filter(_.getName.startsWith("part-"))
-    val dirs = data.map(_.getParentFile.getPath).distinct.size
-    val hygieneOk = dirs > 0 && data.size.toDouble / dirs <= 2.0
+    val hygieneOk = graft.io.FileCensus.hygieneOk(out)
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     s.read.parquet(out)
       .groupBy("day")
@@ -2995,13 +2990,20 @@ object PipelineQueries extends QueryPack {
   // dedup is non-vacuous (kept duplicates would inflate the counts and
   // fail the hash, so dedup correctness rides on the data columns).
   // After the drain, the final progress's state census must show
-  // EVICTION did its job: state holds at most the keys of the last
-  // ~2× watermark window (the ×2 absorbs the one-batch lag in
-  // watermark propagation) and at most half of all keys ever seen.
-  // A regression that stops evicting (state grows with the stream —
-  // the unbounded-state failure mode) flips `state_bounded_ok` and
-  // turns the row red. Oracle: duplicates collapse, so the output is
-  // the plain per-type aggregate over events.
+  // EVICTION did its job. The exact arithmetic: a key's state entry
+  // expires at firstSeen + delay, and the finalizing no-data batch
+  // (pinned ON below — without it the last eviction would use the
+  // batch-3 watermark and legitimately retain ~45% of keys) evicts at
+  // watermark = max(ts) − delay, so the kept set is exactly
+  // keys(ts ≥ hi − 2×delay) — measured: 2007 of 10000 on the 30-day
+  // span. The hashed bound adds one day of margin on top of that
+  // tight 2×delay window (boundary-semantics drift across Spark
+  // upgrades should not flip the row) plus the stream-length leg:
+  // state must be at most half of all keys ever seen. A regression
+  // that stops evicting (state ∝ stream length — the unbounded-state
+  // failure mode) flips `state_bounded_ok` and turns the row red.
+  // Oracle: duplicates collapse, so the output is the plain per-type
+  // aggregate over events.
   q("st_state_bound_parity",
     s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       |  ${sqlR4("sum(value)")} AS sum_value, true AS state_bounded_ok
@@ -3021,7 +3023,14 @@ object PipelineQueries extends QueryPack {
     val outDir = tmpDir("graft_st_bound_out")
     val ckpt = tmpDir("graft_st_bound_ckpt")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val noDataConf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = s.conf.getOption(noDataConf)
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // the finalizing no-data batch is what advances the watermark to
+    // max(ts) − delay and runs the LAST eviction; the census below is
+    // only deterministic with it pinned on (it is Spark's default,
+    // but this row's contract depends on it)
+    s.conf.set(noDataConf, "true")
     val stateRows = try {
       stageFile(withDupes.filter(col("ts") < cut(1)), stage, "b1.parquet", 1000000L)
       stageFile(withDupes.filter(col("ts") >= cut(1) && col("ts") < cut(2)),
@@ -3047,9 +3056,17 @@ object PipelineQueries extends QueryPack {
       awaitOrFail(query, 300000, "st_state_bound_parity stream")
       Option(query.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) => s.conf.set(noDataConf, v)
+        case None => s.conf.unset(noDataConf)
+      }
+    }
+    // kept set is exactly keys(last 2×delay = 6 days); bound with one
+    // day of margin (see header comment)
     val windowKeys = ev.filter(
-      col("ts") >= new java.sql.Timestamp(hi.getTime - 6L * 24 * 3600 * 1000)).count()
+      col("ts") >= new java.sql.Timestamp(hi.getTime - 7L * 24 * 3600 * 1000)).count()
     val totalKeys = ev.count()
     // strict lower bound too: the last watermark window's keys must
     // still BE in state (0 would mean the census read nothing — a

@@ -286,16 +286,21 @@ object SimQueries extends QueryPack {
       col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)
     val codebook = SimilarityOps.trainPq(trainSample, "vec_id", "embedding",
       dim, m, ksub, iters = 2)
-    // encode audit: every vector → exactly m codes, all within [0, ksub)
-    val codeStats = SimilarityOps
+    // encode ONCE: the audit below and the search reuse the same code
+    // index (encode is the dominant cost — at 2M it is ~10× the
+    // search — and two independently-constructed encode subtrees
+    // would rely on exchange canonicalization to dedup)
+    val encoded = SimilarityOps
       .pqEncode(emb, "vec_id", "embedding", dim, m, codebook)
+    // encode audit: every vector → exactly m codes, all within [0, ksub)
+    val codeStats = encoded
       .agg(count(lit(1)).as("n_encoded"),
         min(size(col("codes"))).as("__mn"), max(size(col("codes"))).as("__mx"),
         min(array_min(col("codes"))).as("__cmin"),
         max(array_max(col("codes"))).as("__cmax"))
     // recall: rescored PQ top-5 vs the exact twin on the same sample
-    val pq = SimilarityOps.pqTopKWith(sample, emb, "vec_id", "embedding",
-        dim, m, ksub, codebook,
+    val pq = SimilarityOps.pqTopKEncoded(sample, emb, "vec_id", "embedding",
+        dim, m, ksub, codebook, encoded,
         candK = math.max(100, (n / 10).toInt), k = 5)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)

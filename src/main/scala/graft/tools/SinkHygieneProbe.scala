@@ -33,13 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object SinkHygieneProbe {
 
+  // shared null-safe walk + part- filter (graft.io.FileCensus — one
+  // census contract across the probe, the k22 oracle row, and the
+  // spec); the probe additionally restricts the dir count to
+  // hive-partition (`k=v`) dirs for its files-per-dir report
   private def census(root: String): (Int, Int, Long) = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val all = walk(new File(root))
-    val data = all.filter(f => f.getName.startsWith("part-"))
-    val partDirs = all.map(_.getParentFile).distinct
-      .filter(_.getName.contains("=")).size
+    val data = graft.io.FileCensus.dataFiles(root)
+    val partDirs = data.map(_.getParentFile).distinct
+      .count(_.getName.contains("="))
     (math.max(partDirs, 1), data.size, data.map(_.length).sum)
   }
 
@@ -81,7 +82,8 @@ object SinkHygieneProbe {
         s""""files_per_dir":${r2v(filesPerDir)},"sec":${r1(sec)},"hygiene_ok":$ok}""")
       // temp output is probe-local; drop it so repeated runs don't fill /tmp
       def rm(f: File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
       }
       rm(out.toFile)
     }

@@ -103,7 +103,9 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
       GraftHashOps.checkAdcNotNull(c.isNullAt(s), s)
       val code = c.getInt(s)
       GraftHashOps.checkAdcCode(code, s, ksub, t.numElements())
-      acc += t.getDouble(s * ksub + code)
+      val slot = s * ksub + code
+      GraftHashOps.checkAdcTabNotNull(t.isNullAt(slot), slot)
+      acc += t.getDouble(slot)
       s += 1
     }
     acc
@@ -124,6 +126,8 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
          |  int $idx = $a.getInt($s);
          |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcCode(
          |    $idx, $s, $ksub, $b.numElements());
+         |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcTabNotNull(
+         |    $b.isNullAt($s * $ksub + $idx), $s * $ksub + $idx);
          |  $acc += $b.getDouble($s * $ksub + $idx);
          |}
          |${ev.value} = $acc;
@@ -158,6 +162,18 @@ object GraftHashOps {
       throw new IllegalArgumentException(
         s"pq_adc_dot: code $code at subspace $sub escapes its [0, $ksub) " +
           s"band (table has $tabLen slots) — codes and codebook disagree on (m, ksub)")
+
+  /** Loud guard for null LOOKUP-TABLE slots (callable from codegen).
+    * pq_adc_dot is on the public SQL surface, so a caller-built qtab
+    * with a null element (e.g. a map lookup that missed) must throw
+    * like a null code does — ArrayData.getDouble would silently unbox
+    * it to 0.0, the same plausible-wrong-similarity shape the code
+    * guards exist to prevent.
+    */
+  def checkAdcTabNotNull(isNull: Boolean, slot: Int): Unit =
+    if (isNull) throw new IllegalArgumentException(
+      s"pq_adc_dot: null lookup-table slot $slot — the per-query ADC " +
+        "table must be fully populated (one double per (sub, cell))")
 
   /** Loud guard for vector-length mismatches (callable from codegen). */
   def checkSameLength(a: Int, b: Int): Unit =

@@ -201,6 +201,19 @@ class ExtensionsSpec extends graft.SparkSpec {
     }
     assert(e3.getMessage.contains("null code") ||
       Option(e3.getCause).exists(_.getMessage.contains("null code")))
+    // a NULL lookup-TABLE slot would unbox to 0.0 (ArrayData.getDouble)
+    // — the same plausible-wrong-similarity shape; must throw too
+    // (pq_adc_dot is public SQL surface, so a caller-built qtab with a
+    // missed-lookup hole is a realistic input)
+    // codes (0,1,2) at ksub=4 read slots 0, 5, 10 — hole at slot 5
+    val nullTab = Seq((Seq(0, 1, 2),
+      (0 until m * ksub).map(j => if (j == 5) None else Some(j.toDouble))))
+      .toDF("codes", "qtab")
+    val e4 = intercept[Exception] {
+      nullTab.select(GraftFunctions.pqAdcDot($"codes", $"qtab", ksub)).collect()
+    }
+    assert(e4.getMessage.contains("null lookup-table") ||
+      Option(e4.getCause).exists(_.getMessage.contains("null lookup-table")))
     // SQL surface (extension-injected; ksub must be a literal)
     rows.createOrReplaceTempView("pq_rows")
     val viaSql = spark.sql(

@@ -1,7 +1,5 @@
 package graft.io
 
-import java.io.File
-
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -26,13 +24,12 @@ import graft.SparkSpec
 class SinkHygieneSpec extends SparkSpec {
   import spark.implicits._
 
-  /** (data files, partition dirs) under a hive-partitioned root. */
+  /** (data files, partition dirs) under a hive-partitioned root —
+    * the shared census (same walk the k22 row and the probe use).
+    */
   private def census(root: String): (Int, Int) = {
-    def walk(f: File): Seq[File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      else Seq(f)
-    val data = walk(new File(root)).filter(_.getName.startsWith("part-"))
-    (data.size, data.map(_.getParentFile.getPath).distinct.size)
+    val (files, dirs, _) = FileCensus.census(root)
+    (files, dirs)
   }
 
   // 8 days × 400 rows, hash-SCATTERED across 16 partitions — the
