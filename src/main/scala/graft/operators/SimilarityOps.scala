@@ -1012,14 +1012,22 @@ object SimilarityOps {
                 idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                 nCells: Int, nprobe: Int, candK: Int, k: Int,
                 trainSample: Option[DataFrame] = None): DataFrame = {
-    // coarse quantizer: Lloyd cells over the corpus, centroids rebuilt
-    // from the final assignment (the ivfSearch pattern)
-    val assigned = trainIvf(corpus, idCol, vecCol, nCells, iters = 2)
+    // coarse quantizer: Lloyd cells trained on the SAMPLE (like the PQ
+    // codebooks — O(sample) training at any corpus size, the FAISS
+    // build shape), then ONE assign pass over the full corpus. The
+    // previous shape Lloyd'd the full corpus: iters× full-corpus
+    // assign joins plus a full-corpus centroid aggregation, all to
+    // build 8 centroids a 512-vector sample determines just as well —
+    // at the 2M decade that was most of the index build.
+    val coarse = trainSample.getOrElse(corpus)
+    val sampleAssigned = trainIvf(coarse, idCol, vecCol, nCells, iters = 2)
+      .select(col("id"), col("assigned_cell").as("cell"))
+    val cents = centroids(
+      coarse.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .join(sampleAssigned, "id"),
+      "cell", "v")
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
       .select(col("id").as("neighbor_id"), col("assigned_cell").as("cell"))
-    val corpusCells = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"))
-      .join(assigned, "neighbor_id")
-    val cents = centroids(corpusCells.select(col("neighbor_id"), col("cell"),
-      col("__v").as("v")), "cell", "v")
     // PQ fine quantizer: sample-trained codebooks, full-corpus codes
     val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
       dim, m, ksub, iters = 2)
@@ -1058,5 +1066,44 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), r4(col("cos")).as("cos"))
+  }
+
+  /** Cluster-balanced (diversity) sampling — the curation step that
+    * keeps a capped, deterministic quota per SEMANTIC cluster instead
+    * of sampling uniformly (which over-represents the corpus's dense
+    * modes): IVF cells as the clusters, a content-hash order within
+    * each cell, at most `quota` survivors per cell. The per-source
+    * cap (`tx_cap_per_source`) balances by a metadata column; this
+    * balances by embedding geometry — the SemDeDup-adjacent shape a
+    * pretraining mixture uses to flatten template-heavy modes.
+    *
+    * Scale shape: coarse cells train on the SAMPLE (O(sample), like
+    * the PQ codebooks), the corpus pays one assign pass, and the
+    * within-cell selection is the heap [[graftx.TopKPerGroup]] — the
+    * shuffle carries at most quota rows per (cell, partition), never
+    * a per-cell sort. No rand() anywhere: the hash order makes the
+    * sample replayable (retry-/restart-invariant).
+    *
+    * Returns (id, cell, rn) — rn ∈ [1, quota], the within-cell hash
+    * rank, so downstream mixtures can sub-slice deterministically.
+    */
+  def clusterBalancedSample(vectors: DataFrame, idCol: String, vecCol: String,
+                            nCells: Int, quota: Int,
+                            trainSample: Option[DataFrame] = None): DataFrame = {
+    val coarse = trainSample.getOrElse(vectors)
+    val sAssigned = trainIvf(coarse, idCol, vecCol, nCells, iters = 2)
+      .select(col("id"), col("assigned_cell").as("cell"))
+    val cents = centroids(
+      coarse.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .join(sAssigned, "id"),
+      "cell", "v")
+    val assigned = ivfAssign(vectors, idCol, vecCol, cents)
+      .select(col("id"), col("assigned_cell").as("cell"),
+        xxhash64(col("id"), lit("cbsample")).as("__ord"))
+    val taken = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
+      assigned, Seq("cell"), Seq(("__ord", true), ("id", true)), quota)
+    val w = Window.partitionBy("cell").orderBy(col("__ord").asc, col("id").asc)
+    taken.withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("id"), col("cell"), col("rn"))
   }
 }

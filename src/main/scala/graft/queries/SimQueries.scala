@@ -385,6 +385,49 @@ object SimQueries extends QueryPack {
         (col("__a3") >= lit(after1)).as("affinity_improved"))
   }
 
+  // Cluster-balanced (diversity) sampling — quota per SEMANTIC
+  // cluster (IVF cells over the embeddings) instead of per metadata
+  // column (tx_cap_per_source): the curation step that flattens a
+  // corpus's dense modes before mixing. k-means cells aren't
+  // ANSI-SQL-expressible, so (the ann_ivf_train convention) the
+  // hashed row pins the operator's INVARIANTS: every one of the 8
+  // cells contributes exactly quota=16 survivors (the corpus is
+  // near-isotropic, so each cell holds ≫ quota members at sf ≥ 0.01),
+  // total = 128, ranks within [1, quota], ids distinct — plus corpus
+  // counts the oracle recomputes. Selection order is a content hash
+  // (no rand(): replay-/retry-invariant), within-cell top-quota runs
+  // on the heap TopKPerGroup (shuffle carries ≤ quota rows per
+  // (cell, partition) — never a per-cell sort).
+  q("tx_cluster_sample",
+    """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(128 AS BIGINT) AS n_taken,
+      |  true AS balanced_ok, true AS ranks_ok
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val n = emb.count()
+    val (nCells, quota) = (8, 16)
+    val taken = SimilarityOps.clusterBalancedSample(emb, "vec_id", "embedding",
+      nCells, quota,
+      trainSample = Some(emb.filter(
+        col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)))
+    val stats = taken.agg(
+      count(lit(1)).as("__n_taken"),
+      countDistinct(col("id")).as("__n_ids"),
+      countDistinct(col("cell")).as("__n_cells"),
+      max(col("rn")).as("__max_rn"),
+      min(col("rn")).as("__min_rn"))
+    val perCell = taken.groupBy("cell").count()
+      .agg(min("count").as("__cmin"), max("count").as("__cmax"))
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(stats).crossJoin(perCell)
+      .select(col("n_vectors"),
+        col("__n_taken").as("n_taken"),
+        (col("__n_cells") === nCells && col("__cmin") === quota &&
+          col("__cmax") === quota &&
+          col("__n_ids") === col("__n_taken")).as("balanced_ok"),
+        (col("__min_rn") === 1 && col("__max_rn") === quota).as("ranks_ok"))
+  }
+
   // Embedding near-dup, FIRST-CLASS plan: banded RHP LSH candidates
   // (radius-1 multiprobe) + exact-cosine verification — equi-joins
   // only, no BroadcastNestedLoopJoin (asserted in the plan spec).

@@ -77,6 +77,10 @@ object StressGen {
     // keeps intact on the other 95%) holds. Isolated from key skew on
     // purpose: one variable per tier (tools.VecSkewProbe measures it).
     val vskew = mode == "vskew"
+    // "embonly" mode: write only the embeddings table — the
+    // PQ/LSH decade probes read nothing else, and the full 1000× set
+    // is ~21 GB / tens of minutes where embeddings alone are ~1 GB.
+    val embOnly = mode == "embonly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,11 +91,13 @@ object StressGen {
     spark.sparkContext.setLogLevel("WARN")
     def n(base: Long): Long = (base * mult).toLong
 
-    def write(df: DataFrame, name: String, parts: Int): Unit = {
-      df.repartition(parts)
-        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[stressgen] wrote $name")
-    }
+    def write(df: DataFrame, name: String, parts: Int): Unit =
+      if (embOnly && name != "embeddings") ()
+      else {
+        df.repartition(parts)
+          .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[stressgen] wrote $name")
+      }
 
     // region / nation: fixed-size dimensions — copy sf0.1 verbatim so
     // nationkey/regionkey semantics match exactly.
