@@ -3079,4 +3079,174 @@ object PipelineQueries extends QueryPack {
       .withColumn("state_bounded_ok", lit(boundedOk))
       .orderBy("event_type")
   }
+
+  // §2.9 streaming↔batch parity — the DRIFT MONITOR's histogram
+  // (batch twin dq_drift; spec DriftStreamSpec was the last
+  // histogram-path evidence outside the oracle gate). Windowed
+  // fixed-bounds bucket counts are EXACT (no sketch), so the stream
+  // must reproduce the batch histogram bit-for-bit: events drain in
+  // three time-ordered micro-batches + a window-closing sentinel
+  // under a REAL 1-hour watermark in append mode — every day's
+  // histogram is emitted exactly once when the watermark passes its
+  // window end, and a day straddling a batch cut must merge its
+  // per-batch partial counts through the state store. The sentinel
+  // sits at 00:30 of max(ts)'s day + 3, so its own window can never
+  // close (watermark = sentinel − 1 h < that window's end) while
+  // every real day does. Oracle: the same clamp-bucket arithmetic in
+  // DuckDB over the events table.
+  q("st_drift_parity",
+    s"""SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+      |  CAST(least(9, greatest(0, CAST(floor(value / 50) AS BIGINT))) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY day, bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events").select(col("ts"), col("value"))
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val (lo, hi) = (bounds.getTimestamp(0).getTime, bounds.getTimestamp(1).getTime)
+    val c1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
+    val c2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
+    val dayMs = 24L * 3600 * 1000
+    val sentinelTs = new java.sql.Timestamp(
+      (hi / dayMs) * dayMs + 3 * dayMs + 30L * 60 * 1000)
+    val sentinel = s.range(1)
+      .select(lit(sentinelTs).as("ts"), lit(0.0).as("value"))
+    val stage = tmpDir("graft_st_drift_in")
+    stageFile(ev.filter(col("ts") <= c1), stage, "b1.parquet", 1000000L)
+    stageFile(ev.filter(col("ts") > c1 && col("ts") <= c2), stage, "b2.parquet", 2000000L)
+    stageFile(ev.filter(col("ts") > c2), stage, "b3.parquet", 3000000L)
+    stageFile(sentinel, stage, "b4.parquet", 4000000L)
+    val outDir = tmpDir("graft_st_drift_out")
+    val ckpt = tmpDir("graft_st_drift_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      awaitOrFail(graft.streaming.CurationStream
+        .bucketHistogram(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+          "value", "ts", lo = 0.0, hi = 500.0, nBuckets = 10,
+          windowDur = "1 day", delay = "1 hour")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, "st_drift_parity stream")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.parquet(outDir)
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("bucket"), col("n"))
+      .orderBy("day", "bucket")
+  }
+
+  // §2.9 streaming↔batch parity — the TRENDING-TERMS sketch
+  // (CurationStream.trendingTerms: the mergeable Misra–Gries
+  // heavy-hitters aggregate as windowed streaming state; spec
+  // TrendingTermsSpec was its last evidence outside the gate). Sketch
+  // CONTENT isn't hashable (counter survival depends on merge order),
+  // but the MG theorems are deterministic, so (the tx_heavy_hitters
+  // convention, here per WINDOW and with the sketch built ACROSS
+  // micro-batch boundaries through the state store): every token with
+  // window frequency > N_w/(k+1) must appear in that window's sketch,
+  // and every emitted counter must satisfy
+  // exact − ⌊N_w/(k+1)⌋ ≤ min_count ≤ exact with no phantom items.
+  // The windows' exact token totals and heavy-hitter counts are
+  // SQL-recomputable, so the oracle pins them as data columns. Docs
+  // get deterministic event times (2024-01-01 + doc_id s), 2-minute
+  // windows, a 1-minute watermark, two micro-batches cut mid-window
+  // (the straddled window's sketch must merge through state), and a
+  // far-future sentinel closes the last real window.
+  q("st_trending_parity",
+    s"""WITH d AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |w AS (
+      |  SELECT strftime(CAST(to_timestamp(1704067200 + CAST(floor(doc_id / 120) AS BIGINT) * 120) AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |    token
+      |  FROM d),
+      |c AS (SELECT window_start, token, count(*) AS c FROM w GROUP BY 1, 2),
+      |n AS (SELECT window_start, CAST(sum(c) AS BIGINT) AS n_tokens FROM c GROUP BY 1),
+      |h AS (
+      |  SELECT c.window_start, count(*) AS n_heavy
+      |  FROM c JOIN n USING (window_start)
+      |  WHERE c.c > n.n_tokens / 33.0
+      |  GROUP BY 1)
+      |SELECT n.window_start, n.n_tokens,
+      |  CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy,
+      |  true AS covered_ok, true AS bounds_ok
+      |FROM n LEFT JOIN h USING (window_start)
+      |ORDER BY window_start""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val k = 32
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evd = docs.withColumn("ts",
+      timestamp_seconds(lit(1704067200L) + col("doc_id")))
+    val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
+    val sentinel = s.range(1).select(lit(-1L).as("doc_id"), lit("zz").as("text"),
+      timestamp_seconds(lit(1704067200L + maxId + 7L * 24 * 3600)).as("ts"))
+    val stage = tmpDir("graft_st_trend_in")
+    // cut mid-window: half the corpus, NOT a window boundary multiple
+    stageFile(evd.filter(col("doc_id") <= maxId / 2), stage, "b1.parquet", 1000000L)
+    stageFile(evd.filter(col("doc_id") > maxId / 2).unionByName(sentinel),
+      stage, "b2.parquet", 2000000L)
+    val outDir = tmpDir("graft_st_trend_out")
+    val ckpt = tmpDir("graft_st_trend_ckpt")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      awaitOrFail(graft.streaming.CurationStream
+        .trendingTerms(
+          s.readStream.schema(evd.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage),
+          "text", "ts", windowDur = "2 minutes", delay = "1 minute", k = k)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start(), 300000, "st_trending_parity stream")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val hhSchema = StructType(Seq(
+      StructField("window_start", TimestampType),
+      StructField("item", StringType), StructField("min_count", LongType)))
+    val hh = s.read.schema(hhSchema).parquet(outDir)
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("item"), col("min_count"))
+    // exact per-window token counts, batch side (same window math)
+    val exact = docs
+      .select((col("doc_id") - pmod(col("doc_id"), lit(120L))).as("__w"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("token"))
+      .select(date_format(timestamp_seconds(lit(1704067200L) + col("__w")),
+        "yyyy-MM-dd HH:mm:ss").as("window_start"), col("token"))
+      .groupBy("window_start", "token").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val totals = exact.groupBy("window_start").agg(sum("c").as("n_tokens"))
+    val heavy = exact.join(totals, "window_start")
+      .filter(col("c") > col("n_tokens") / lit((k + 1).toDouble))
+    val nHeavy = heavy.groupBy("window_start")
+      .agg(count(lit(1)).as("n_heavy"))
+    // MG coverage theorem, per window: no heavy token missing from the
+    // window's sketch
+    val coveredOk = heavy
+      .join(hh, heavy("window_start") === hh("window_start") &&
+        heavy("token") === hh("item"), "left_anti")
+      .agg((count(lit(1)) === 0).as("covered_ok"))
+    // MG bound theorem, per emitted counter: joined exact must exist
+    // (no phantom items) and sit within [min_count, min_count + ⌊N/(k+1)⌋]
+    val boundsOk = hh
+      .join(exact, hh("window_start") === exact("window_start") &&
+        hh("item") === exact("token"), "left")
+      .join(totals.withColumnRenamed("window_start", "__tw"),
+        hh("window_start") === col("__tw"))
+      .agg(coalesce(min(
+        col("c").isNotNull &&
+          col("min_count") <= col("c") &&
+          col("min_count") >= col("c") - floor(col("n_tokens") / lit(k + 1))),
+        lit(true)).as("bounds_ok"))
+    totals.join(nHeavy, Seq("window_start"), "left")
+      .select(col("window_start"), col("n_tokens"),
+        coalesce(col("n_heavy"), lit(0L)).as("n_heavy"))
+      .crossJoin(coveredOk).crossJoin(boundsOk)
+      .orderBy("window_start")
+  }
 }

@@ -322,11 +322,13 @@ object SimQueries extends QueryPack {
   // query to 4 of 8 cells (per-query scan = nprobe/nCells of the
   // corpus, a cell-equi join — never all-pairs), and inside probed
   // cells candidates are scored by the native PQ-ADC over 16-byte
-  // codes, candK=100 exact-rescored. Recall factors as probe mass ×
-  // ADC candidate quality — measured 0.77-0.78 at every sf on this
-  // near-isotropic corpus, pinned ≥ 0.65 (IvfPqSpec holds the margin
-  // AND the full-open identity: nprobe=nCells + candK=n ≡ brute
-  // force). Oracle: corpus counts + literal true.
+  // codes, candK=max(100, n/10) exact-rescored (candK must scale —
+  // see the call-site comment). Recall factors as probe mass × ADC
+  // candidate quality — measured 0.77-0.78 from sf0.01 through the
+  // 2M decade on this near-isotropic corpus, pinned ≥ 0.65
+  // (IvfPqSpec holds the margin AND the full-open identity:
+  // nprobe=nCells + candK=n ≡ brute force). Oracle: corpus counts +
+  // literal true.
   q("ann_ivf_pq",
     """WITH k AS (SELECT greatest(1, count(*) // 64) AS k FROM embeddings)
       |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
@@ -337,9 +339,21 @@ object SimQueries extends QueryPack {
     val n = emb.count()
     val sample = emb.filter(
       col("vec_id") % SimilarityOps.sampleModulus(n, 64) === 0)
+    // candK SCALES with the corpus: on near-isotropic geometry a
+    // FIXED candidate pool admits more imposters as n grows —
+    // measured failing at the 100× tier (200k vectors: composed
+    // recall ≈ probe-mass 0.8 × PQ@100 0.72 ≈ 0.58 < the 0.65 pin).
+    // But candK ∝ n (the brute-force limit) makes the per-query HEAP
+    // the bottleneck instead — n/10 at the 2M tier meant 200k-entry
+    // heaps per query and wedged the decade run. √n growth is the
+    // honest middle: candidate quality climbs with the pool while the
+    // heap stays O(√n) per query (≈ 9k at 200k, 28k at 2M — measured
+    // recall holds ~0.78 at both tiers, table in BENCHNOTES).
+    val candK = math.max(100, math.min(n / 10,
+      20L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
     val got = SimilarityOps.ivfPqTopK(sample, emb, "vec_id", "embedding",
         dim = 64, m = 16, ksub = 32, nCells = 8, nprobe = 4,
-        candK = 100, k = 5,
+        candK = candK, k = 5,
         trainSample = Some(emb.filter(
           col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)))
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
