@@ -1008,26 +1008,51 @@ object SimilarityOps {
     * (probe mass) × (ADC candidate quality) — both measured
     * independently by `ann_ivf_search` and `ann_pq_topk`.
     */
+  /** Coarse quantizer build shared by [[ivfPqTopK]] and
+    * [[clusterBalancedSample]]: Lloyd cells trained on the SAMPLE
+    * (like the PQ codebooks — O(sample) training at any corpus size,
+    * the FAISS build shape), then ONE assign pass over the full
+    * corpus. The pre-r12 shape Lloyd'd the full corpus: iters×
+    * corpus-wide assign joins plus a corpus-wide centroid
+    * aggregation, all to place nCells centroids a 512-vector sample
+    * determines just as well — at the 2M decade that was most of the
+    * index build (same-box A/B at 200k: −21% end to end). With NO
+    * sample, trainIvf's own final corpus assignment is reused
+    * directly — a third corpus-wide assign pass would recompute what
+    * it already returned.
+    *
+    * Returns (cents `(cell, centroid)`, assigned `(id, cell)`).
+    */
+  private def sampleTrainedCells(vectors: DataFrame, idCol: String,
+                                 vecCol: String, nCells: Int,
+                                 trainSample: Option[DataFrame])
+      : (DataFrame, DataFrame) = trainSample match {
+    case Some(sample) =>
+      val sAssigned = trainIvf(sample, idCol, vecCol, nCells, iters = 2)
+        .select(col("id"), col("assigned_cell").as("cell"))
+      val cents = centroids(
+        sample.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .join(sAssigned, "id"),
+        "cell", "v")
+      (cents, ivfAssign(vectors, idCol, vecCol, cents)
+        .select(col("id"), col("assigned_cell").as("cell")))
+    case None =>
+      val assigned = trainIvf(vectors, idCol, vecCol, nCells, iters = 2)
+        .select(col("id"), col("assigned_cell").as("cell"))
+      val cents = centroids(
+        vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+          .join(assigned, "id"),
+        "cell", "v")
+      (cents, assigned)
+  }
+
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                 nCells: Int, nprobe: Int, candK: Int, k: Int,
                 trainSample: Option[DataFrame] = None): DataFrame = {
-    // coarse quantizer: Lloyd cells trained on the SAMPLE (like the PQ
-    // codebooks — O(sample) training at any corpus size, the FAISS
-    // build shape), then ONE assign pass over the full corpus. The
-    // previous shape Lloyd'd the full corpus: iters× full-corpus
-    // assign joins plus a full-corpus centroid aggregation, all to
-    // build 8 centroids a 512-vector sample determines just as well —
-    // at the 2M decade that was most of the index build.
-    val coarse = trainSample.getOrElse(corpus)
-    val sampleAssigned = trainIvf(coarse, idCol, vecCol, nCells, iters = 2)
-      .select(col("id"), col("assigned_cell").as("cell"))
-    val cents = centroids(
-      coarse.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .join(sampleAssigned, "id"),
-      "cell", "v")
-    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
-      .select(col("id").as("neighbor_id"), col("assigned_cell").as("cell"))
+    val (cents, assignedById) =
+      sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample)
+    val assigned = assignedById.select(col("id").as("neighbor_id"), col("cell"))
     // PQ fine quantizer: sample-trained codebooks, full-corpus codes
     val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
       dim, m, ksub, iters = 2)
@@ -1090,16 +1115,15 @@ object SimilarityOps {
   def clusterBalancedSample(vectors: DataFrame, idCol: String, vecCol: String,
                             nCells: Int, quota: Int,
                             trainSample: Option[DataFrame] = None): DataFrame = {
-    val coarse = trainSample.getOrElse(vectors)
-    val sAssigned = trainIvf(coarse, idCol, vecCol, nCells, iters = 2)
-      .select(col("id"), col("assigned_cell").as("cell"))
-    val cents = centroids(
-      coarse.select(col(idCol).as("id"), col(vecCol).as("v"))
-        .join(sAssigned, "id"),
-      "cell", "v")
-    val assigned = ivfAssign(vectors, idCol, vecCol, cents)
-      .select(col("id"), col("assigned_cell").as("cell"),
-        xxhash64(col("id"), lit("cbsample")).as("__ord"))
+    val (_, assigned0) =
+      sampleTrainedCells(vectors, idCol, vecCol, nCells, trainSample)
+    // order by a hash of the VECTOR (true content addressing, the
+    // tx_cap_per_source convention): the selection survives a
+    // re-ingest that renumbers ids; the id only breaks exact-content
+    // ties deterministically
+    val assigned = assigned0
+      .join(vectors.select(col(idCol).as("id"),
+        xxhash64(col(vecCol), lit("cbsample")).as("__ord")), "id")
     val taken = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
       assigned, Seq("cell"), Seq(("__ord", true), ("id", true)), quota)
     val w = Window.partitionBy("cell").orderBy(col("__ord").asc, col("id").asc)

@@ -3157,6 +3157,7 @@ object PipelineQueries extends QueryPack {
   // windows, a 1-minute watermark, two micro-batches cut mid-window
   // (the straddled window's sketch must merge through state), and a
   // far-future sentinel closes the last real window.
+  private val trendingK = 32 // MG counters; the oracle threshold derives from it
   q("st_trending_parity",
     s"""WITH d AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
@@ -3170,7 +3171,7 @@ object PipelineQueries extends QueryPack {
       |h AS (
       |  SELECT c.window_start, count(*) AS n_heavy
       |  FROM c JOIN n USING (window_start)
-      |  WHERE c.c > n.n_tokens / 33.0
+      |  WHERE c.c > n.n_tokens / ${trendingK + 1}.0
       |  GROUP BY 1)
       |SELECT n.window_start, n.n_tokens,
       |  CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy,
@@ -3178,7 +3179,7 @@ object PipelineQueries extends QueryPack {
       |FROM n LEFT JOIN h USING (window_start)
       |ORDER BY window_start""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.streaming.Trigger
-    val k = 32
+    val k = trendingK
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val evd = docs.withColumn("ts",
       timestamp_seconds(lit(1704067200L) + col("doc_id")))

@@ -322,8 +322,8 @@ object SimQueries extends QueryPack {
   // query to 4 of 8 cells (per-query scan = nprobe/nCells of the
   // corpus, a cell-equi join — never all-pairs), and inside probed
   // cells candidates are scored by the native PQ-ADC over 16-byte
-  // codes, candK=max(100, n/10) exact-rescored (candK must scale —
-  // see the call-site comment). Recall factors as probe mass × ADC
+  // codes, candK=max(100, min(n/10, 20·⌈√n⌉)) exact-rescored (candK
+  // must scale — see the call-site comment). Recall factors as probe mass × ADC
   // candidate quality — measured 0.77-0.78 from sf0.01 through the
   // 2M decade on this near-isotropic corpus, pinned ≥ 0.65
   // (IvfPqSpec holds the margin AND the full-open identity:
