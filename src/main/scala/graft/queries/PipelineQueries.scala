@@ -79,6 +79,21 @@ object PipelineQueries extends QueryPack {
       sys.error(s"$what did not finish within ${timeoutMs / 1000} s")
     }
 
+  /** Pin session confs for the duration of `body`, restoring the prior
+    * values after (the `io.Maintenance.compact` save/restore
+    * convention). The queries run on a SHARED session, so a pinned
+    * conf that leaks past its row silently changes every later row in
+    * the same run — the exact bug class this helper closes.
+    */
+  private def withConfs[T](s: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prior = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+    kvs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   /** The flagship composite — the whole reference transform chain
     * (process_openaq_raw.py:94-256 re-expressed): W1 dedup → derive
     * hour → A1 pinned pivot → J1 broadcast enrich → P8 fill.
@@ -395,12 +410,17 @@ object PipelineQueries extends QueryPack {
       // partitions AND splits skewed ones at the advisory size)
       .hint("rebalance", col("year"), col("month"))
       .write.mode("overwrite").partitionBy("year", "month").parquet(out)
-    // keep hive partition values as the strings we wrote ("01" not 1)
-    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    s.read.parquet(out)
-      .groupBy("year", "month")
-      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
-      .orderBy("year", "month")
+    // keep hive partition values as the strings we wrote ("01" not 1);
+    // partition-type inference runs eagerly at read.parquet (the file
+    // index is built and cached in the relation), so restoring the
+    // conf after constructing the frame is safe
+    withConfs(s,
+      "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") {
+      s.read.parquet(out)
+        .groupBy("year", "month")
+        .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+        .orderBy("year", "month")
+    }
   }
 
   // K22 — sink FILE HYGIENE inside the oracle gate. The reference's
@@ -435,12 +455,14 @@ object PipelineQueries extends QueryPack {
       .write.mode("overwrite").partitionBy("day").parquet(out)
     // file census on what was just written: data files per day=… dir
     val hygieneOk = graft.io.FileCensus.hygieneOk(out)
-    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    s.read.parquet(out)
-      .groupBy("day")
-      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
-      .withColumn("hygiene_ok", lit(hygieneOk))
-      .orderBy("day")
+    withConfs(s,
+      "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") {
+      s.read.parquet(out)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+        .withColumn("hygiene_ok", lit(hygieneOk))
+        .orderBy("day")
+    }
   }
 
   // K5 — catalog registration + SQL over the registered table (SURVEY
@@ -2996,9 +3018,11 @@ object PipelineQueries extends QueryPack {
   // batch-3 watermark and legitimately retain ~45% of keys) evicts at
   // watermark = max(ts) − delay, so the kept set is exactly
   // keys(ts ≥ hi − 2×delay) — measured: 2007 of 10000 on the 30-day
-  // span. The hashed bound adds one day of margin on top of that
+  // span. The hashed bound adds two days of margin on top of that
   // tight 2×delay window (boundary-semantics drift across Spark
-  // upgrades should not flip the row) plus the stream-length leg:
+  // upgrades or a non-uniform ts tail should not flip the row —
+  // the single-day margin measured only ~14% slack) plus the
+  // stream-length leg:
   // state must be at most half of all keys ever seen. A regression
   // that stops evicting (state ∝ stream length — the unbounded-state
   // failure mode) flips `state_bounded_ok` and turns the row red.
@@ -3063,10 +3087,15 @@ object PipelineQueries extends QueryPack {
         case None => s.conf.unset(noDataConf)
       }
     }
-    // kept set is exactly keys(last 2×delay = 6 days); bound with one
-    // day of margin (see header comment)
+    // kept set is exactly keys(ts ≥ hi − 2×delay = last 6 days); bound
+    // with TWO days of margin (8-day window): the single-day margin had
+    // only ~14% slack under the uniform generator, close enough that a
+    // non-uniform ts tail could flip the row without any streaming
+    // regression. The bound stays ∝ watermark (8 days ≪ the 30-day
+    // span), and the stream-length leg below keeps the
+    // unbounded-state failure mode red.
     val windowKeys = ev.filter(
-      col("ts") >= new java.sql.Timestamp(hi.getTime - 7L * 24 * 3600 * 1000)).count()
+      col("ts") >= new java.sql.Timestamp(hi.getTime - 8L * 24 * 3600 * 1000)).count()
     val totalKeys = ev.count()
     // strict lower bound too: the last watermark window's keys must
     // still BE in state (0 would mean the census read nothing — a
@@ -3119,9 +3148,13 @@ object PipelineQueries extends QueryPack {
     stageFile(sentinel, stage, "b4.parquet", 4000000L)
     val outDir = tmpDir("graft_st_drift_out")
     val ckpt = tmpDir("graft_st_drift_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // noDataMicroBatches pinned ON (it is Spark's default, but the
+    // sentinel contract depends on it: the finalizing no-data batch is
+    // what advances the watermark past the last real window and emits
+    // it — an environment override would red this row with no hint why)
+    withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
       awaitOrFail(graft.streaming.CurationStream
         .bucketHistogram(
           s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
@@ -3133,7 +3166,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_drift_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
       .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
         col("bucket"), col("n"))
@@ -3193,9 +3226,12 @@ object PipelineQueries extends QueryPack {
       stage, "b2.parquet", 2000000L)
     val outDir = tmpDir("graft_st_trend_out")
     val ckpt = tmpDir("graft_st_trend_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // noDataMicroBatches pinned ON — same sentinel contract as
+    // st_drift_parity (the last real window closes only in the
+    // finalizing no-data batch)
+    withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
       awaitOrFail(graft.streaming.CurationStream
         .trendingTerms(
           s.readStream.schema(evd.schema).option("maxFilesPerTrigger", 1)
@@ -3206,7 +3242,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_trending_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     val hhSchema = StructType(Seq(
       StructField("window_start", TimestampType),
       StructField("item", StringType), StructField("min_count", LongType)))

@@ -93,6 +93,21 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "pq_adc_dot"
 
+  // The per-slot null guards run on EVERY (subspace, candidate)
+  // iteration — the path the comments above identify as the query
+  // hotspot — but they only have work to do when the array TYPE admits
+  // nulls. The internally-built inputs never do (adcTables densifies
+  // empty cells through coalesce → containsNull=false; codes come from
+  // a non-null struct field projection), so the guard is hoisted to a
+  // per-EXPRESSION type check and only genuinely nullable caller-built
+  // arrays (the public SQL surface) pay the per-element branch.
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+  private lazy val codesNullable = elemNullable(codes)
+  private lazy val tabNullable = elemNullable(qtab)
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val c = a.asInstanceOf[ArrayData]
     val t = b.asInstanceOf[ArrayData]
@@ -100,11 +115,11 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
     var acc = 0.0
     var s = 0
     while (s < m) {
-      GraftHashOps.checkAdcNotNull(c.isNullAt(s), s)
+      if (codesNullable) GraftHashOps.checkAdcNotNull(c.isNullAt(s), s)
       val code = c.getInt(s)
       GraftHashOps.checkAdcCode(code, s, ksub, t.numElements())
       val slot = s * ksub + code
-      GraftHashOps.checkAdcTabNotNull(t.isNullAt(slot), slot)
+      if (tabNullable) GraftHashOps.checkAdcTabNotNull(t.isNullAt(slot), slot)
       acc += t.getDouble(slot)
       s += 1
     }
@@ -117,17 +132,23 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
       val m = ctx.freshName("m")
       val idx = ctx.freshName("idx")
       val acc = ctx.freshName("acc")
+      val codeGuard = if (codesNullable)
+        s"""org.apache.spark.sql.graftx.GraftHashOps.checkAdcNotNull(
+           |    $a.isNullAt($s), $s);""".stripMargin
+      else "// codes ArrayType is containsNull=false: no per-slot guard"
+      val tabGuard = if (tabNullable)
+        s"""org.apache.spark.sql.graftx.GraftHashOps.checkAdcTabNotNull(
+           |    $b.isNullAt($s * $ksub + $idx), $s * $ksub + $idx);""".stripMargin
+      else "// qtab ArrayType is containsNull=false: no per-slot guard"
       s"""
          |int $m = $a.numElements();
          |double $acc = 0.0;
          |for (int $s = 0; $s < $m; $s++) {
-         |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcNotNull(
-         |    $a.isNullAt($s), $s);
+         |  $codeGuard
          |  int $idx = $a.getInt($s);
          |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcCode(
          |    $idx, $s, $ksub, $b.numElements());
-         |  org.apache.spark.sql.graftx.GraftHashOps.checkAdcTabNotNull(
-         |    $b.isNullAt($s * $ksub + $idx), $s * $ksub + $idx);
+         |  $tabGuard
          |  $acc += $b.getDouble($s * $ksub + $idx);
          |}
          |${ev.value} = $acc;

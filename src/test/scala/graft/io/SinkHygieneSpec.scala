@@ -59,11 +59,22 @@ class SinkHygieneSpec extends SparkSpec {
     val (files, dirs) = census(out)
     assert(dirs === 8)
     assert(files.toDouble / dirs <= 2.0, s"fragmented despite rebalance: $files/$dirs")
-    // lossless: read-back multiset equals the input
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val back = spark.read.parquet(out).select("day", "v")
-    assert(back.count() === 3200)
-    assert(back.exceptAll(scattered.select("day", "v")).isEmpty &&
-      scattered.select("day", "v").exceptAll(back).isEmpty)
+    // lossless: read-back multiset equals the input. The inference
+    // conf is pinned only for the read (restore after: the session is
+    // the JVM-wide shared TestSpark — a leaked setting would change
+    // how LATER suites read hive-partitioned parquet, suite-order
+    // dependently).
+    val inferenceKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prior = spark.conf.getOption(inferenceKey)
+    spark.conf.set(inferenceKey, "false")
+    try {
+      val back = spark.read.parquet(out).select("day", "v")
+      assert(back.count() === 3200)
+      assert(back.exceptAll(scattered.select("day", "v")).isEmpty &&
+        scattered.select("day", "v").exceptAll(back).isEmpty)
+    } finally prior match {
+      case Some(v) => spark.conf.set(inferenceKey, v)
+      case None => spark.conf.unset(inferenceKey)
+    }
   }
 }
