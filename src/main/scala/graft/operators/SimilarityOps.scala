@@ -816,10 +816,44 @@ object SimilarityOps {
   // (map-side-combinable avg, same as trainIvf); encoding is one
   // broadcast (m·ksub·dsub doubles — KB) + per-row argmin; the ADC
   // scan streams the m-byte codes with the per-query tables broadcast
-  // and produces candK rows per query through TopKPerGroup (shuffle
-  // capped at candK·partitions per query, never n); rescore touches
-  // q·candK full vectors. The corpus is never shuffled end to end.
+  // WHILE THEY FIT the query-side bound (hash-chunked broadcasts /
+  // shuffle-equi fallbacks above it — no smallness assumption is
+  // unconditional) and produces candK rows per query through
+  // TopKPerGroup (shuffle capped at candK·partitions per query, never
+  // n); rescore touches q·candK full vectors. The corpus is never
+  // shuffled end to end.
   // ------------------------------------------------------------------
+
+  /** Conf bound for QUERY-side broadcasts in the ANN/PQ serving paths
+    * (per-query ADC tables, the probed query fan-out, the rescore
+    * query vectors). The r12 lesson — any unconditional smallness
+    * assumption dies at some decade — applies verbatim when the query
+    * batch is corpus-shaped (decontaminating a full training corpus
+    * against the index is the realistic 100 TB case), so every "the
+    * query side is small" decision below is gated on measured
+    * arithmetic against this bound. Separate from
+    * `spark.graft.broadcastDimBound` so forcing the query-side
+    * fallback (in a spec or on a cluster) does not also trip the
+    * fail-fast corpus-side gates.
+    */
+  private def queryBroadcastBound(df: DataFrame): Long =
+    graft.GraftConf.sizeConf(df.sparkSession,
+      "spark.graft.ann.queryBroadcastBound", 256L * 1024 * 1024)
+
+  /** Broadcast a query-derived side only when 2× its closed-form byte
+    * estimate fits [[queryBroadcastBound]]; above it, return the frame
+    * unhinted so the join plans as a plain shuffle join. Plan stats
+    * are the wrong gate here — the query structures are JOIN outputs,
+    * and the size-only stats visitor estimates a join as the product
+    * of its children (the `requireBroadcastableMeasured` rationale) —
+    * but their sizes have closed forms once the query COUNT is known,
+    * so one `queries.count()` prices every gate in a search without
+    * further jobs. The ×2 covers UnsafeRow/hash-relation overhead on
+    * top of the per-row estimates (which already include a fixed
+    * header charge).
+    */
+  private def broadcastIfQueryFits(df: DataFrame, estBytes: Long): DataFrame =
+    if (estBytes * 2 <= queryBroadcastBound(df)) broadcast(df) else df
 
   /** (id, sub ∈ [0,m), sv: array<double> of dim/m) — every vector cut
     * into its m subvectors, the shared input of PQ train/encode/query.
@@ -956,32 +990,72 @@ object SimilarityOps {
                     idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                     codebook: DataFrame, corpusCodes: DataFrame,
                     candK: Int, k: Int): DataFrame = {
-    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn").cache()
+    // recompute-over-cache: the normed corpus is corpus-SIZED, so a
+    // .cache() here pinned n·dim floats in executor storage past the
+    // query's lifetime (nothing can unpersist it — the returned frame
+    // still references it lazily) and could never fit at the 100 TB
+    // tier anyway. It is read twice (cn for the scan, cv+cn for the
+    // candK-row rescore); recomputing costs one extra columnar scan +
+    // a codegen'd dot per row and leaves the cache manager empty after
+    // the query (CacheHygieneSpec pins this).
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val codes = corpusCodes
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(c.select("neighbor_id", "cn"), "neighbor_id")
     val qtabs = adcTables(queries, idCol, vecCol, dim, m, ksub, codebook)
       .join(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
         .select("query_id", "qn"), "query_id")
+    // ONE count of the query side prices every query-side broadcast
+    // decision below (closed-form arithmetic on nQ; see
+    // broadcastIfQueryFits for why plan stats cannot gate these).
+    val nQ = queries.count()
+    val qtabBytes = nQ * (m.toLong * ksub * 8 + 96)
+    val bound = queryBroadcastBound(queries)
+    // The ADC full scan is inherently all-pairs — every query scores
+    // every code row (that is WHY ivfPqTopK exists) — so there is no
+    // shuffle-equi fallback when the query batch outgrows a single
+    // broadcast. Instead the query side splits into the fewest hash
+    // chunks that each fit the bound and the code scan runs once per
+    // chunk: bounded broadcast builds, corpus re-scans instead of an
+    // OOM. A corpus-shaped batch would explode the chunk count, so it
+    // fails FAST with the remedy rather than grinding through O(n·q).
+    val nChunks = math.max(1L, (qtabBytes * 2 + bound - 1) / bound)
+    val maxChunks = graft.GraftConf.intConf(queries.sparkSession,
+      "spark.graft.ann.maxQueryChunks").getOrElse(64)
+    require(nChunks <= maxChunks,
+      s"pqTopKEncoded: the per-query ADC tables ($nQ queries, ~$qtabBytes " +
+        s"bytes) need $nChunks broadcast chunks under the $bound-byte bound " +
+        "(spark.graft.ann.queryBroadcastBound) — more than " +
+        s"spark.graft.ann.maxQueryChunks=$maxChunks. A query batch this " +
+        "large should go through ivfPqTopK (cell-equi candidate join) " +
+        "instead of the full ADC scan.")
     // ADC scan: codes only — the full vectors are NOT in this stage.
     // The accumulation is the native codegen'd PqAdcDot (m array
     // loads + adds per pair); the HOF form (aggregate(sequence) with
     // two element_ats per step) measured 1.2× the cost of the 64-float
     // brute-force dot at n=2M, erasing the CPU half of the
     // compression win
-    val scored = codes
-      .join(broadcast(qtabs), col("query_id") =!= col("neighbor_id"))
+    val scored = (0L until nChunks).map { b =>
+        val chunk = if (nChunks == 1L) qtabs
+          else qtabs.filter(
+            pmod(xxhash64(col("query_id")), lit(nChunks)) === b)
+        codes.join(broadcast(chunk), col("query_id") =!= col("neighbor_id"))
+      }.reduce(_ unionByName _)
       .withColumn("adot", org.apache.spark.sql.graftx.GraftFunctions
         .pqAdcDot(col("codes"), col("qtab"), ksub))
       .withColumn("acos", col("adot") / (col("qn") * col("cn")))
     val cand = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
       scored.select("query_id", "neighbor_id", "acos"),
       Seq("query_id"), Seq(("acos", false), ("neighbor_id", true)), candK)
-    // exact rescore of the candK survivors only
-    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    // exact rescore of the candK survivors only; the query-vector side
+    // is gated too (equi join on query_id — the unhinted fallback is a
+    // plain shuffle join)
+    val q = broadcastIfQueryFits(
+      withNorm(queries, idCol, vecCol, "query_id", "qv", "qn"),
+      nQ * (dim.toLong * 4 + 96))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.select("query_id", "neighbor_id")
-      .join(broadcast(q), "query_id").join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
+      .join(q, "query_id").join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
       .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -1053,10 +1127,27 @@ object SimilarityOps {
     val (cents, assignedById) =
       sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample)
     val assigned = assignedById.select(col("id").as("neighbor_id"), col("cell"))
+    // coarse-centroid table: nCells rows × dim doubles — sized by the
+    // INDEX GEOMETRY (closed form: no job needed), not the corpus, but
+    // production geometry scales nCells ~4√n so the smallness
+    // assumption is still gated: the cell ranking is inherently
+    // queries × cells (no non-broadcast plan exists), so above the
+    // bound it fails FAST with the remedy instead of OOMing the build.
+    val centsBytes = nCells.toLong * (dim * 8L + 96L)
+    val centsBound = graft.GraftConf.sizeConf(corpus.sparkSession,
+      "spark.graft.broadcastDimBound", 256L * 1024 * 1024)
+    require(centsBytes * 2 <= centsBound,
+      s"ivfPqTopK: the coarse-centroid table ($nCells cells × dim $dim, " +
+        s"~$centsBytes bytes) exceeds the broadcast bound $centsBound " +
+        "(spark.graft.broadcastDimBound) — shrink nCells or rank cells " +
+        "through a hierarchical coarse quantizer")
     // PQ fine quantizer: sample-trained codebooks, full-corpus codes
     val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
       dim, m, ksub, iters = 2)
-    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn").cache()
+    // recompute-over-cache — see pqTopKEncoded: caching the normed
+    // corpus leaked it into session storage past the query (and can't
+    // fit at scale); two scans are the honest price.
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val codes = pqEncode(corpus, idCol, vecCol, dim, m, codebook)
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(assigned, "neighbor_id")
@@ -1065,6 +1156,8 @@ object SimilarityOps {
     // shared dense ADC table
     val qtabs = adcTables(queries, idCol, vecCol, dim, m, ksub, codebook)
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    // one count prices the query-side gates (see broadcastIfQueryFits)
+    val nQ = queries.count()
     val qD = transform(col("qv"), x => x.cast("double"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell").asc)
     val probed = q.join(broadcast(cents))
@@ -1073,8 +1166,15 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qn"), col("cell"))
       .join(qtabs, "query_id")
-    // candidate generation: cell-equi join, ADC scoring, heap top-candK
-    val scored = codes.join(broadcast(probed), Seq("cell"))
+    // candidate generation: CELL-EQUI join, ADC scoring, heap
+    // top-candK. The probed side is nQ·nprobe rows each carrying an
+    // m·ksub-double ADC table — broadcast while that fits, else the
+    // equi key gives a natural shuffle-join fallback (each corpus
+    // partition meets only its cells' queries; PqBroadcastGateSpec
+    // pins both branches bit-identical).
+    val probedGated = broadcastIfQueryFits(probed,
+      nQ * nprobe * (m.toLong * ksub * 8 + 96))
+    val scored = codes.join(probedGated, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adot", org.apache.spark.sql.graftx.GraftFunctions
         .pqAdcDot(col("codes"), col("qtab"), ksub))
@@ -1082,10 +1182,12 @@ object SimilarityOps {
     val cand = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
       scored.select("query_id", "neighbor_id", "acos"),
       Seq("query_id"), Seq(("acos", false), ("neighbor_id", true)), candK)
-    // exact rescore
+    // exact rescore; query vectors gated the same way (equi join on
+    // query_id — unhinted fallback is a plain shuffle join)
+    val qGated = broadcastIfQueryFits(q, nQ * (dim.toLong * 4 + 96))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.select("query_id", "neighbor_id")
-      .join(broadcast(q), "query_id").join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
+      .join(qGated, "query_id").join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
       .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
