@@ -29,15 +29,20 @@ object SimilarityOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
-  /** Double-precision fold dot product over two numeric arrays — the
-    * HOF (zip_with + aggregate) form, shared by every centroid/PCA
-    * scoring path so a future numeric change (Kahan, native swap)
-    * lands in ONE place. Inputs are cast per element, so float and
-    * double arrays mix freely.
+  /** Double-precision fold dot product over two numeric arrays,
+    * shared by every centroid/PCA scoring path so a numeric change
+    * lands in ONE place. Formerly the HOF `aggregate(zip_with(·))`
+    * fold — interpreted per element, which made IVF assignment at
+    * production geometry (cells ~4√n → an n × 4√n × dim loop) hours
+    * instead of minutes at the 2M decade — now the native codegen'd
+    * [[org.apache.spark.sql.graftx.NumVecDot]], BIT-IDENTICAL to that
+    * fold (double accumulation in index order; NumVecDotSpec pins the
+    * equivalence element-for-element, so every oracle hash riding on
+    * dotD arithmetic is preserved). Float and double arrays mix
+    * freely, as before.
     */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graftx.GraftFunctions.numVecDot(a, b)
 
   /** id + vector + precomputed norm — the shape every pair op joins on.
     * ZERO-NORM vectors are excluded: cosine is undefined for them, and
@@ -1104,10 +1109,15 @@ object SimilarityOps {
     case Some(sample) =>
       val sAssigned = trainIvf(sample, idCol, vecCol, nCells, iters = 2)
         .select(col("id"), col("assigned_cell").as("cell"))
+      // localCheckpoint (KB–MB scale: nCells × dim doubles): the cents
+      // frame is reused by the full-corpus assign pass here, the
+      // search's probe ranking, and the search-side broadcast gate's
+      // count — without it each reuse would replay the whole sample
+      // training
       val cents = centroids(
         sample.select(col(idCol).as("id"), col(vecCol).as("v"))
           .join(sAssigned, "id"),
-        "cell", "v")
+        "cell", "v").localCheckpoint()
       (cents, ivfAssign(vectors, idCol, vecCol, cents)
         .select(col("id"), col("assigned_cell").as("cell")))
     case None =>
@@ -1116,42 +1126,67 @@ object SimilarityOps {
       val cents = centroids(
         vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
           .join(assigned, "id"),
-        "cell", "v")
+        "cell", "v").localCheckpoint()
       (cents, assigned)
   }
 
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
-                idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
-                nCells: Int, nprobe: Int, candK: Int, k: Int,
-                trainSample: Option[DataFrame] = None): DataFrame = {
+  /** IVF-PQ index BUILD — the stored-index half of the production
+    * lifecycle (build once / search many: the same split [[pqEncode]]
+    * gives plain PQ, which the decade probe measured at ~10× the whole
+    * search at 2M vectors). Returns (cents `(cell, centroid)`,
+    * codebook `(sub, cell, centroid)`, codedCorpus
+    * `(neighbor_id, cell, codes, cn)`) — everything a search needs
+    * except the full-precision vectors themselves (the rescore reads
+    * those from the corpus). All three are plain frames a caller can
+    * persist as tables and reload across query batches; the corpus is
+    * shuffled ONCE (by the encode/assign joins), here at build time.
+    */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, m: Int, ksub: Int, nCells: Int,
+                 trainSample: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val (cents, assignedById) =
       sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample)
     val assigned = assignedById.select(col("id").as("neighbor_id"), col("cell"))
-    // coarse-centroid table: nCells rows × dim doubles — sized by the
-    // INDEX GEOMETRY (closed form: no job needed), not the corpus, but
-    // production geometry scales nCells ~4√n so the smallness
-    // assumption is still gated: the cell ranking is inherently
-    // queries × cells (no non-broadcast plan exists), so above the
-    // bound it fails FAST with the remedy instead of OOMing the build.
-    val centsBytes = nCells.toLong * (dim * 8L + 96L)
-    val centsBound = graft.GraftConf.sizeConf(corpus.sparkSession,
-      "spark.graft.broadcastDimBound", 256L * 1024 * 1024)
-    require(centsBytes * 2 <= centsBound,
-      s"ivfPqTopK: the coarse-centroid table ($nCells cells × dim $dim, " +
-        s"~$centsBytes bytes) exceeds the broadcast bound $centsBound " +
-        "(spark.graft.broadcastDimBound) — shrink nCells or rank cells " +
-        "through a hierarchical coarse quantizer")
     // PQ fine quantizer: sample-trained codebooks, full-corpus codes
     val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
       dim, m, ksub, iters = 2)
+    val codes = pqEncode(corpus, idCol, vecCol, dim, m, codebook)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(assigned, "neighbor_id")
+      .join(withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+        .select("neighbor_id", "cn"), "neighbor_id")
+    (cents, codebook, codes)
+  }
+
+  /** IVF-PQ SEARCH over a built (or stored-and-reloaded) index — see
+    * [[buildIvfPq]] for the index frames' shapes and [[ivfPqTopK]] for
+    * the composed semantics and gates.
+    */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
+                  idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
+                  cents: DataFrame, codebook: DataFrame, codedCorpus: DataFrame,
+                  nprobe: Int, candK: Int, k: Int): DataFrame = {
+    // coarse-centroid table: nCells rows × dim doubles. One cheap count
+    // (the frame is localCheckpoint'd at build / a stored table on
+    // reload) sizes the closed-form gate: the cell ranking is
+    // inherently queries × cells (no non-broadcast plan exists), and
+    // production geometry scales nCells ~4√n, so above the bound it
+    // fails FAST with the remedy instead of OOMing the broadcast build.
+    val nCells = cents.count()
+    val centsBytes = nCells * (dim * 8L + 96L)
+    val centsBound = graft.GraftConf.sizeConf(corpus.sparkSession,
+      "spark.graft.broadcastDimBound", 256L * 1024 * 1024)
+    require(centsBytes * 2 <= centsBound,
+      s"ivfPqSearch: the coarse-centroid table ($nCells cells × dim $dim, " +
+        s"~$centsBytes bytes) exceeds the broadcast bound $centsBound " +
+        "(spark.graft.broadcastDimBound) — shrink nCells or rank cells " +
+        "through a hierarchical coarse quantizer")
     // recompute-over-cache — see pqTopKEncoded: caching the normed
     // corpus leaked it into session storage past the query (and can't
     // fit at scale); two scans are the honest price.
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-    val codes = pqEncode(corpus, idCol, vecCol, dim, m, codebook)
-      .select(col("id").as("neighbor_id"), col("codes"))
-      .join(assigned, "neighbor_id")
-      .join(c.select("neighbor_id", "cn"), "neighbor_id")
+    val codes = codedCorpus
     // per-query: nprobe nearest cells (broadcast centroids) + the
     // shared dense ADC table
     val qtabs = adcTables(queries, idCol, vecCol, dim, m, ksub, codebook)
@@ -1193,6 +1228,16 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), r4(col("cos")).as("cos"))
+  }
+
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+                idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
+                nCells: Int, nprobe: Int, candK: Int, k: Int,
+                trainSample: Option[DataFrame] = None): DataFrame = {
+    val (cents, codebook, codes) =
+      buildIvfPq(corpus, idCol, vecCol, dim, m, ksub, nCells, trainSample)
+    ivfPqSearch(queries, corpus, idCol, vecCol, dim, m, ksub,
+      cents, codebook, codes, nprobe, candK, k)
   }
 
   /** Cluster-balanced (diversity) sampling — the curation step that

@@ -70,6 +70,82 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[FloatVecDot]] for float/double arrays in any combination — the
+  * native replacement for the `aggregate(zip_with(x·y))` HOF fold that
+  * scores every (vector, centroid) pair in IVF assignment, coarse-cell
+  * probing, and ADC table construction. The HOF form is interpreted
+  * per element; at toy geometry (8 cells) that never mattered, but
+  * production geometry scales cells ~4√n, making assignment an
+  * n × 4√n × dim loop — the widest in the engine — where interpreted
+  * arithmetic is the difference between minutes and hours at the 2M
+  * decade. Semantics are BIT-IDENTICAL to the HOF fold
+  * (NumVecDotSpec pins it element-for-element): double accumulation in
+  * index order; a null ELEMENT or a length mismatch yields null (the
+  * fold's `acc + null` / zip_with null-padding behavior) — unlike
+  * FloatVecDot, which serves dense-by-contract embedding columns and
+  * throws on mismatch, this serves arbitrary caller arrays exactly as
+  * the HOF did.
+  */
+case class NumVecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "num_vec_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private lazy val leftFloat = isFloat(left)
+  private lazy val rightFloat = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null // zip_with null-pads the short side
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // fold: acc + null
+      val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      def get(arr: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** PQ asymmetric-distance accumulation: for codes `c` (array<int>,
   * one per subspace) and a per-query dense lookup table `qtab`
   * (array<double>, indexed `sub·ksub + cell`), returns
@@ -597,6 +673,9 @@ case class NgramGenerator(child: Expression, n: Int)
 object GraftFunctions {
   def vecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(FloatVecDot(expr(a), expr(b)))
+
+  def numVecDot(a: Column, b: Column): Column =
+    ExpressionUtils.column(NumVecDot(expr(a), expr(b)))
 
   def vecNorm(a: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
