@@ -2762,6 +2762,93 @@ object PipelineQueries extends QueryPack {
       .orderBy("user_id", "c_ts", "e_ts", "e_value")
   }
 
+  // §2.9 streaming↔batch parity — the stream-stream join under KEY
+  // SKEW. st_join_parity runs on near-uniform user_ids; production
+  // attribution streams have hot entities (one bot account, one
+  // default/null-mapped id), and the symmetric hash join routes ALL of
+  // a key's state through one shuffle partition — the configuration
+  // where a skew regression (state blowup, dropped matches under
+  // memory pressure) would hide from the uniform row. This row PLANTS
+  // the hot key deterministically (every user_id % 5 == 0 remaps to
+  // user 1 on BOTH sides — the hot key then carries ~20% of each
+  // stream) and runs the identical windowed left-outer join across a
+  // mid-stream batch cut; the oracle applies the same remap in SQL, so
+  // every hot-key match AND every hot-key unmatched outer row is
+  // hash-pinned. Two booleans ride in the hash: the plant is
+  // non-vacuous (hot key ≥ 15% of the cause stream), and the join
+  // state DRAINED after the far-future heartbeats closed every window
+  // (bounded state under skew: leftover state ∝ open windows — which
+  // the heartbeat reduces to the heartbeats themselves — never ∝ the
+  // hot key's row count).
+  q("st_join_skew_parity",
+    """WITH e AS (
+      |  SELECT CASE WHEN user_id % 5 = 0 THEN 1 ELSE user_id END AS user_id,
+      |    CAST(ts AS TIMESTAMP) AS ts, value, event_type
+      |  FROM events),
+      |c AS (SELECT user_id, ts, value FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.ts AS c_ts, p.ts AS e_ts,
+      |  c.value AS c_value, p.value AS e_value,
+      |  true AS hot_planted_ok, true AS state_drained_ok
+      |FROM c LEFT JOIN p ON c.user_id = p.user_id
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+      |ORDER BY 1, 2, 3, 5""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.load(s, dir, "events")
+      .select(
+        when(pmod(col("user_id"), lit(5)) === 0, lit(1L))
+          .otherwise(col("user_id")).as("user_id"),
+        col("ts"), col("value"), col("event_type"))
+    val causes = ev.filter(col("event_type") === "click").drop("event_type")
+    val effects = ev.filter(col("event_type") === "purchase").drop("event_type")
+    // non-vacuity: the planted key must actually be hot
+    val hotStats = causes.agg(count(lit(1)).as("n"),
+      sum(when(col("user_id") === 1, 1L).otherwise(0L)).as("hot")).collect()(0)
+    val hotPlantedOk = hotStats.getLong(1) * 100 >= hotStats.getLong(0) * 15
+    val bounds = ev.agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+    val cutoff = new java.sql.Timestamp(
+      (bounds.getTimestamp(0).getTime + bounds.getTimestamp(1).getTime) / 2)
+    def heartbeat = s.range(1).select(lit(-1L).as("user_id"),
+      lit(java.sql.Timestamp.valueOf("2100-01-01 00:00:00")).as("ts"),
+      lit(0.0).as("value"))
+    val cStage = tmpDir("graft_st_jsk_c")
+    val eStage = tmpDir("graft_st_jsk_e")
+    stageFile(causes.filter(col("ts") <= cutoff), cStage, "b1.parquet", 1000000L)
+    stageFile(causes.filter(col("ts") > cutoff).unionByName(heartbeat),
+      cStage, "b2.parquet", 2000000L)
+    stageFile(effects.filter(col("ts") <= cutoff), eStage, "b1.parquet", 1000000L)
+    stageFile(effects.filter(col("ts") > cutoff).unionByName(heartbeat),
+      eStage, "b2.parquet", 2000000L)
+    val outDir = tmpDir("graft_st_jsk_out")
+    val ckpt = tmpDir("graft_st_jsk_ckpt")
+    val schema = causes.schema
+    def read(d: String) = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val stateRows = withConfs(s, "spark.sql.shuffle.partitions" -> "8") {
+      val query = graft.streaming.StreamJoins
+        .attributionJoinLeftOuter(read(cStage), read(eStage),
+          windowMinutes = 30, watermarkDelay = "10 minutes")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      awaitOrFail(query, 300000, "st_join_skew_parity stream")
+      Option(query.lastProgress)
+        .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    }
+    // after the 2100 heartbeats advance the watermark, every real
+    // window is closed: residual join state is the heartbeats alone
+    // (≤ a few rows) — NOT proportional to the hot key's row count
+    val stateDrainedOk = stateRows >= 0 && stateRows <= 8
+    s.read.parquet(outDir)
+      .filter(col("user_id") >= 0) // drop the heartbeats' self-pair
+      .select("user_id", "c_ts", "e_ts", "c_value", "e_value")
+      .withColumn("hot_planted_ok", lit(hotPlantedOk))
+      .withColumn("state_drained_ok", lit(stateDrainedOk))
+      .orderBy("user_id", "c_ts", "e_ts", "e_value")
+  }
+
   // §2.9 streaming↔batch parity #10 — CHECKPOINT-RESTART for the
   // STREAM-STREAM JOIN state backend (SymmetricHashJoinStateManager —
   // the fourth distinct stateful-operator store, after
