@@ -13,10 +13,13 @@ import graft.queries._
   *  - [[TextQueries]]       text analysis + document dedup (scale mandate)
   *  - [[SimQueries]]        vector similarity / ANN (scale mandate)
   *  - [[MultimodalQueries]] binary-column plumbing (scale mandate)
+  *  - [[FuzzQueries]]       fixed-seed generated queries (differential
+  *                          fuzzing — DataFrame vs DuckDB every round)
   */
 object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
-    CoreQueries, PipelineQueries, TextQueries, SimQueries, MultimodalQueries)
+    CoreQueries, PipelineQueries, TextQueries, SimQueries, MultimodalQueries,
+    FuzzQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

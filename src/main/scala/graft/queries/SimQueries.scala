@@ -318,17 +318,19 @@ object SimQueries extends QueryPack {
   }
 
   // IVF-PQ — both scale levers composed into the canonical production
-  // index (the FAISS IVFPQ shape): the coarse quantizer restricts each
-  // query to 4 of 8 cells (per-query scan = nprobe/nCells of the
-  // corpus, a cell-equi join — never all-pairs), and inside probed
+  // index: the coarse quantizer restricts each query to a cell-equi
+  // join over its probed cells (never all-pairs), and inside probed
   // cells candidates are scored by the native PQ-ADC over 16-byte
   // codes, candK=max(100, min(n/10, 20·⌈√n⌉)) exact-rescored (candK
-  // must scale — see the call-site comment). Recall factors as probe mass × ADC
-  // candidate quality — measured 0.77-0.78 from sf0.01 through the
-  // 2M decade on this near-isotropic corpus, pinned ≥ 0.65
-  // (IvfPqSpec holds the margin AND the full-open identity:
-  // nprobe=nCells + candK=n ≡ brute force). Oracle: corpus counts +
-  // literal true.
+  // must scale — see the call-site comment). GEOMETRY is the measured
+  // knee from tools.IvfGridProbe (see SimilarityOps.ivfPqGeometry):
+  // nCells = 2√n, nprobe = nCells/2 — on this near-isotropic corpus
+  // recall tracks probed mass and finer cells raise it at fixed mass
+  // (200k grid, scan ½: 8 cells → 0.79, 64 → 0.93, 256 → 0.98), so
+  // the r12 toy geometry's 0.78 ceiling lifts to ≥0.93 measured and
+  // the pin rises 0.65 → 0.9 (IvfPqSpec holds the margin AND the
+  // full-open identity: nprobe=nCells + candK=n ≡ brute force).
+  // Oracle: corpus counts + literal true.
   q("ann_ivf_pq",
     """WITH k AS (SELECT greatest(1, count(*) // 64) AS k FROM embeddings)
       |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
@@ -342,20 +344,24 @@ object SimQueries extends QueryPack {
     // candK SCALES with the corpus: on near-isotropic geometry a
     // FIXED candidate pool admits more imposters as n grows —
     // measured failing at the 100× tier (200k vectors: composed
-    // recall ≈ probe-mass 0.8 × PQ@100 0.72 ≈ 0.58 < the 0.65 pin).
-    // But candK ∝ n (the brute-force limit) makes the per-query HEAP
-    // the bottleneck instead — n/10 at the 2M tier meant 200k-entry
-    // heaps per query and wedged the decade run. √n growth is the
-    // honest middle: candidate quality climbs with the pool while the
-    // heap stays O(√n) per query (≈ 9k at 200k, 28k at 2M — measured
-    // recall holds ~0.78 at both tiers, table in BENCHNOTES).
+    // recall ≈ probe-mass 0.8 × PQ@100 0.72 ≈ 0.58 < the old 0.65
+    // pin). But candK ∝ n (the brute-force limit) makes the per-query
+    // HEAP the bottleneck instead — n/10 at the 2M tier meant
+    // 200k-entry heaps per query and wedged the decade run. √n growth
+    // is the honest middle: candidate quality climbs with the pool
+    // while the heap stays O(√n) per query (≈ 9k at 200k, 28k at 2M).
     val candK = math.max(100, math.min(n / 10,
       20L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val (nCells, nprobe) = SimilarityOps.ivfPqGeometry(n)
+    // modulus 1 = "sample is the whole corpus": pass None so the build
+    // reuses trainIvf's own final assignment instead of paying a
+    // redundant third corpus-wide assign pass
+    val tsMod = SimilarityOps.sampleModulus(n, math.max(512, 32 * nCells))
     val got = SimilarityOps.ivfPqTopK(sample, emb, "vec_id", "embedding",
-        dim = 64, m = 16, ksub = 32, nCells = 8, nprobe = 4,
+        dim = 64, m = 16, ksub = 32, nCells = nCells, nprobe = nprobe,
         candK = candK, k = 5,
-        trainSample = Some(emb.filter(
-          col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)))
+        trainSample = if (tsMod <= 1) None
+          else Some(emb.filter(col("vec_id") % tsMod === 0)))
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id")
@@ -364,7 +370,7 @@ object SimQueries extends QueryPack {
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))
     emb.agg(count(lit(1)).as("n_vectors")).crossJoin(stats)
       .select(col("n_vectors"), col("n_exact"),
-        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.65)).as("recall_ok"))
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.9)).as("recall_ok"))
   }
 
   // IVF training end-to-end: Lloyd iterations from deterministic hash

@@ -79,7 +79,10 @@ object IvfGridProbe {
       val buildSec = (System.nanoTime() - t0) / 1e9
       require(nCoded == n, s"index build dropped rows: $nCoded of $n")
 
-      for (nprobe <- Seq(1, 2, 4, 8, 16, 32, 64, 128)
+      // the power-of-2 sweep plus the half-mass point the gate row
+      // actually runs (nCells/2 is rarely a power of 2)
+      for (nprobe <- (Seq(1, 2, 4, 8, 16, 32, 64, 128) :+ math.max(1, nCells / 2))
+             .distinct.sorted
            if nprobe <= math.max(1, nCells / 2)) {
         val t1 = System.nanoTime()
         val got = SimilarityOps.ivfPqSearch(queries, emb, "vec_id", "embedding",

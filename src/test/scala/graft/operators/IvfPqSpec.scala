@@ -29,26 +29,33 @@ class IvfPqSpec extends graft.SparkSpec {
     assert(ivfpq == bf, "fully-open IVF-PQ diverged from brute force")
   }
 
-  test("recall >= 0.65 at the query row's config, and replay-deterministic") {
+  test("recall >= 0.9 at the query row's config, and replay-deterministic") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val n = emb.count()
     val sample = emb.filter(col("vec_id") % SimilarityOps.sampleModulus(n, 64) === 0)
     val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id")
+    // the query row's config: measured-knee geometry (2√n cells,
+    // half-mass probe — see ivfPqGeometry), √n-scaled candK,
+    // cell-count-scaled train sample
+    val (nCells, nprobe) = SimilarityOps.ivfPqGeometry(n)
+    val candK = math.max(100, math.min(n / 10,
+      20L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val tsMod = SimilarityOps.sampleModulus(n, math.max(512, 32 * nCells))
     def run() = SimilarityOps.ivfPqTopK(sample, emb, "vec_id", "embedding",
-      dim = 64, m = 16, ksub = 32, nCells = 8, nprobe = 4, candK = 100, k = 5,
-      trainSample = Some(emb.filter(
-        col("vec_id") % SimilarityOps.sampleModulus(n, 512) === 0)))
+      dim = 64, m = 16, ksub = 32, nCells = nCells, nprobe = nprobe,
+      candK = candK, k = 5,
+      trainSample = if (tsMod <= 1) None
+        else Some(emb.filter(col("vec_id") % tsMod === 0)))
     val got = run()
     val stats = exact.join(
         got.select(col("query_id"), col("neighbor_id"), lit(1).as("hit")),
         Seq("query_id", "neighbor_id"), "left")
       .agg(sum(coalesce(col("hit"), lit(0))), count(lit(1))).collect()(0)
     val recall = stats.getLong(0).toDouble / stats.getLong(1)
-    // measured 0.769-0.783 across sf — recall factors as probe mass
-    // (4 of 8 cells on this near-isotropic corpus) x ADC candidate
-    // quality; the margin covers neither being perfect
-    assert(recall >= 0.65, s"IVF-PQ recall $recall below the pinned 0.65")
+    // grid-measured 0.93-0.98 at the knee across two decades; the pin
+    // leaves margin for neither probe mass nor ADC being perfect
+    assert(recall >= 0.9, s"IVF-PQ recall $recall below the pinned 0.9")
     val a = run().collect().map(_.toString).sorted.toSeq
     val b = run().collect().map(_.toString).sorted.toSeq
     assert(a == b, "ivfPqTopK is not replay-deterministic")
