@@ -33,15 +33,23 @@ object StreamThroughputProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/stress/sf1"
     val nFiles = if (args.length > 1) args(1).toInt else 8
+    // optional third arg "rocksdb": run the same pipelines on the
+    // PRODUCTION state backend — HDFS-backed in-memory state hides the
+    // changelog/compaction cost RocksDB pays under sustained
+    // multi-batch load, so capacity planning needs both columns
+    val provider = if (args.length > 2) args(2) else "default"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     graft.GraftExtensions.assertWired(spark)
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -109,12 +117,25 @@ object StreamThroughputProbe {
       val batches = progress.count(_.numInputRows > 0)
       val stateRows = progress.lastOption
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-      println(s"""{"pipeline":"$name","rows":$total,"sec":${r1(sec)},""" +
-        s""""rows_per_sec":${(total / sec).toLong},"batches":$batches,""" +
-        s""""state_rows":$stateRows}""")
+      // on-disk state footprint after the drain (ckpt/state: snapshot +
+      // changelog files for RocksDB, delta files for the default
+      // provider) — the disk-capacity side of the state bound
+      def treeBytes(p: java.nio.file.Path): Long = {
+        val f = p.toFile
+        if (f.isDirectory) f.listFiles().map(c => treeBytes(c.toPath)).sum
+        else f.length
+      }
+      val stateDir = java.nio.file.Paths.get(ckpt, "state")
+      val stateMb =
+        if (stateDir.toFile.isDirectory) treeBytes(stateDir) / 1e6 else -1.0
+      println(s"""{"pipeline":"$name","provider":"$provider","rows":$total,""" +
+        s""""sec":${r1(sec)},"rows_per_sec":${(total / sec).toLong},""" +
+        s""""batches":$batches,"state_rows":$stateRows,""" +
+        s""""state_dir_mb":${r1(stateMb)}}""")
     }
 
-    println(s"""{"probe":"stream_throughput","dir":"$dir","rows":$total,"files":$nFiles,"cpus":$cpus}""")
+    println(s"""{"probe":"stream_throughput","dir":"$dir","rows":$total,""" +
+      s""""files":$nFiles,"cpus":$cpus,"provider":"$provider"}""")
     run("watermark_dedup", s => s
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("event_id", "ts"))

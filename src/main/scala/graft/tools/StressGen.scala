@@ -81,6 +81,9 @@ object StressGen {
     // PQ/LSH decade probes read nothing else, and the full 1000× set
     // is ~21 GB / tens of minutes where embeddings alone are ~1 GB.
     val embOnly = mode == "embonly"
+    // "eventsonly": same idea for the streaming probes (the
+    // throughput/state-backend sweeps read only events).
+    val eventsOnly = mode == "eventsonly"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -92,7 +95,8 @@ object StressGen {
     def n(base: Long): Long = (base * mult).toLong
 
     def write(df: DataFrame, name: String, parts: Int): Unit =
-      if (embOnly && name != "embeddings") ()
+      if ((embOnly && name != "embeddings") ||
+          (eventsOnly && name != "events")) ()
       else {
         df.repartition(parts)
           .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
