@@ -1109,15 +1109,17 @@ object SimilarityOps {
     case Some(sample) =>
       val sAssigned = trainIvf(sample, idCol, vecCol, nCells, iters = 2)
         .select(col("id"), col("assigned_cell").as("cell"))
-      // localCheckpoint (KB–MB scale: nCells × dim doubles): the cents
-      // frame is reused by the full-corpus assign pass here, the
-      // search's probe ranking, and the search-side broadcast gate's
-      // count — without it each reuse would replay the whole sample
-      // training
+      // NO checkpoint here: the assign join's broadcast build side must
+      // keep the modulus-sample filter VISIBLE in the plan (the
+      // engine-wide PlanShapeSpec sweep recognizes fixed-size-sample
+      // BNLJ builds structurally; a checkpointed LogicalRDD hides it).
+      // Callers that REUSE cents (buildIvfPq: probe ranking + the
+      // broadcast gate's count) checkpoint the returned frame
+      // themselves; here it is consumed once.
       val cents = centroids(
         sample.select(col(idCol).as("id"), col(vecCol).as("v"))
           .join(sAssigned, "id"),
-        "cell", "v").localCheckpoint()
+        "cell", "v")
       (cents, ivfAssign(vectors, idCol, vecCol, cents)
         .select(col("id"), col("assigned_cell").as("cell")))
     case None =>
@@ -1126,7 +1128,7 @@ object SimilarityOps {
       val cents = centroids(
         vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
           .join(assigned, "id"),
-        "cell", "v").localCheckpoint()
+        "cell", "v")
       (cents, assigned)
   }
 
@@ -1145,9 +1147,13 @@ object SimilarityOps {
                  dim: Int, m: Int, ksub: Int, nCells: Int,
                  trainSample: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (cents, assignedById) =
+    val (cents0, assignedById) =
       sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample)
     val assigned = assignedById.select(col("id").as("neighbor_id"), col("cell"))
+    // localCheckpoint (KB–MB scale: nCells × dim doubles): the search
+    // reuses cents for the probe ranking AND the broadcast gate's
+    // count — each reuse would otherwise replay the sample training
+    val cents = cents0.localCheckpoint()
     // PQ fine quantizer: sample-trained codebooks, full-corpus codes
     val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
       dim, m, ksub, iters = 2)
