@@ -601,34 +601,39 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
       .select(col("cell"), transform(col("pm"), x => x.getField("mean")).as("centroid"))
 
-  /** IVF assign step: nearest centroid by cosine for each vector
-    * (centroids are double arrays → cast vectors up, fold via HOF here
-    * since centroids are few).
+  /** IVF assign step: nearest centroid by cosine for each vector —
+    * MAP-ONLY via the native [[org.apache.spark.sql.graftx.IvfArgMin]]
+    * expression over a one-row packed centroid table. The previous
+    * shape (`vectors × broadcast(cents)` → `min(struct(−cos, cell))`)
+    * looked map-side-combinable but a struct aggregation buffer is not
+    * hash-aggregable, so Catalyst planned SortAggregate and SORTED the
+    * n·k scored stream — measured killing the 2M × 5660-cell assign
+    * (production geometry) with a ~300 GB spill. Now the n·k loop runs
+    * inside one expression per VECTOR row: no n·k rows, no aggregate,
+    * no exchange — assignment stays map-only at any geometry, and the
+    * arithmetic/tie-break/zero-norm semantics are bit-compatible
+    * (IvfAssignParitySpec pins equality against the old formulation).
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 cents: DataFrame): DataFrame = {
-    // norms and the double-cast once PER SIDE before the join (the
-    // header contract) — the previous shape recomputed both O(dim)
-    // folds on every (vector, centroid) pair, k× the work per Lloyd
-    // iteration. Zero norms score -1 so a degenerate vector lands
-    // deterministically in the lowest cell instead of a NaN argmax.
-    val vd = transform(col(vecCol), x => x.cast("double"))
-    val v = vectors.select(col(idCol).as("id"), vd.as("vd"),
-      sqrt(dotD(vd, vd)).as("vn"))
-    val cts = cents.select(col("cell"), col("centroid"),
-      sqrt(dotD(col("centroid"), col("centroid"))).as("cn"))
-    val scored = v.join(broadcast(cts))
-      .withColumn("cos", when(col("vn") * col("cn") > 0,
-        dotD(col("vd"), col("centroid")) / (col("vn") * col("cn")))
-        .otherwise(lit(-1.0)))
-    // argmax as a map-side-combinable min(struct): exchanges ONE row
-    // per vector instead of window-shuffling all n·k scored rows;
-    // (-cos, cell) lexicographic min == (cos desc, cell asc) argmax
-    scored
-      .groupBy("id")
-      .agg(min(struct((-col("cos")).as("nc"), col("cell"))).as("m"))
+    // one broadcast ROW: the whole centroid table with per-cell norms
+    // precomputed (sorted by cell for a deterministic pack; the argmin
+    // is order-independent). An ungrouped collect_list is the
+    // scalar-broadcast pattern the engine-wide plan sweep recognizes.
+    val packed = cents
+      .select(col("cell"), col("centroid"),
+        sqrt(dotD(col("centroid"), col("centroid"))).as("cn"))
+      .agg(array_sort(collect_list(struct(col("cell"), col("cn"),
+        col("centroid")))).as("__pack"))
+    vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(packed))
+      .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
+        .ivfArgMin(col("__v"), col("__pack")).as("m"))
+      // empty cents → null argmin: drop, matching the old inner join's
+      // empty output
+      .filter(col("m").isNotNull)
       .select(col("id"), col("m.cell").as("assigned_cell"),
-        r4(-col("m.nc")).as("cos"))
+        r4(col("m.cos")).as("cos"))
   }
 
   /** IVF coarse-quantizer TRAINING: Lloyd's k-means over the

@@ -80,9 +80,13 @@ object IvfGridProbe {
       require(nCoded == n, s"index build dropped rows: $nCoded of $n")
 
       // the power-of-2 sweep plus the half-mass point the gate row
-      // actually runs (nCells/2 is rarely a power of 2)
-      for (nprobe <- (Seq(1, 2, 4, 8, 16, 32, 64, 128) :+ math.max(1, nCells / 2))
-             .distinct.sorted
+      // actually runs (nCells/2 is rarely a power of 2); at expensive
+      // tiers SPARK_GRAFT_GRID_NPROBES="64,2830" trims the sweep to
+      // the points worth a multi-minute search each
+      val sweep = sys.env.get("SPARK_GRAFT_GRID_NPROBES")
+        .map(_.split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(Seq(1, 2, 4, 8, 16, 32, 64, 128) :+ math.max(1, nCells / 2))
+      for (nprobe <- sweep.distinct.sorted
            if nprobe <= math.max(1, nCells / 2)) {
         val t1 = System.nanoTime()
         val got = SimilarityOps.ivfPqSearch(queries, emb, "vec_id", "embedding",

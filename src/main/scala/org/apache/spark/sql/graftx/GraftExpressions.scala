@@ -146,6 +146,106 @@ case class NumVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Map-only IVF centroid assignment: given a vector (array<float|double>)
+  * and the PACKED centroid table (array<struct<cell:int, cn:double,
+  * centroid:array<double>>> — one broadcast ROW built by an ungrouped
+  * collect_list, the scalar-broadcast pattern), returns
+  * struct(cell, cos) for the nearest centroid by cosine, ties broken
+  * by the LOWEST cell id; zero-norm products score −1.0 so degenerate
+  * vectors land deterministically in the lowest cell.
+  *
+  * This replaces the join-then-aggregate argmin
+  * (`vectors × broadcast(cents)` → `min(struct(−cos, cell))`): a
+  * struct-typed aggregation buffer is not hash-aggregable, so Catalyst
+  * planned SortAggregate and SORTED the n·k scored stream — measured
+  * killing the 2M × 5660-cell assign with a ~300 GB spill
+  * ("No space left on device"). Here the n·k loop runs INSIDE one
+  * expression per vector row: no n·k rows exist, no aggregation, no
+  * exchange — assignment is map-only at any geometry.
+  *
+  * Arithmetic is bit-compatible with the old plan: per-element
+  * cast-to-double sequential fold for the dot (the NumVecDot order),
+  * cos = dot/(vn·cn) guarded by vn·cn > 0, and the comparison uses
+  * java.lang.Double.compare — the same total order (−0.0 < 0.0,
+  * NaN greatest) Spark's struct min applied to (−cos, cell).
+  * A null vector element absorbs to a null result (the fold's
+  * semantics); an EMPTY pack yields null, which the caller filters —
+  * matching the old inner join's empty-output behavior.
+  *
+  * CodegenFallback: the value is a struct (no primitive ExprCode
+  * shape) and the per-row work is the k·dim flop loop itself, so the
+  * fallback's per-ROW boxing is noise — unlike the per-PAIR costs the
+  * other graftx expressions exist to avoid.
+  */
+case class IvfArgMin(vec: Expression, pack: Expression)
+    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def left: Expression = vec
+  override def right: Expression = pack
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    ArrayType(StructType(Seq(
+      StructField("cell", IntegerType),
+      StructField("cn", DoubleType),
+      StructField("centroid", ArrayType(DoubleType))))))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_arg_min"
+
+  private lazy val vecFloat = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, p: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val cells = p.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val nCells = cells.numElements()
+    if (nCells == 0) return null
+    // vector elements once into a double buffer (cast order = the
+    // transform(cast) projection), catching null absorption
+    val vd = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      if (x.isNullAt(i)) return null
+      vd(i) = if (vecFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      i += 1
+    }
+    var nn = 0.0
+    i = 0
+    while (i < d) { nn += vd(i) * vd(i); i += 1 }
+    val vn = math.sqrt(nn)
+    var bestCell = 0
+    var bestCos = 0.0
+    var first = true
+    var c = 0
+    while (c < nCells) {
+      val row = cells.getStruct(c, 3)
+      val cell = row.getInt(0)
+      val cn = row.getDouble(1)
+      val cent = row.getArray(2)
+      GraftHashOps.checkSameLength(cent.numElements(), d)
+      var dot = 0.0
+      i = 0
+      while (i < d) { dot += vd(i) * cent.getDouble(i); i += 1 }
+      val cos = if (vn * cn > 0) dot / (vn * cn) else -1.0
+      val cmp = if (first) 1 else java.lang.Double.compare(cos, bestCos)
+      if (cmp > 0 || (cmp == 0 && cell < bestCell)) {
+        bestCell = cell; bestCos = cos
+      }
+      first = false
+      c += 1
+    }
+    InternalRow(bestCell, bestCos)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, pack = newRight)
+}
+
 /** PQ asymmetric-distance accumulation: for codes `c` (array<int>,
   * one per subspace) and a per-query dense lookup table `qtab`
   * (array<double>, indexed `sub·ksub + cell`), returns
@@ -676,6 +776,9 @@ object GraftFunctions {
 
   def numVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(NumVecDot(expr(a), expr(b)))
+
+  def ivfArgMin(vec: Column, pack: Column): Column =
+    ExpressionUtils.column(IvfArgMin(expr(vec), expr(pack)))
 
   def vecNorm(a: Column): Column = {
     import org.apache.spark.sql.functions.sqrt
