@@ -627,11 +627,16 @@ object SimilarityOps {
         col("centroid")))).as("__pack"))
     vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
       .crossJoin(broadcast(packed))
+      // the argmin is null ONLY for an empty pack or a null vector /
+      // null element — rows the old inner join dropped. Filtering on
+      // m.isNotNull would be pushed below the projection and
+      // DUPLICATE the O(nCells·dim) argmin per row (measured 2× the
+      // assign wall); these cheap equivalents drop the same rows for
+      // O(dim): a null __v makes `exists` null → coalesce(false).
+      .filter(size(col("__pack")) > 0 &&
+        coalesce(!exists(col("__v"), x => x.isNull), lit(false)))
       .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
         .ivfArgMin(col("__v"), col("__pack")).as("m"))
-      // empty cents → null argmin: drop, matching the old inner join's
-      // empty output
-      .filter(col("m").isNotNull)
       .select(col("id"), col("m.cell").as("assigned_cell"),
         r4(col("m.cos")).as("cos"))
   }
@@ -878,24 +883,18 @@ object SimilarityOps {
       .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
   }
 
-  /** Nearest codebook cell per (id, sub) by L2 — one broadcast of the
-    * codebook, argmin as a map-side-combinable min(struct) (the
-    * ivfAssign pattern; ‖sv‖² is constant per row so −2·sv·c + ‖c‖²
-    * alone orders the cells). The dot is unrolled statically over the
-    * known dsub (element_at products, no per-row array allocation) —
-    * this runs n·ksub times per subspace, the widest loop in PQ.
+  /** One-row packed codebook for [[org.apache.spark.sql.graftx.PqEncodeCodes]]:
+    * (sub, cell, ‖centroid‖², centroid), array_sorted by (sub, cell) —
+    * the ungrouped-collect_list scalar-broadcast pattern the
+    * engine-wide plan sweep recognizes (the ivfAssign pack's shape).
     */
-  private def assignPqCells(subs: DataFrame, codebook: DataFrame,
-                            dsub: Int): DataFrame = {
-    val dotSC = (0 until dsub).map(j =>
-      element_at(col("sv"), j + 1) * element_at(col("centroid"), j + 1))
-      .reduce(_ + _)
-    subs.join(broadcast(codebook.withColumn("cnn", dotD(col("centroid"), col("centroid")))), "sub")
-      .withColumn("d2", col("cnn") - lit(2.0) * dotSC)
-      .groupBy("id", "sub")
-      .agg(min(struct(col("d2"), col("cell"))).as("mc"))
-      .select(col("id"), col("sub"), col("mc.cell").as("cell"))
-  }
+  private def packCodebook(codebook: DataFrame): DataFrame =
+    codebook
+      .select(col("sub"), col("cell"),
+        dotD(col("centroid"), col("centroid")).as("cnn"), col("centroid"))
+      .agg(array_sort(collect_list(
+        struct(col("sub"), col("cell"), col("cnn"), col("centroid"))))
+        .as("__cb"))
 
   /** PQ codebook training: per-subspace Lloyd k-means over the
     * subvectors — deterministic hash init, `iters` rounds of
@@ -923,7 +922,11 @@ object SimilarityOps {
           array((0 until dsub).map(j => col(s"__s$j") / col("__n")): _*).as("centroid"))
         .localCheckpoint() // truncate per-round lineage; KB-scale
       if (i < iters)
-        asg = subs.join(assignPqCells(subs, codebook, dsub), Seq("id", "sub"))
+        asg = subs.join(
+          pqEncode(vectors, idCol, vecCol, dim, m, codebook)
+            .select(col("id"), posexplode(col("codes")))
+            .select(col("id"), col("pos").as("sub"), col("col").as("cell")),
+          Seq("id", "sub"))
     }
     subs.unpersist(blocking = false)
     codebook
@@ -931,13 +934,26 @@ object SimilarityOps {
 
   /** Encode every vector against a trained codebook:
     * (id, codes array<int> of length m) — the m-byte compressed form.
+    * MAP-ONLY via the native
+    * [[org.apache.spark.sql.graftx.PqEncodeCodes]] over a one-row
+    * packed codebook — the ivfAssign shape. The previous relational
+    * encode (posexplode → broadcast join → n·m·ksub rows → two hash
+    * aggregates) was measured as the whole index-build wall at the
+    * decade tiers: ~10 s per 200k vectors of per-row machinery for
+    * 2k madds of arithmetic. Scoring, tie-break, and null-element
+    * semantics are pinned to that formulation by PqEncodeParitySpec;
+    * the two deviations are loud-over-silent (empty-subspace throw,
+    * null vector → null codes) — see the expression's doc.
     */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
                dim: Int, m: Int, codebook: DataFrame): DataFrame =
-    assignPqCells(subVectors(vectors, idCol, vecCol, dim, m), codebook, dim / m)
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("cell")))).as("sc"))
-      .select(col("id"), transform(col("sc"), x => x.getField("cell")).as("codes"))
+    vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(packCodebook(codebook)))
+      // empty codebook → zero output rows (the old inner join's
+      // behavior), checked for the pack, not per row
+      .filter(size(col("__cb")) > 0)
+      .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
+        .pqEncodeCodes(col("__v"), col("__cb"), dim, m).as("codes"))
 
   /** PQ-ADC top-k search with exact rescore: train (or take) a
     * codebook, encode the corpus, score every (query, code row) pair

@@ -48,8 +48,15 @@ object IvfGridProbe {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
     val (dim, m, ksub) = (64, 16, 32)
+    // repartition to the core count: the stress sets are written in a
+    // handful of files and every map-only pass (assign, encode)
+    // inherits scan splits — a 50 MB table is 2 splits, serializing
+    // the flop wall onto 2 of 32 cores. A cluster scan of the real
+    // corpus is thousands of splits; the probe measures the loop, not
+    // the file count.
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+      .repartition(cpus.toInt).localCheckpoint()
     val n = emb.count()
     val queries = emb.filter(
       col("vec_id") % SimilarityOps.sampleModulus(n, 64) === 0)

@@ -63,8 +63,13 @@ object StressGen {
     // already exercised by the uniform set (31-token vocab ⇒ mean
     // trigram posting ≈ cap/2 at 10×, so the hot tail hits the
     // posting caps there).
+    // modes combine with "+": "vskew+embonly" writes only the
+    // embeddings table WITH the hot-cluster planting — the 20M-vector
+    // skew tier needs no other table and the full set at that mult is
+    // tens of GB.
     val mode = if (args.length > 2) args(2) else ""
-    val skew = mode == "skew"
+    val modes = mode.split('+').toSet
+    val skew = modes("skew")
     // "vskew" mode: everything uniform EXCEPT embeddings — 5% of
     // vectors become jittered copies of ONE base direction (pairwise
     // cosine ≈ 0.999): a single tight cluster, the embedding-side skew
@@ -76,14 +81,14 @@ object StressGen {
     // remainder (the normal 1.5% near-dup population, which this mode
     // keeps intact on the other 95%) holds. Isolated from key skew on
     // purpose: one variable per tier (tools.VecSkewProbe measures it).
-    val vskew = mode == "vskew"
+    val vskew = modes("vskew")
     // "embonly" mode: write only the embeddings table — the
     // PQ/LSH decade probes read nothing else, and the full 1000× set
     // is ~21 GB / tens of minutes where embeddings alone are ~1 GB.
-    val embOnly = mode == "embonly"
+    val embOnly = modes("embonly")
     // "eventsonly": same idea for the streaming probes (the
     // throughput/state-backend sweeps read only events).
-    val eventsOnly = mode == "eventsonly"
+    val eventsOnly = modes("eventsonly")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -260,7 +265,10 @@ object StressGen {
       .select(col("id").as("vec_id"),
         expr("transform(raw, x -> cast(x / nrm as float))").as("embedding"),
         pm(10)(col("id"), lit("vlbl")).cast("int").as("label"))
-    write(emb, "embeddings", 2)
+    // partitions scale with the tier: a fixed 2 would generate AND
+    // write 20M hash-derived vectors on 2 of 32 cores (and hand
+    // map-only consumers 2 scan splits)
+    write(emb, "embeddings", math.max(2, (nVecs / 250000L).toInt))
 
     println(s"[stressgen] done: $outDir at ${mult}x sf0.1" +
       (if (skew) " (skewed keys)" else if (vskew) " (hot vector cluster)" else ""))
