@@ -603,40 +603,55 @@ object SimilarityOps {
 
   /** IVF assign step: nearest centroid by cosine for each vector —
     * MAP-ONLY via the native [[org.apache.spark.sql.graftx.IvfArgMin]]
-    * expression over a one-row packed centroid table. The previous
-    * shape (`vectors × broadcast(cents)` → `min(struct(−cos, cell))`)
-    * looked map-side-combinable but a struct aggregation buffer is not
-    * hash-aggregable, so Catalyst planned SortAggregate and SORTED the
-    * n·k scored stream — measured killing the 2M × 5660-cell assign
-    * (production geometry) with a ~300 GB spill. Now the n·k loop runs
-    * inside one expression per VECTOR row: no n·k rows, no aggregate,
-    * no exchange — assignment stays map-only at any geometry, and the
-    * arithmetic/tie-break/zero-norm semantics are bit-compatible
-    * (IvfAssignParitySpec pins equality against the old formulation).
+    * expression over a DRIVER-BUILT broadcast centroid table. The
+    * centroid table is model parameters (k·dim doubles, KB–MB — never
+    * corpus rows), so it is collected once, flattened driver-side
+    * (cells ascending; norms via the same index-order double fold the
+    * relational plan used), and shipped as a Spark Broadcast captured
+    * by the expression. Two earlier shapes died by measurement: the
+    * join-then-min(struct) aggregation SortAggregated and sorted the
+    * n·k scored stream (~300 GB spill at 2M × 5660 cells), and the
+    * crossJoin(broadcast(pack)) COLUMN feed paid an O(k·dim) pack
+    * memcpy + re-unpack per corpus row (the join's result projection
+    * copies every output row; measured 2.3 G madds/s with GC burning
+    * ~40% of the wall at the 2M tier). Arithmetic, tie-break, and
+    * zero-norm semantics are bit-compatible throughout
+    * (IvfAssignParitySpec pins equality against the original
+    * join+min formulation).
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 cents: DataFrame): DataFrame = {
-    // one broadcast ROW: the whole centroid table with per-cell norms
-    // precomputed (sorted by cell for a deterministic pack; the argmin
-    // is order-independent). An ungrouped collect_list is the
-    // scalar-broadcast pattern the engine-wide plan sweep recognizes.
-    val packed = cents
-      .select(col("cell"), col("centroid"),
-        sqrt(dotD(col("centroid"), col("centroid"))).as("cn"))
-      .agg(array_sort(collect_list(struct(col("cell"), col("cn"),
-        col("centroid")))).as("__pack"))
+    val rows = cents.select(col("cell").cast("int"), col("centroid")).collect()
+    if (rows.isEmpty)
+      // empty cents → empty output, the old inner join's shape
+      return vectors.select(col(idCol).as("id"),
+        lit(0).as("assigned_cell"), lit(0.0).as("cos")).filter(lit(false))
+    val sorted = rows.map(r =>
+      (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    val dim = sorted.head._2.length
+    val ids = sorted.map(_._1)
+    val cns = sorted.map { case (_, c) =>
+      var nn = 0.0; var i = 0
+      while (i < c.length) { nn += c(i) * c(i); i += 1 }
+      math.sqrt(nn)
+    }
+    val flat = new Array[Double](sorted.length * dim)
+    sorted.zipWithIndex.foreach { case ((_, c), k) =>
+      org.apache.spark.sql.graftx.GraftHashOps.checkSameLength(c.length, dim)
+      System.arraycopy(c, 0, flat, k * dim, dim)
+    }
+    val bc = vectors.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.sql.graftx.IvfArgMin.Cents(ids, cns, flat, dim))
     vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(packed))
-      // the argmin is null ONLY for an empty pack or a null vector /
-      // null element — rows the old inner join dropped. Filtering on
-      // m.isNotNull would be pushed below the projection and
-      // DUPLICATE the O(nCells·dim) argmin per row (measured 2× the
-      // assign wall); these cheap equivalents drop the same rows for
-      // O(dim): a null __v makes `exists` null → coalesce(false).
-      .filter(size(col("__pack")) > 0 &&
-        coalesce(!exists(col("__v"), x => x.isNull), lit(false)))
+      // the argmin is null ONLY for a null vector / null element —
+      // rows the old inner join dropped. Filtering on m.isNotNull
+      // would be pushed below the projection and DUPLICATE the
+      // O(nCells·dim) argmin per row (measured 2× the assign wall);
+      // this cheap equivalent drops the same rows for O(dim): a null
+      // __v makes `exists` null → coalesce(false).
+      .filter(coalesce(!exists(col("__v"), x => x.isNull), lit(false)))
       .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
-        .ivfArgMin(col("__v"), col("__pack")).as("m"))
+        .ivfArgMin(col("__v"), bc).as("m"))
       .select(col("id"), col("m.cell").as("assigned_cell"),
         r4(col("m.cos")).as("cos"))
   }
@@ -883,18 +898,59 @@ object SimilarityOps {
       .select(col("id"), col("pos").as("sub"), col("col").as("sv"))
   }
 
-  /** One-row packed codebook for [[org.apache.spark.sql.graftx.PqEncodeCodes]]:
-    * (sub, cell, ‖centroid‖², centroid), array_sorted by (sub, cell) —
-    * the ungrouped-collect_list scalar-broadcast pattern the
-    * engine-wide plan sweep recognizes (the ivfAssign pack's shape).
+  /** Driver-built broadcast codebook for
+    * [[org.apache.spark.sql.graftx.PqEncodeCodes]]: entries sorted by
+    * (sub, cell), ‖centroid‖² via the same index-order double fold the
+    * relational plan used, flattened row-major. Throws loudly on a
+    * subspace with no cells (the old join silently DROPPED that code
+    * position) or a sub escaping [0, m).
     */
-  private def packCodebook(codebook: DataFrame): DataFrame =
-    codebook
-      .select(col("sub"), col("cell"),
-        dotD(col("centroid"), col("centroid")).as("cnn"), col("centroid"))
-      .agg(array_sort(collect_list(
-        struct(col("sub"), col("cell"), col("cnn"), col("centroid"))))
-        .as("__cb"))
+  private def collectCodebook(codebook: DataFrame, dim: Int, m: Int)
+      : Option[org.apache.spark.sql.graftx.PqEncodeCodes.Codebook] = {
+    val dsub = dim / m
+    val rows = codebook.select(col("sub").cast("int"), col("cell").cast("int"),
+      col("centroid")).collect()
+    if (rows.isEmpty) return None
+    val sorted = rows.map(r => (r.getInt(0), r.getInt(1),
+      r.getSeq[Double](2).toArray)).sortBy(t => (t._1, t._2))
+    val nE = sorted.length
+    val starts = new Array[Int](m + 1)
+    val ids = new Array[Int](nE)
+    val cnn = new Array[Double](nE)
+    val flat = new Array[Double](nE * dsub)
+    var prevSub = -1
+    var e = 0
+    while (e < nE) {
+      val (sub, cellId, cent) = sorted(e)
+      if (sub < 0 || sub >= m) throw new IllegalArgumentException(
+        s"pq_encode_codes: sub $sub escapes [0, $m) — codes and codebook " +
+          "disagree on m")
+      if (sub != prevSub) {
+        var s = prevSub + 1
+        while (s <= sub) { starts(s) = e; s += 1 }
+        prevSub = sub
+      }
+      ids(e) = cellId
+      org.apache.spark.sql.graftx.GraftHashOps.checkSameLength(cent.length, dsub)
+      var nn = 0.0; var j = 0
+      while (j < dsub) { nn += cent(j) * cent(j); j += 1 }
+      cnn(e) = nn
+      System.arraycopy(cent, 0, flat, e * dsub, dsub)
+      e += 1
+    }
+    var s = prevSub + 1
+    while (s <= m) { starts(s) = nE; s += 1 }
+    s = 0
+    while (s < m) {
+      if (starts(s) == starts(s + 1)) throw new IllegalArgumentException(
+        s"pq_encode_codes: subspace $s has no codebook cells — the " +
+          "codes and codebook disagree on (m, ksub), or training emitted " +
+          "an empty subspace")
+      s += 1
+    }
+    Some(new org.apache.spark.sql.graftx.PqEncodeCodes.Codebook(
+      starts, ids, cnn, flat, dsub))
+  }
 
   /** PQ codebook training: per-subspace Lloyd k-means over the
     * subvectors — deterministic hash init, `iters` rounds of
@@ -935,8 +991,8 @@ object SimilarityOps {
   /** Encode every vector against a trained codebook:
     * (id, codes array<int> of length m) — the m-byte compressed form.
     * MAP-ONLY via the native
-    * [[org.apache.spark.sql.graftx.PqEncodeCodes]] over a one-row
-    * packed codebook — the ivfAssign shape. The previous relational
+    * [[org.apache.spark.sql.graftx.PqEncodeCodes]] over a driver-built
+    * broadcast codebook — the ivfAssign shape. The previous relational
     * encode (posexplode → broadcast join → n·m·ksub rows → two hash
     * aggregates) was measured as the whole index-build wall at the
     * decade tiers: ~10 s per 200k vectors of per-row machinery for
@@ -947,13 +1003,17 @@ object SimilarityOps {
     */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
                dim: Int, m: Int, codebook: DataFrame): DataFrame =
-    vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(packCodebook(codebook)))
-      // empty codebook → zero output rows (the old inner join's
-      // behavior), checked for the pack, not per row
-      .filter(size(col("__cb")) > 0)
-      .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
-        .pqEncodeCodes(col("__v"), col("__cb"), dim, m).as("codes"))
+    collectCodebook(codebook, dim, m) match {
+      case None =>
+        // empty codebook → zero output rows, the old inner join's shape
+        vectors.select(col(idCol).as("id"),
+          lit(null).cast("array<int>").as("codes")).filter(lit(false))
+      case Some(cb) =>
+        val bc = vectors.sparkSession.sparkContext.broadcast(cb)
+        vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
+          .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
+            .pqEncodeCodes(col("__v"), bc, dim, m).as("codes"))
+    }
 
   /** PQ-ADC top-k search with exact rescore: train (or take) a
     * codebook, encode the corpus, score every (query, code row) pair

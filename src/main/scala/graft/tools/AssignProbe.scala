@@ -50,13 +50,17 @@ object AssignProbe {
 
     val t0 = System.nanoTime()
     val assigned = SimilarityOps.ivfAssign(emb, "vec_id", "embedding", cents)
-    val cnt = assigned.count()
+    // an aggregate over the RESULT columns — a bare count() lets
+    // column pruning drop the argmin projection entirely and times an
+    // empty scan (measured 896 "G madds/s", i.e. nothing)
+    val row = assigned.agg(count(lit(1)), sum(col("assigned_cell").cast("long")),
+      sum(col("cos"))).collect()(0)
+    val cnt = row.getLong(0)
     val sec = (System.nanoTime() - t0) / 1e9
     val madds = n.toDouble * nCells * 64
     println(s"""{"probe":"assign","dir":"$dir","n":$n,"cells":$nCells,""" +
       s""""assigned":$cnt,"assign_sec":${r3(sec)},""" +
-      s""""gmadds_per_sec":${r3(madds / sec / 1e9)},""" +
-      s""""unpacks":${org.apache.spark.sql.graftx.IvfArgMin.unpackCount.get()}}""")
+      s""""gmadds_per_sec":${r3(madds / sec / 1e9)}}""")
     spark.stop()
   }
 }

@@ -37,12 +37,22 @@ import graft.operators.SimilarityOps
   * (`pmod(xxhash64(vec_id, 'vdup'), 1000) >= 950`) — the probe needs
   * no side-channel file.
   *
-  * Usage: sbt "runMain graft.tools.VecSkewProbe /tmp/stress/sf1vskew"
+  * An optional second arg sets the miner's similarity threshold
+  * (default 0.45, the dd_embedding_lsh operating point). The 20M tier
+  * runs at 0.8 — the production NEAR-DUP threshold the uniform decade
+  * sweep (LshDecadeProbe) also pins — because the measured n^(1+ρ)
+  * law with ρ(0.45) ≈ 0.62 prices a 0.45 mine at 20M in days, while
+  * the contracts this probe tests (the cap bounds hot-bucket work;
+  * remainder recall holds) are threshold-independent: both planted
+  * populations sit at cosine ≈ 0.999, far above either threshold.
+  *
+  * Usage: sbt "runMain graft.tools.VecSkewProbe /tmp/stress/sf1vskew [minSim]"
   */
 object VecSkewProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/stress/sf1vskew"
+    val minSim = if (args.length > 1) args(1).toDouble else 0.45
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -69,7 +79,7 @@ object VecSkewProbe {
     // dd_embedding_lsh operating point
     val t0 = System.nanoTime()
     val lsh = SimilarityOps.embeddingLshPairsAuto(emb,
-        "vec_id", "embedding", dim = 64, bands = 0, minSim = 0.45)
+        "vec_id", "embedding", dim = 64, bands = 0, minSim = minSim)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
     val nLshPairs = lsh.count()
@@ -86,7 +96,7 @@ object VecSkewProbe {
     val k = SimilarityOps.sampleModulus(n, 512)
     val sample = cold.filter(col("vec_id") % k === 0)
     val exact = SimilarityOps.cosinePairsFor(sample, cold,
-        "vec_id", "embedding", minSim = 0.45)
+        "vec_id", "embedding", minSim = minSim)
       .select(col("id_a"), col("id_b"))
     val pinned = exact.count()
     val hits = exact.join(lsh, Seq("id_a", "id_b")).count()
@@ -114,7 +124,7 @@ object VecSkewProbe {
     val topkHits = brute.join(topk, Seq("query_id", "neighbor_id")).count()
     val topkRecall = if (bruteN == 0) 1.0 else topkHits.toDouble / bruteN
 
-    println(s"""{"probe":"vec_skew","dir":"$dir","n":$n,"n_hot":$nHot,""" +
+    println(s"""{"probe":"vec_skew","dir":"$dir","n":$n,"min_sim":$minSim,"n_hot":$nHot,""" +
       s""""mine_sec":${r3(mineSec)},"lsh_pairs":$nLshPairs,""" +
       s""""hot_true_pairs":$hotTruePairs,"hot_pair_coverage":${r3(hotCoverage)},""" +
       s""""remainder_pinned":$pinned,"remainder_recall":${r3(remainderRecall)},""" +

@@ -146,147 +146,59 @@ case class NumVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Map-only IVF centroid assignment: given a vector (array<float|double>)
-  * and the PACKED centroid table (array<struct<cell:int, cn:double,
-  * centroid:array<double>>> — one broadcast ROW built by an ungrouped
-  * collect_list, the scalar-broadcast pattern), returns
-  * struct(cell, cos) for the nearest centroid by cosine, ties broken
-  * by the LOWEST cell id; zero-norm products score −1.0 so degenerate
-  * vectors land deterministically in the lowest cell.
+object IvfArgMin {
+  /** Flat driver-built centroid table, broadcast to executors: cell
+    * ids ascending, per-cell norms, centroids row-major in `flat`. */
+  final class Cents(val cells: Array[Int], val cns: Array[Double],
+                    val flat: Array[Double], val dim: Int)
+    extends Serializable {
+    def nCells: Int = cells.length
+  }
+}
+
+/** IVF nearest-centroid assignment over a DRIVER-BUILT broadcast
+  * centroid table — the scoring loop of the coarse quantizer, run
+  * once per corpus row. Returns struct(cell, cos) of the
+  * highest-cosine cell (ties to the lower cell id), null for a null
+  * vector or null element (callers pre-filter those rows — the old
+  * inner join dropped them).
   *
-  * This replaces the join-then-aggregate argmin
-  * (`vectors × broadcast(cents)` → `min(struct(−cos, cell))`): a
-  * struct-typed aggregation buffer is not hash-aggregable, so Catalyst
-  * planned SortAggregate and SORTED the n·k scored stream — measured
-  * killing the 2M × 5660-cell assign with a ~300 GB spill
-  * ("No space left on device"). Here the n·k loop runs INSIDE one
-  * expression per vector row: no n·k rows exist, no aggregation, no
-  * exchange — assignment is map-only at any geometry.
+  * Two earlier shapes died by measurement. The join-then-min(struct)
+  * aggregation planned SortAggregate and sorted the n·k scored stream
+  * (~300 GB spill at 2M × 5660 cells). Its replacement kept the
+  * argmin in one expression but fed the packed table through a
+  * crossJoin(broadcast) COLUMN — and the join's result projection
+  * copies every output row into a fresh UnsafeRow, so each corpus row
+  * paid an O(nCells·dim) pack memcpy plus re-unpacking (region-keyed
+  * memoization cannot hit when the backing bytes are new every row):
+  * measured 2.3 G madds/s with GC burning ~40% of the wall. The
+  * centroid table is MODEL PARAMETERS (k·dim doubles, KB–MB — the
+  * driver never sees corpus rows), so it now rides a Spark Broadcast
+  * captured by the expression: the plan is a pure map-side Project
+  * over the corpus scan — no join, no per-row copy, one deserialized
+  * table per executor JVM shared by every core (at the production
+  * 4√n geometry, per-task copies would fall out of the shared L3).
   *
-  * Arithmetic is bit-compatible with the old plan: per-element
-  * cast-to-double sequential fold for the dot (the NumVecDot order),
-  * cos = dot/(vn·cn) guarded by vn·cn > 0, and the comparison uses
-  * java.lang.Double.compare — the same total order (−0.0 < 0.0,
-  * NaN greatest) Spark's struct min applied to (−cos, cell).
-  * A null vector element absorbs to a null result (the fold's
-  * semantics); an EMPTY pack yields null, which the caller filters —
-  * matching the old inner join's empty-output behavior.
+  * Arithmetic is bit-compatible with BOTH prior formulations
+  * (IvfAssignParitySpec pins equality): dots accumulate in double in
+  * index order from 0.0; the best is the min under Spark's
+  * SQLOrderingUtil.compareDoubles on (−cos, cell) — ties −0.0/0.0,
+  * sinks NaN below every real candidate — exactly min(struct(−cos,
+  * cell)). Eight centroids per pass: independent accumulator chains
+  * break the FP-add-latency dependency while each dot's own
+  * accumulation order is unchanged.
   *
   * CodegenFallback: the value is a struct (no primitive ExprCode
   * shape) and the per-row work is the k·dim flop loop itself, so the
-  * fallback's per-ROW boxing is noise — unlike the per-PAIR costs the
-  * other graftx expressions exist to avoid.
+  * fallback's per-ROW boxing is noise.
   */
-/** JVM-wide unpacked-pack cache. Expression instances are per TASK,
-  * so instance-level memoization still leaves one flat copy of a
-  * broadcast lookup table per core — at the production 4√n IVF
-  * geometry that is cores × ~9 MB, which falls out of the shared L3
-  * and turns the scoring loop DRAM-bound. The broadcast pack
-  * deserializes ONCE per executor JVM (TorrentBroadcast block), so
-  * every task's rows point at the same backing bytes: keying on the
-  * exact byte region (weakly-referenced base object + offset + size)
-  * lets all cores share ONE unpacked table. Bounded (FIFO +
-  * cleared-weak-ref sweep); base refs are weak so a retired broadcast
-  * is not pinned. One instance per CONSUMING EXPRESSION TYPE — the
-  * cached value's layout is the consumer's, so types never mix.
-  */
-private[graftx] final class PackCache(maxEntries: Int = 4) {
-  private final case class Entry(base: java.lang.ref.WeakReference[AnyRef],
-                                 offset: Long, size: Long, value: AnyRef)
-  @volatile private var entries: List[Entry] = Nil
+case class IvfArgMin(vec: Expression,
+                     cents: org.apache.spark.broadcast.Broadcast[IvfArgMin.Cents])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
-  def lookup(base: AnyRef, offset: Long, size: Long): AnyRef = {
-    var e = entries
-    while (e.nonEmpty) {
-      val h = e.head
-      if ((h.base.get eq base) && h.offset == offset && h.size == size)
-        return h.value
-      e = e.tail
-    }
-    null
-  }
-
-  def insert(base: AnyRef, offset: Long, size: Long,
-             value: AnyRef): Unit = synchronized {
-    val live = entries.filter(_.base.get != null).take(maxEntries - 1)
-    entries = Entry(new java.lang.ref.WeakReference(base), offset, size,
-      value) :: live
-  }
-}
-
-/** Shared per-task memoization shape for expressions that score every
-  * row against a one-row broadcast pack: instance fields remember the
-  * last region, the [[PackCache]] shares the unpacked value across
-  * tasks. `reuseOrUnpack` returns the cached value or unpacks via the
-  * consumer's `build`.
-  */
-private[graftx] trait PackMemo { self =>
-  protected def packCache: PackCache
-  @transient private var packBase: AnyRef = _
-  @transient private var packOffset: Long = 0L
-  @transient private var packSize: Long = -1L
-  @transient private var packRef: AnyRef = _
-  @transient private var packVal: AnyRef = _
-
-  protected final def reuseOrUnpack(cells: ArrayData,
-                                    build: ArrayData => AnyRef): AnyRef = {
-    cells match {
-      case u: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData =>
-        if ((u.getBaseObject ne packBase) || u.getBaseOffset != packOffset ||
-            u.getSizeInBytes != packSize) {
-          val base = u.getBaseObject
-          val hit = packCache.lookup(base, u.getBaseOffset, u.getSizeInBytes)
-          packVal = if (hit != null) hit else {
-            val p = build(u)
-            packCache.insert(base, u.getBaseOffset, u.getSizeInBytes, p)
-            p
-          }
-          packBase = base; packOffset = u.getBaseOffset
-          packSize = u.getSizeInBytes; packRef = null
-        }
-      case other =>
-        if (other.asInstanceOf[AnyRef] ne packRef) {
-          val hit = packCache.lookup(other, 0L, -1L)
-          packVal = if (hit != null) hit else {
-            val p = build(other)
-            packCache.insert(other, 0L, -1L, p)
-            p
-          }
-          packRef = other; packBase = null; packSize = -1L
-        }
-    }
-    packVal
-  }
-}
-
-object IvfArgMin {
-  /** Diagnostic: pack re-unpack events (meaningful in local mode where
-    * driver and executors share the JVM; under sbt's layered
-    * classloaders executor tasks may resolve a second copy of this
-    * object, so a 0 reading there is an artifact, not proof of
-    * cache hits). */
-  val unpackCount = new java.util.concurrent.atomic.AtomicLong(0)
-
-  private[graftx] final class Packed(val cells: Array[Int],
-                                     val cns: Array[Double],
-                                     val flat: Array[Double],
-                                     val dim: Int)
-
-  private[graftx] val cache = new PackCache()
-}
-
-case class IvfArgMin(vec: Expression, pack: Expression)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes
-    with PackMemo {
-
-  override def left: Expression = vec
-  override def right: Expression = pack
+  override def child: Expression = vec
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    ArrayType(StructType(Seq(
-      StructField("cell", IntegerType),
-      StructField("cn", DoubleType),
-      StructField("centroid", ArrayType(DoubleType))))))
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = StructType(Seq(
     StructField("cell", IntegerType, nullable = false),
     StructField("cos", DoubleType, nullable = false)))
@@ -298,53 +210,17 @@ case class IvfArgMin(vec: Expression, pack: Expression)
     case _ => false
   }
 
-  // The pack is a one-row broadcast joined against every vector row,
-  // so per-row ArrayData traversal (getStruct → getArray → getDouble,
-  // nCells·dim virtual-dispatch reads PER ROW) dominated the assign
-  // pass — measured ~3 orders below the scalar flop bound at the
-  // production 4√n geometry. The unpacked flat primitive arrays are
-  // memoized per task, keyed on the EXACT byte region backing the
-  // pack (base object + offset + size for UnsafeArrayData; reference
-  // identity otherwise): an identical region is identical content by
-  // construction, and a per-row varying pack merely re-unpacks —
-  // the pre-memoization behavior, never a stale read.
-  protected def packCache: PackCache = IvfArgMin.cache
+  @transient private lazy val pk = cents.value
 
-  private def unpack(cells: ArrayData): IvfArgMin.Packed = {
-    IvfArgMin.unpackCount.incrementAndGet()
-    val nCells = cells.numElements()
-    val ids = new Array[Int](nCells)
-    val cns = new Array[Double](nCells)
-    var dim = -1
-    var flat: Array[Double] = null
-    var c = 0
-    while (c < nCells) {
-      val row = cells.getStruct(c, 3)
-      ids(c) = row.getInt(0)
-      cns(c) = row.getDouble(1)
-      val cent = row.getArray(2)
-      if (c == 0) {
-        dim = cent.numElements()
-        flat = new Array[Double](nCells * dim)
-      } else GraftHashOps.checkSameLength(cent.numElements(), dim)
-      var i = 0
-      val base = c * dim
-      while (i < dim) { flat(base + i) = cent.getDouble(i); i += 1 }
-      c += 1
-    }
-    new IvfArgMin.Packed(ids, cns, flat, dim)
-  }
-
-  override def nullSafeEval(v: Any, p: Any): Any = {
+  override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val cells = p.asInstanceOf[ArrayData]
     val d = x.numElements()
-    val nCells = cells.numElements()
+    val nCells = pk.nCells
     if (nCells == 0) return null
     // vector elements once into a double buffer (cast order = the
-    // transform(cast) projection), catching null absorption — BEFORE
-    // the length check, preserving the original null-over-throw
-    // precedence for a null element in a mismatched-length vector
+    // transform(cast) projection) — BEFORE the length check,
+    // preserving the original null-over-throw precedence for a null
+    // element in a mismatched-length vector
     val vd = new Array[Double](d)
     var i = 0
     while (i < d) {
@@ -352,7 +228,6 @@ case class IvfArgMin(vec: Expression, pack: Expression)
       vd(i) = if (vecFloat) x.getFloat(i).toDouble else x.getDouble(i)
       i += 1
     }
-    val pk = reuseOrUnpack(cells, unpack).asInstanceOf[IvfArgMin.Packed]
     GraftHashOps.checkSameLength(pk.dim, d)
     var nn = 0.0
     i = 0
@@ -362,17 +237,6 @@ case class IvfArgMin(vec: Expression, pack: Expression)
     var bestCell = 0
     var bestCos = 0.0
     var first = true
-    // eight centroids per pass: independent accumulator chains break
-    // the FP-add-latency dependency (the scalar fold is latency-bound
-    // at ~1 madd per 4 cycles); each dot's OWN accumulation stays
-    // index-ordered from 0.0, so every (cos, cell) candidate is
-    // bit-identical to the scalar loop's, and the best is the min
-    // under the ORIGINAL formulation's total order — Spark's
-    // SQLOrderingUtil.compareDoubles on (−cos, cell), which ties
-    // −0.0/0.0 and sinks a NaN cos below every real candidate,
-    // exactly like min(struct(−cos, cell)) did — so the fold is
-    // order-independent and IvfAssignParitySpec's pinned equality
-    // with the join+min formulation extends to those edges too.
     @inline def consider(cell: Int, cos: Double): Unit = {
       val cmp = if (first) -1
         else org.apache.spark.sql.catalyst.util.SQLOrderingUtil
@@ -416,8 +280,8 @@ case class IvfArgMin(vec: Expression, pack: Expression)
     InternalRow(bestCell, bestCos)
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(vec = newLeft, pack = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vec = newChild)
 }
 
 /** PQ asymmetric-distance accumulation: for codes `c` (array<int>,
@@ -510,61 +374,51 @@ case class PqAdcDot(codes: Expression, qtab: Expression, ksub: Int)
 }
 
 object PqEncodeCodes {
-  /** Unpacked codebook: entries grouped by subspace (ascending), each
-    * sub's candidates contiguous in (cellIds, cnn, flat). */
-  private[graftx] final class Packed(val subStart: Array[Int],
-                                     val cellIds: Array[Int],
-                                     val cnn: Array[Double],
-                                     val flat: Array[Double],
-                                     val dsub: Int)
-  private[graftx] val cache = new PackCache()
+  /** Flat driver-built codebook, broadcast to executors: entries
+    * grouped by subspace (ascending), cells ascending within a sub,
+    * each sub's candidates contiguous in (cellIds, cnn, flat). */
+  final class Codebook(val subStart: Array[Int], val cellIds: Array[Int],
+                       val cnn: Array[Double], val flat: Array[Double],
+                       val dsub: Int)
+    extends Serializable
 }
 
-/** PQ ENCODE as one map-side expression: for a vector and a packed
-  * codebook (array<struct<sub, cell, cnn, centroid>> sorted by
-  * (sub, cell), cnn = ‖centroid‖²), returns the m nearest-cell codes
-  * — argmin over cnn − 2·(sv·centroid) per subspace, the L2 ordering
-  * with the ‖sv‖² constant dropped, exactly the relational
-  * formulation's scoring.
+/** PQ ENCODE as one map-side expression over a DRIVER-BUILT broadcast
+  * codebook: for each of the m subspaces, the nearest cell's code —
+  * argmin over cnn − 2·(sv·centroid), the L2 ordering with the ‖sv‖²
+  * constant dropped, exactly the relational formulation's scoring.
   *
   * The relational encode (posexplode to n·m subvectors → broadcast
   * join against the codebook → n·m·ksub joined rows → two hash
-  * aggregates) is correct but materializes ksub rows per subvector:
-  * measured ~10 s per 200k vectors — per-ROW machinery, not flops
-  * (the arithmetic is 2k madds/row). At the 20M decade that is the
-  * entire index-build wall. This expression runs the same argmin
-  * inside one projection over the corpus: no explode, no join, no
-  * aggregate, map-only at any corpus size.
+  * aggregates) was measured as the whole index-build wall at the
+  * decade tiers: ~10 s per 200k vectors of per-row machinery for 2k
+  * madds of arithmetic. The codebook is model parameters (m·ksub·dsub
+  * doubles, tens of KB), so like [[IvfArgMin]] it rides a Spark
+  * Broadcast captured by the expression — a pure map-side Project, no
+  * explode, no join, no per-row pack copy.
   *
   * Semantics pinned to the old formulation (PqEncodeParitySpec):
   * candidate order is Spark's min(struct(d2, cell)) —
   * SQLOrderingUtil.compareDoubles on d2 (ties −0.0/0.0, NaN largest),
-  * lower cell on ties; dot accumulation is index-ordered double
-  * adds (the reduce(_ + _) fold). A null vector ELEMENT nulls every
+  * lower cell on ties; dot accumulation is index-ordered double adds
+  * (the reduce(_ + _) fold). A null vector ELEMENT nulls every
   * candidate's d2 for that subspace, which min(struct) resolved to
   * the lowest cell id — replicated. Deviations, both loud instead of
-  * silent: a subspace with NO codebook rows throws (the join used to
-  * silently DROP that position, shifting later codes left); a NULL
-  * vector yields null codes (the join used to emit lowest-cell codes
-  * — a plausible-wrong-results shape). CodegenFallback: the per-row
-  * work is the m·ksub·dsub loop; fallback boxing is noise.
+  * silent: a subspace with NO codebook rows throws at pack-build time
+  * (the join used to silently DROP that position, shifting later
+  * codes left); a NULL vector yields null codes (the join used to
+  * emit lowest-cell codes — a plausible-wrong-results shape).
   */
-case class PqEncodeCodes(vec: Expression, pack: Expression,
+case class PqEncodeCodes(vec: Expression,
+                         cb: org.apache.spark.broadcast.Broadcast[PqEncodeCodes.Codebook],
                          dim: Int, m: Int)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes
-    with PackMemo {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   require(m > 0 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
 
-  override def left: Expression = vec
-  override def right: Expression = pack
+  override def child: Expression = vec
   override def inputTypes: Seq[AbstractDataType] = Seq(
-    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
-    ArrayType(StructType(Seq(
-      StructField("sub", IntegerType),
-      StructField("cell", IntegerType),
-      StructField("cnn", DoubleType),
-      StructField("centroid", ArrayType(DoubleType))))))
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "pq_encode_codes"
@@ -575,62 +429,10 @@ case class PqEncodeCodes(vec: Expression, pack: Expression,
   }
   private val dsub = dim / m
 
-  protected def packCache: PackCache = PqEncodeCodes.cache
+  @transient private lazy val pk = cb.value
 
-  private def unpack(cells: ArrayData): AnyRef = {
-    val n = cells.numElements()
-    val starts = new Array[Int](m + 1)
-    val ids = new Array[Int](n)
-    val cnn = new Array[Double](n)
-    val flat = new Array[Double](n * dsub)
-    var prevSub = -1
-    var prevCell = Int.MinValue
-    var e = 0
-    while (e < n) {
-      val row = cells.getStruct(e, 4)
-      val sub = row.getInt(0)
-      if (sub < prevSub || sub < 0 || sub >= m)
-        throw new IllegalArgumentException(
-          s"pq_encode_codes: codebook pack not sorted by sub or sub $sub " +
-            s"escapes [0, $m) — pack with array_sort over (sub, cell)")
-      if (sub != prevSub) {
-        var s = prevSub + 1
-        while (s <= sub) { starts(s) = e; s += 1 }
-        prevSub = sub
-        prevCell = Int.MinValue
-      }
-      val cellId = row.getInt(1)
-      if (cellId < prevCell) throw new IllegalArgumentException(
-        s"pq_encode_codes: cells not sorted within sub $sub — pack with " +
-          "array_sort over (sub, cell)")
-      prevCell = cellId
-      ids(e) = row.getInt(1)
-      cnn(e) = row.getDouble(2)
-      val cent = row.getArray(3)
-      GraftHashOps.checkSameLength(cent.numElements(), dsub)
-      var j = 0
-      val base = e * dsub
-      while (j < dsub) { flat(base + j) = cent.getDouble(j); j += 1 }
-      e += 1
-    }
-    var s = prevSub + 1
-    while (s <= m) { starts(s) = n; s += 1 }
-    s = 0
-    while (s < m) {
-      if (starts(s) == starts(s + 1)) throw new IllegalArgumentException(
-        s"pq_encode_codes: subspace $s has no codebook cells — the " +
-          "codes and codebook disagree on m, or training emitted an " +
-          "empty subspace")
-      s += 1
-    }
-    new PqEncodeCodes.Packed(starts, ids, cnn, flat, dsub)
-  }
-
-  override def nullSafeEval(v: Any, p: Any): Any = {
+  override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val cells = p.asInstanceOf[ArrayData]
-    if (cells.numElements() == 0) return null
-    val pk = reuseOrUnpack(cells, unpack).asInstanceOf[PqEncodeCodes.Packed]
     GraftHashOps.checkSameLength(x.numElements(), dim)
     val starts = pk.subStart; val ids = pk.cellIds
     val cnn = pk.cnn; val flat = pk.flat
@@ -650,7 +452,7 @@ case class PqEncodeCodes(vec: Expression, pack: Expression,
       val from = starts(s); val until = starts(s + 1)
       if (hasNull) {
         // every candidate's d2 is null; min(struct(null, cell)) is the
-        // lowest cell — the pack is cell-sorted within a sub
+        // lowest cell — the codebook is cell-sorted within a sub
         codes(s) = ids(from)
       } else {
         var bestCell = 0
@@ -679,8 +481,8 @@ case class PqEncodeCodes(vec: Expression, pack: Expression,
     new GenericArrayData(codes)
   }
 
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
-    copy(vec = newLeft, pack = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(vec = newChild)
 }
 
 /** Static helpers callable from generated Java (Scala objects emit
@@ -1125,11 +927,14 @@ object GraftFunctions {
   def numVecDot(a: Column, b: Column): Column =
     ExpressionUtils.column(NumVecDot(expr(a), expr(b)))
 
-  def ivfArgMin(vec: Column, pack: Column): Column =
-    ExpressionUtils.column(IvfArgMin(expr(vec), expr(pack)))
+  def ivfArgMin(vec: Column,
+                cents: org.apache.spark.broadcast.Broadcast[IvfArgMin.Cents]): Column =
+    ExpressionUtils.column(IvfArgMin(expr(vec), cents))
 
-  def pqEncodeCodes(vec: Column, pack: Column, dim: Int, m: Int): Column =
-    ExpressionUtils.column(PqEncodeCodes(expr(vec), expr(pack), dim, m))
+  def pqEncodeCodes(vec: Column,
+                    cb: org.apache.spark.broadcast.Broadcast[PqEncodeCodes.Codebook],
+                    dim: Int, m: Int): Column =
+    ExpressionUtils.column(PqEncodeCodes(expr(vec), cb, dim, m))
 
   def vecNorm(a: Column): Column = {
     import org.apache.spark.sql.functions.sqrt

@@ -142,14 +142,13 @@ class PlanShapeSpec extends SparkSpec {
     "ann_two_stage",       // rescore stage compares vs the brute-force baseline
     "fz_edit_pairs",       // short-string bucket brute-forced (q-gram bound vacuous there)
     "fz_damerau_pairs",    // same short-string bucket, DL verify
-    // IVF assignment is vectors × the k-row broadcast centroid table —
-    // O(n·k) with k ≪ n bounded by construction; the BNLJ build side
-    // is the centroid aggregate (grouped, so not scalar-detectable)
-    "ann_ivf_search", "ann_ivf_train",
-    // same centroid-table cross in the composed index (probe ranking:
-    // sampled queries × the 8-row cell-centroid aggregate, O(s·k));
-    // every corpus-sized join inside it is cell-/sub-equi or broadcast
-    "ann_ivf_pq"
+    // IVF probe RANKING is sampled queries × the k-row broadcast
+    // cell-centroid aggregate — O(s·k) with both factors fixed (s = 64
+    // modulus-sampled queries, k = the cell count); the build side is
+    // a grouped aggregate, so not scalar-detectable. The corpus-wide
+    // assignment that used to need this exemption in ann_ivf_train too
+    // is now a pure map over a driver-broadcast table — no join at all.
+    "ann_ivf_search", "ann_ivf_pq"
   )
 
   test("engine-wide sweep: no accidental cartesian/nested-loop join in ANY query") {
