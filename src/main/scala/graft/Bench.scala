@@ -124,7 +124,7 @@ object Bench {
       "tx_bpe_train", "gr_triangles", "dd_chunk_dedup", "dd_bloom_incremental",
       "j11_spatial_join", "a11_tdigest_rollup", "sql_recursive_cte",
       "dq_profile", "ml_feature_hash", "dd_repeated_spans", "ann_pca_topk",
-      "ann_pq_topk", "ann_ivf_pq")
+      "ann_pq_topk", "ann_ivf_pq", "ann_ivf_pq_append")
     val byName = results.toMap
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would make the JSON line unparseable

@@ -1246,6 +1246,55 @@ object SimilarityOps {
     (cents, codebook, codes)
   }
 
+  /** Incremental IVF-PQ index maintenance — the other half of the
+    * build-once/search-many lifecycle: a production index ingests a
+    * daily DELTA without retraining or re-encoding the corpus. The
+    * coarse centroids and PQ codebooks are MODEL PARAMETERS frozen at
+    * build time, and [[ivfAssign]]/[[pqEncode]] are pure per-row
+    * functions of those frozen tables — so appending is exactly one
+    * assign + one encode pass over the delta rows (O(|delta|), the
+    * corpus is never touched) and the result is BIT-IDENTICAL to
+    * having encoded the delta in the original build
+    * (IvfPqAppendSpec pins both the code parity and search parity).
+    *
+    * The parity contract is exact for the SAMPLE-TRAINED build branch
+    * (the production shape): there [[buildIvfPq]]'s stored cells are
+    * literally ivfAssign against the returned cents. The
+    * trainSample=None convenience branch stores trainIvf's final
+    * assignment, which lags the returned (post-update) centroids by
+    * one Lloyd step — appended rows there assign against the stored
+    * cents and a boundary vector may land one cell over from where a
+    * full rebuild would put it. Not a correctness issue (IVF cells are
+    * a probe heuristic; the rescore is exact either way), but strict
+    * bit-parity is only promised on the sample-trained branch.
+    *
+    * What freezing does NOT give: centroids/codebooks stop tracking
+    * the data distribution. On a distribution-stable delta recall
+    * holds (the structures were sample-trained anyway — a 10% delta
+    * is statistically invisible; `ann_ivf_pq_append` pins ≥ 0.9
+    * composed recall with the index trained on the base alone), but a
+    * drifted delta degrades silently — production retrains when the
+    * appended fraction crosses a threshold, which is a policy
+    * decision this operator deliberately leaves to the caller.
+    *
+    * Returns the appended codedCorpus `(neighbor_id, cell, codes,
+    * cn)` — same shape as [[buildIvfPq]]'s third element, directly
+    * feedable to [[ivfPqSearch]].
+    */
+  def ivfPqAppend(delta: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, m: Int,
+                  cents: DataFrame, codebook: DataFrame,
+                  codedCorpus: DataFrame): DataFrame = {
+    val assigned = ivfAssign(delta, idCol, vecCol, cents)
+      .select(col("id").as("neighbor_id"), col("assigned_cell").as("cell"))
+    val deltaCodes = pqEncode(delta, idCol, vecCol, dim, m, codebook)
+      .select(col("id").as("neighbor_id"), col("codes"))
+      .join(assigned, "neighbor_id")
+      .join(withNorm(delta, idCol, vecCol, "neighbor_id", "cv", "cn")
+        .select("neighbor_id", "cn"), "neighbor_id")
+    codedCorpus.unionByName(deltaCodes.select(codedCorpus.columns.map(col): _*))
+  }
+
   /** IVF-PQ SEARCH over a built (or stored-and-reloaded) index — see
     * [[buildIvfPq]] for the index frames' shapes and [[ivfPqTopK]] for
     * the composed semantics and gates.

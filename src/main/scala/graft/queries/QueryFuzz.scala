@@ -103,6 +103,24 @@ object QueryFuzz {
   /** One window function over a deterministic total order. */
   final case class WindowShape(partCol: String, fn: String, frame: Int) extends Shape
 
+  /** v2 shapes — semi/anti joins, HAVING, set operations. A SEPARATE
+    * generator (and gate-seed family) rather than new cases in
+    * [[generate]]: the v1 gate rows' rendered queries must stay
+    * byte-stable across rounds, and any new branch in a shared
+    * generator re-deals every rng draw after it.
+    */
+  final case class SemiShape(anti: Boolean, rightTable: String,
+                             leftKey: String, rightKey: String,
+                             rightPred: Option[Pred], cols: Seq[String]) extends Shape
+  /** HAVING over the first aggregate (always COUNT(*) — dialect-safe
+    * and never null) with a keyed GROUP BY. */
+  final case class HavingShape(keys: Seq[(String, Option[String])], aggs: Seq[Agg],
+                               minCount: Long) extends Shape
+  /** Two predicate branches over the same relation/projection glued by
+    * a set op ∈ {UNION ALL, INTERSECT, EXCEPT}. */
+  final case class SetOpShape(op: String, cols: Seq[String],
+                              predA: Pred, predB: Pred) extends Shape
+
   final case class FuzzQuery(seed: Long, rel: Rel, pred: Option[Pred], shape: Shape)
 
   // ---- generation ----
@@ -193,6 +211,59 @@ object QueryFuzz {
     FuzzQuery(seed, relFixed, if (shape.isInstanceOf[WindowShape]) genPred(rng, rs.head) else pred, shape)
   }
 
+  /** v2 generator: semi/anti joins (EXISTS / NOT EXISTS), HAVING, and
+    * set operations — the relational corners v1 leaves dark. Own seed
+    * space (gate rows `qf2_gen_*`); never touches [[generate]]'s rng
+    * stream, so the v1 gate rows stay byte-stable.
+    */
+  def generateV2(seed: Long): FuzzQuery = {
+    val rng = new Random(seed)
+    // java.util.Random's FIRST bounded draw is heavily biased for
+    // sequential seeds (the LCG scrambler barely moves the top bits on
+    // one step — measured: seeds 1..60 all landed in {1,2} of 4).
+    // Two discarded nextLong()s advance the LCG far enough to decouple
+    // the shape choice from the raw seed. v1 dodged this by accident
+    // (its first draws feed joinType/relation, not the shape).
+    rng.nextLong(); rng.nextLong()
+    val rs = rels("inner")
+    rng.nextInt(4) match {
+      case 0 => // semi/anti join, rendered EXISTS / NOT EXISTS in SQL
+        val anti = rng.nextBoolean()
+        // (left, right, lk, rk): customer⋉orders is the one pair whose
+        // ANTI side is naturally non-empty (customers with no orders)
+        val (leftRel, rightRel, lk, rk) = rng.nextInt(3) match {
+          case 0 => (rs.head, rs(1), "l_orderkey", "o_orderkey")
+          case 1 => (rs(1), rs(2), "o_custkey", "c_custkey")
+          case _ => (rs(2), rs(1), "c_custkey", "o_custkey")
+        }
+        val rightPred = if (rng.nextBoolean()) Some(genPredLeaf(rng, rightRel)) else None
+        val pool = leftRel.nums.map(_.name) ++ leftRel.strs.map(_.name)
+        val cols = rng.shuffle(pool).take(2 + rng.nextInt(2))
+        // left side always filtered: bounded output at every sf
+        FuzzQuery(seed, leftRel, Some(genPredLeaf(rng, leftRel)),
+          SemiShape(anti, rightRel.tables.head, lk, rk, rightPred, cols))
+      case 1 | 2 => // keyed aggregate + HAVING on count(*)
+        val rel = rs(rng.nextInt(rs.size))
+        val keyPool: Seq[(String, Option[String])] =
+          rel.strs.map(s => (s.name, None)) ++
+            rel.nums.filter(_.isInt).map(c => (c.name, None)) ++
+            rel.tss.take(1).map(t => ("k_year", Some(t.name)))
+        val keys = rng.shuffle(keyPool).take(1 + rng.nextInt(2))
+        val aggPool: Seq[Agg] = rel.nums.flatMap(c =>
+          Seq(SumNum(c.name, c.isInt), AvgNum(c.name), MinNum(c.name), MaxNum(c.name)))
+        FuzzQuery(seed, rel, genPred(rng, rel),
+          HavingShape(keys, rng.shuffle(aggPool).take(1 + rng.nextInt(2)),
+            minCount = 1 + rng.nextInt(20)))
+      case _ => // set op over two predicate branches of one relation
+        val rel = rs(rng.nextInt(rs.size))
+        val op = Seq("UNION ALL", "INTERSECT", "EXCEPT")(rng.nextInt(3))
+        val pool = rel.nums.map(_.name) ++ rel.strs.map(_.name)
+        val cols = rng.shuffle(pool).take(2 + rng.nextInt(2))
+        FuzzQuery(seed, rel, None,
+          SetOpShape(op, cols, genPredLeaf(rng, rel), genPredLeaf(rng, rel)))
+    }
+  }
+
   // ---- SQL rendering (shared DuckDB/Spark dialect) ----
   private def numLit(v: Double, isInt: Boolean): String =
     if (isInt) v.toLong.toString
@@ -244,6 +315,28 @@ object QueryFuzz {
             s"ROWS BETWEEN $frame PRECEDING AND CURRENT ROW)") + " AS a0"
         }
         s"SELECT l_orderkey, l_linenumber, $part, $w\nFROM lineitem$where"
+      case SemiShape(anti, rightTable, lk, rk, rightPred, cols) =>
+        val ex = if (anti) "NOT EXISTS" else "EXISTS"
+        val rp = rightPred.map(p => s" AND (${sqlPred(p)})").getOrElse("")
+        val exists =
+          s"$ex (SELECT 1 FROM $rightTable WHERE $rk = ${q.rel.sqlFrom}.$lk$rp)"
+        val lp = q.pred.map(p => s"(${sqlPred(p)}) AND ").getOrElse("")
+        s"SELECT ${cols.mkString(", ")}\nFROM ${q.rel.sqlFrom}\nWHERE $lp$exists"
+      case HavingShape(keys, aggs, minCount) =>
+        val keyExprs = keys.map {
+          case (k, None) => k
+          case (k, Some(ts)) => s"CAST(EXTRACT(YEAR FROM $ts) AS INT) AS $k"
+        }
+        val all = CountStar +: aggs
+        val sel = (keyExprs ++ all.zipWithIndex.map { case (a, i) => sqlAgg(a, i) })
+          .mkString(",\n  ")
+        s"SELECT $sel\nFROM ${q.rel.sqlFrom}$where" +
+          s"\nGROUP BY ${keys.indices.map(_ + 1).mkString(", ")}" +
+          s"\nHAVING count(*) >= $minCount" +
+          s"\nORDER BY ${keys.map(_._1).mkString(", ")}"
+      case SetOpShape(op, cols, predA, predB) =>
+        val sel = s"SELECT ${cols.mkString(", ")}\nFROM ${q.rel.sqlFrom}"
+        s"$sel\nWHERE ${sqlPred(predA)}\n$op\n$sel\nWHERE ${sqlPred(predB)}"
     }
   }
 
@@ -303,6 +396,29 @@ object QueryFuzz {
             .over(order.rowsBetween(-frame, Window.currentRow))).as("a0")
         }
         base.select(col("l_orderkey"), col("l_linenumber"), col(part), w)
+      case SemiShape(anti, rightTable, lk, rk, rightPred, cols) =>
+        val right0 = graft.Tables.load(s, dir, rightTable)
+        val right = rightPred.map(p => right0.filter(dfPred(p))).getOrElse(right0)
+        base.join(right, base(lk) === right(rk),
+            if (anti) "left_anti" else "left_semi")
+          .select(cols.map(col): _*)
+      case HavingShape(keys, aggs, minCount) =>
+        val keyCols = keys.map {
+          case (k, None) => col(k)
+          case (k, Some(ts)) => year(col(ts)).cast("int").as(k)
+        }
+        val aggCols = (CountStar +: aggs).zipWithIndex.map { case (a, i) => dfAgg(a, i) }
+        base.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          .filter(col("a0") >= minCount)
+          .orderBy(keys.map(k => col(k._1)): _*)
+      case SetOpShape(op, cols, predA, predB) =>
+        val a = base.filter(dfPred(predA)).select(cols.map(col): _*)
+        val b = base.filter(dfPred(predB)).select(cols.map(col): _*)
+        op match {
+          case "UNION ALL" => a.unionByName(b)
+          case "INTERSECT" => a.intersect(b)
+          case _ => a.except(b)
+        }
     }
   }
 }
@@ -318,6 +434,20 @@ object FuzzQueries extends QueryPack {
   for (seed <- gateSeeds) {
     val fq = QueryFuzz.generate(seed)
     q(f"qf_gen_$seed%02d", QueryFuzz.toSql(fq)) { (s, dir) =>
+      QueryFuzz.toDataFrame(fq, s, dir)
+    }
+  }
+  // v2 seeds chosen (by shape audit) to cover every new shape kind:
+  // 1 = SEMI customer⋉orders with right pred, 3 = ANTI lineitem▷orders
+  // with right pred, 4 = INTERSECT lineitem, 5 = HAVING on k_year,
+  // 6 = EXCEPT lineitem, 8 = plain SEMI lineitem⋉orders, 11 = two-key
+  // HAVING without pred, 26 = UNION ALL customer, 52 = ANTI
+  // customer▷orders (the pair whose anti side is naturally non-empty).
+  // Fixed forever, like v1.
+  private val gateSeedsV2: Seq[Long] = Seq(1, 3, 4, 5, 6, 8, 11, 26, 52)
+  for (seed <- gateSeedsV2) {
+    val fq = QueryFuzz.generateV2(seed)
+    q(f"qf2_gen_$seed%02d", QueryFuzz.toSql(fq)) { (s, dir) =>
       QueryFuzz.toDataFrame(fq, s, dir)
     }
   }

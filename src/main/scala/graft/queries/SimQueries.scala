@@ -324,8 +324,8 @@ object SimQueries extends QueryPack {
   // codes, candK=max(100, min(n/10, 20·⌈√n⌉)) exact-rescored (candK
   // must scale — see the call-site comment). GEOMETRY is the measured
   // knee from tools.IvfGridProbe (see SimilarityOps.ivfPqGeometry):
-  // nCells = 2√n, nprobe = nCells/2 — on this near-isotropic corpus
-  // recall tracks probed mass and finer cells raise it at fixed mass
+  // nCells = min(n/4, 4√n), nprobe = nCells/2 — on this near-isotropic
+  // corpus recall tracks probed mass; finer cells raise it at fixed mass
   // (200k grid, scan ½: 8 cells → 0.79, 64 → 0.93, 256 → 0.98), so
   // the r12 toy geometry's 0.78 ceiling lifts to ≥0.93 measured and
   // the pin rises 0.65 → 0.9 (IvfPqSpec holds the margin AND the
@@ -370,6 +370,76 @@ object SimQueries extends QueryPack {
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))
     emb.agg(count(lit(1)).as("n_vectors")).crossJoin(stats)
       .select(col("n_vectors"), col("n_exact"),
+        (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.9)).as("recall_ok"))
+  }
+
+  // Incremental IVF-PQ maintenance — the ingest half of the
+  // build-once/search-many lifecycle: the index (coarse cells + PQ
+  // codebooks) is built on the 90% BASE alone, the 10% delta joins
+  // via ivfPqAppend (one assign + one encode pass over the delta —
+  // O(|delta|), the corpus is untouched, nothing retrains), and the
+  // composed search over the appended index must still clear the
+  // SAME ≥ 0.9 recall pin as ann_ivf_pq against the brute-force twin
+  // on the FULL corpus — i.e. a distribution-stable delta costs no
+  // recall even though the frozen structures never saw it (the
+  // structures are sample-trained anyway; a 10% stable delta is
+  // statistically invisible). codes_ok additionally pins the appended
+  // index census: exactly one row per corpus vector, every code array
+  // length m within [0, ksub), every cell a valid coarse cell.
+  // Bit-parity of append vs build-time encode is IvfPqAppendSpec's
+  // job. Oracle: corpus/delta counts + literal trues.
+  q("ann_ivf_pq_append",
+    """WITH k AS (SELECT greatest(1, count(*) // 64) AS k FROM embeddings)
+      |SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(count(CASE WHEN vec_id % 10 = 0 THEN 1 END) AS BIGINT) AS n_delta,
+      |  CAST(5 * count(CASE WHEN vec_id % (SELECT k FROM k) = 0 THEN 1 END) AS BIGINT) AS n_exact,
+      |  true AS codes_ok, true AS recall_ok
+      |FROM embeddings""".stripMargin) { (s, dir) =>
+    val emb = Tables.load(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val n = emb.count()
+    val nBase = base.count()
+    val (dim, m, ksub) = (64, 16, 32)
+    // the index serves the UNION, so geometry/candK follow the full
+    // corpus size — the same laws as ann_ivf_pq
+    val candK = math.max(100, math.min(n / 10,
+      20L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val (nCells, nprobe) = SimilarityOps.ivfPqGeometry(n)
+    val tsMod = SimilarityOps.sampleModulus(nBase, math.max(512, 32 * nCells))
+    val (cents, codebook, codes) = SimilarityOps.buildIvfPq(
+      base, "vec_id", "embedding", dim, m, ksub, nCells,
+      trainSample = if (tsMod <= 1) None
+        else Some(base.filter(col("vec_id") % tsMod === 0)))
+    val appended = SimilarityOps.ivfPqAppend(delta, "vec_id", "embedding",
+      dim, m, cents, codebook, codes)
+    // appended-index census: one row per corpus vector, m in-range
+    // codes, valid coarse cell
+    val codeStats = appended.agg(count(lit(1)).as("__n_coded"),
+      countDistinct(col("neighbor_id")).as("__n_ids"),
+      min(size(col("codes"))).as("__mn"), max(size(col("codes"))).as("__mx"),
+      min(array_min(col("codes"))).as("__cmin"),
+      max(array_max(col("codes"))).as("__cmax"),
+      min(col("cell")).as("__cellmin"), max(col("cell")).as("__cellmax"))
+    val sample = emb.filter(
+      col("vec_id") % SimilarityOps.sampleModulus(n, 64) === 0)
+    val got = SimilarityOps.ivfPqSearch(sample, emb, "vec_id", "embedding",
+        dim, m, ksub, cents, codebook, appended, nprobe, candK, k = 5)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id")
+    val recallStats = exact.join(got, Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(delta.agg(count(lit(1)).as("n_delta")))
+      .crossJoin(codeStats).crossJoin(recallStats)
+      .select(col("n_vectors"), col("n_delta"), col("n_exact"),
+        (col("__n_coded") === col("n_vectors") &&
+          col("__n_ids") === col("n_vectors") &&
+          col("__mn") === m && col("__mx") === m &&
+          col("__cmin") >= 0 && col("__cmax") < ksub &&
+          col("__cellmin") >= 0 && col("__cellmax") < nCells).as("codes_ok"),
         (coalesce(col("__hits"), lit(0)) >= col("n_exact") * lit(0.9)).as("recall_ok"))
   }
 

@@ -17,11 +17,11 @@ class QueryFuzzSpec extends graft.SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("100 seeds: DataFrame rendering == spark.sql(SQL rendering)") {
+  private def sweep(gen: Long => QueryFuzz.FuzzQuery, seeds: Range.Inclusive): Unit = {
     graft.Tables.registerAll(spark, sf)
     val failures = Seq.newBuilder[String]
-    for (seed <- 1L to 100L) {
-      val fq = QueryFuzz.generate(seed)
+    for (seed <- seeds) {
+      val fq = gen(seed.toLong)
       val sql = QueryFuzz.toSql(fq)
       try {
         val viaDf = QueryFuzz.toDataFrame(fq, spark, sf)
@@ -41,5 +41,13 @@ class QueryFuzzSpec extends graft.SparkSpec {
     }
     val fs = failures.result()
     assert(fs.isEmpty, s"${fs.size} seeds diverged:\n${fs.mkString("\n---\n")}")
+  }
+
+  test("100 seeds: DataFrame rendering == spark.sql(SQL rendering)") {
+    sweep(QueryFuzz.generate, 1 to 100)
+  }
+
+  test("100 v2 seeds (semi/anti, HAVING, set ops): DataFrame == spark.sql") {
+    sweep(QueryFuzz.generateV2, 1 to 100)
   }
 }
