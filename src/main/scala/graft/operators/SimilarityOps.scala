@@ -885,6 +885,45 @@ object SimilarityOps {
   private def broadcastIfQueryFits(df: DataFrame, estBytes: Long): DataFrame =
     if (estBytes * 2 <= queryBroadcastBound(df)) broadcast(df) else df
 
+  /** Top-candK candidate selection for the ANN scorers, gated on the
+    * operator's own closed-form memory law. The heap
+    * [[graftx.TopKPerGroup]] never sorts and its shuffle carries only
+    * candK rows per (query, partition) — but its heaps are plain JVM
+    * memory OUTSIDE Spark's execution-memory accounting, and in the
+    * partial stage EVERY partition can see EVERY query group, so one
+    * JVM holds concurrentTasks × nQ × candK × entry bytes. At
+    * production geometry (candK ∝ √n) that product is the operator's
+    * whole memory story: the 20M decade probe OOM'd a 24 g heap at
+    * 32 tasks × 64 queries × 89,460 candidates on ~100-byte object
+    * entries. The packed-pool rewrite (PackedRowHeap) cut the entry to
+    * its flat 32 UnsafeRow bytes, and THIS gate applies the engine's
+    * r12 lesson to what remains: when the estimate exceeds
+    * `spark.graft.topk.heapBound`, fall back to the window-rank path —
+    * a real sort, but one that lives inside Spark's spillable
+    * execution memory and completes at any size. defaultParallelism is
+    * the per-JVM concurrency in local mode and an overestimate (safe
+    * direction) on a multi-executor cluster; set the bound per
+    * deployment.
+    */
+  private def topKCandidatesGated(scored: DataFrame, nQ: Long,
+                                  candK: Int): DataFrame = {
+    val spark = scored.sparkSession
+    val entryBytes = 8L * (1 + scored.columns.length)
+    val est = spark.sparkContext.defaultParallelism.toLong *
+      nQ * candK * entryBytes
+    val bound = graft.GraftConf.sizeConf(spark,
+      "spark.graft.topk.heapBound", 8L * 1024 * 1024 * 1024)
+    if (est <= bound)
+      org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(scored,
+        Seq("query_id"), Seq(("acos", false), ("neighbor_id", true)), candK)
+    else {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("acos").desc, col("neighbor_id").asc)
+      scored.withColumn("__crn", row_number().over(w))
+        .filter(col("__crn") <= candK).drop("__crn")
+    }
+  }
+
   /** (id, sub ∈ [0,m), sv: array<double> of dim/m) — every vector cut
     * into its m subvectors, the shared input of PQ train/encode/query.
     */
@@ -1130,9 +1169,8 @@ object SimilarityOps {
       .withColumn("adot", org.apache.spark.sql.graftx.GraftFunctions
         .pqAdcDot(col("codes"), col("qtab"), ksub))
       .withColumn("acos", col("adot") / (col("qn") * col("cn")))
-    val cand = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
-      scored.select("query_id", "neighbor_id", "acos"),
-      Seq("query_id"), Seq(("acos", false), ("neighbor_id", true)), candK)
+    val cand = topKCandidatesGated(
+      scored.select("query_id", "neighbor_id", "acos"), nQ, candK)
     // exact rescore of the candK survivors only; the query-vector side
     // is gated too (equi join on query_id — the unhinted fallback is a
     // plain shuffle join)
@@ -1336,23 +1374,45 @@ object SimilarityOps {
         (col("qn") * sqrt(dotD(col("centroid"), col("centroid")))))
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qn"), col("cell"))
-      .join(qtabs, "query_id")
-    // candidate generation: CELL-EQUI join, ADC scoring, heap
-    // top-candK. The probed side is nQ·nprobe rows each carrying an
-    // m·ksub-double ADC table — broadcast while that fits, else the
-    // equi key gives a natural shuffle-join fallback (each corpus
-    // partition meets only its cells' queries; PqBroadcastGateSpec
-    // pins both branches bit-identical).
+    // candidate generation: CELL-EQUI join on the SLIM probed fan-out
+    // (query_id, qn, cell — ~120 B/row), then the per-query ADC table
+    // joined on query_id as a SEPARATE side. Folding qtabs into the
+    // fan-out (the pre-r13 shape) duplicated each query's m·ksub·8-byte
+    // table nprobe× — at production geometry (nprobe ~2√n) that product
+    // crossed the query-broadcast bound around the 2M decade (64
+    // queries × 2830 probes × 4 KB ≈ 760 MB) and forced the shuffle
+    // fallback: measured 158 s vs the 143 s brute twin, the whole scan
+    // lever erased by join plumbing. Split, the two broadcast builds
+    // are nQ·nprobe slim rows + nQ tables (~70 MB + ~0.3 MB at 20M),
+    // the scored stream references the matched qtab array in place
+    // (no per-row copy), and both joins stay map-side. Each side is
+    // still gated — above the bound the cell/query_id equi keys give
+    // the natural shuffle-join fallbacks (PqBroadcastGateSpec pins the
+    // branches bit-identical).
     val probedGated = broadcastIfQueryFits(probed,
-      nQ * nprobe * (m.toLong * ksub * 8 + 96))
-    val scored = codes.join(probedGated, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
+      nQ * nprobe * (8L + 8L + 8L + 96L))
+    val qtabBytes = nQ * (m.toLong * ksub * 8 + 96)
+    val scored0 =
+      if (qtabBytes * 2 <= queryBroadcastBound(queries))
+        codes.join(probedGated, Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .join(broadcast(qtabs), Seq("query_id"))
+      else
+        // corpus-shaped query batch: a broadcast-hash qtab lookup no
+        // longer fits, and an equi-join of the POST-CELL-JOIN stream
+        // (|codes probed| rows) against qtabs would sort that stream.
+        // Fold the tables back into the fan-out (the fat shape) and
+        // let the cell key shuffle-join — each corpus partition meets
+        // only its cells' queries, nothing references the scored
+        // stream twice.
+        codes.join(probed.join(qtabs, Seq("query_id")), Seq("cell"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = scored0
       .withColumn("adot", org.apache.spark.sql.graftx.GraftFunctions
         .pqAdcDot(col("codes"), col("qtab"), ksub))
       .withColumn("acos", col("adot") / (col("qn") * col("cn")))
-    val cand = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
-      scored.select("query_id", "neighbor_id", "acos"),
-      Seq("query_id"), Seq(("acos", false), ("neighbor_id", true)), candK)
+    val cand = topKCandidatesGated(
+      scored.select("query_id", "neighbor_id", "acos"), nQ, candK)
     // exact rescore; query vectors gated the same way (equi join on
     // query_id — unhinted fallback is a plain shuffle join)
     val qGated = broadcastIfQueryFits(q, nQ * (dim.toLong * 4 + 96))

@@ -452,6 +452,8 @@ object SimQueries extends QueryPack {
   // corpus count + literal trues.
   q("ann_ivf_train",
     """SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+      |  CAST(count(*) AS BIGINT) AS n_assigned,
+      |  CAST(count(*) AS BIGINT) AS n_ids,
       |  true AS all_assigned, true AS cells_valid, true AS affinity_improved
       |FROM embeddings""".stripMargin) { (s, dir) =>
     val emb = Tables.load(s, dir, "embeddings")
@@ -466,9 +468,17 @@ object SimQueries extends QueryPack {
       countDistinct(col("id")).as("__n_ids"),
       min("assigned_cell").as("__min_c"), max("assigned_cell").as("__max_c"),
       avg("cos").as("__a3"))
+    // n_assigned / n_ids ride ALONG as oracled columns (the oracle
+    // recomputes both as count(*)): one full-gate run flaked
+    // all_assigned=false under 4-way concurrency (never reproduced in
+    // 9 targeted re-runs); if it recurs, the correctness file itself
+    // now shows WHICH count drifted and by how much, instead of one
+    // opaque boolean.
     emb.agg(count(lit(1)).as("n_vectors"))
       .crossJoin(stats3)
       .select(col("n_vectors"),
+        col("__n_assigned").cast("long").as("n_assigned"),
+        col("__n_ids").cast("long").as("n_ids"),
         (col("__n_assigned") === col("n_vectors") &&
           col("__n_ids") === col("n_vectors")).as("all_assigned"),
         (col("__min_c") >= 0 && col("__max_c") <= 7).as("cells_valid"),

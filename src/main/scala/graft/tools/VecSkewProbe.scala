@@ -54,10 +54,18 @@ object VecSkewProbe {
     val dir = if (args.nonEmpty) args(0) else "/tmp/stress/sf1vskew"
     val minSim = if (args.length > 1) args(1).toDouble else 0.45
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the 20M tier needs FINER shuffle partitions than cores: the
+    // band-bucket aggregation's per-task hash map scales with rows per
+    // partition, and 32 concurrent ~240 MB maps exhaust the execution
+    // pool faster than cooperative spilling can rebalance it
+    // (measured: UNABLE_TO_ACQUIRE at map creation, 20M × 8 bands on
+    // 32 partitions under a 24 g heap). Same env knob as the decade
+    // probes.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

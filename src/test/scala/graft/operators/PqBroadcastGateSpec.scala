@@ -71,6 +71,32 @@ class PqBroadcastGateSpec extends graft.SparkSpec {
     assert(rows(withBound((oneTab * 4).toString)(mine())) == rows(whole))
   }
 
+  test("candidate top-k: heap and window-fallback branches are bit-identical") {
+    // the third query-side gate: the candidate heap lives outside
+    // Spark's execution memory, so past spark.graft.topk.heapBound the
+    // scorer falls back to the spillable window-rank path. Forcing the
+    // bound to 1 byte must swap TopKPerGroup for Window in the plan
+    // and change NOTHING about the selected rows.
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    val sample = emb.filter(col("vec_id") % SimilarityOps.sampleModulus(n, 16) === 0)
+    def mine() = SimilarityOps.ivfPqTopK(sample, emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, nCells = 4, nprobe = 2, candK = 100, k = 5)
+    val viaHeap = mine()
+    val heapBound = "spark.graft.topk.heapBound"
+    def withHeapBound[T](v: String)(body: => T): T =
+      try { spark.conf.set(heapBound, v); body }
+      finally spark.conf.unset(heapBound)
+    val viaWindow = withHeapBound("1")(mine())
+    def planOf(df: DataFrame) = df.queryExecution.executedPlan.toString
+    assert(planOf(viaHeap).contains("TopKPerGroup") &&
+      !planOf(viaHeap).contains("RunningWindowFunction"),
+      "default branch did not plan the heap operator")
+    assert(!planOf(viaWindow).contains("TopKPerGroup"),
+      "1-byte bound did not force the window fallback")
+    assert(rows(withHeapBound("1")(mine())) == rows(viaHeap))
+  }
+
   test("pqTopKEncoded: a corpus-shaped query batch fails fast with the IVF remedy") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val n = emb.count()
