@@ -22,11 +22,22 @@ import graft.operators.SimilarityOps
   *
   * Usage: SPARK_DRIVER_MEM=24g tools/run_main.sh \
   *          graft.tools.IvfPqDecadeProbe /tmp/stress/sf10000emb
+  *        … IvfPqDecadeProbe <dir> append   # the ingest lifecycle:
+  *          build on the 90% base, ivfPqAppend the 10% delta, search
+  *          the full corpus; prints append_sec (must scale with
+  *          |delta|, not n) and the same recall pin
   */
 object IvfPqDecadeProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/stress/sf1000emb"
+    // optional second arg "append": run the INGEST lifecycle at the
+    // tier instead — build on the 90% base (vec_id % 10 != 0),
+    // ivfPqAppend the 10% delta, search the full corpus through the
+    // appended index. Same geometry/candK/recall laws; the extra
+    // timing is the append pass itself, which must scale with
+    // |delta|, not the corpus.
+    val appendMode = args.length > 1 && args(1) == "append"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
@@ -59,14 +70,30 @@ object IvfPqDecadeProbe {
     val trainSample = if (tsMod <= 1) None
       else Some(emb.filter(col("vec_id") % tsMod === 0))
 
+    val buildOn = if (appendMode) emb.filter(col("vec_id") % 10 =!= 0) else emb
     val t0 = System.nanoTime()
     val (cents, codebook, codes0) = SimilarityOps.buildIvfPq(
-      emb, "vec_id", "embedding", dim, m, ksub, nCells, trainSample)
+      buildOn, "vec_id", "embedding", dim, m, ksub, nCells,
+      // append mode MUST sample-train (the strict-parity branch — and
+      // a base-derived sample keeps the structures blind to the delta)
+      if (!appendMode) trainSample
+      else trainSample.map(_.filter(col("vec_id") % 10 =!= 0))
+        .orElse(Some(buildOn.filter(col("vec_id") % 3 === 0))))
     val codebookCk = codebook.localCheckpoint()
-    val codes = codes0.localCheckpoint()
-    val nCoded = codes.count()
+    val baseCodes = codes0.localCheckpoint()
+    val nBaseCoded = baseCodes.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
-    require(nCoded == n, s"index build dropped rows: $nCoded of $n")
+
+    val tA = System.nanoTime()
+    val codes = if (!appendMode) baseCodes else {
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      SimilarityOps.ivfPqAppend(delta, "vec_id", "embedding",
+        dim, m, cents, codebookCk, baseCodes).localCheckpoint()
+    }
+    val nCoded = codes.count()
+    val appendSec = if (appendMode) (System.nanoTime() - tA) / 1e9 else 0.0
+    require(nCoded == n, s"index ${if (appendMode) "append" else "build"} " +
+      s"dropped rows: $nCoded of $n (base $nBaseCoded)")
 
     val t1 = System.nanoTime()
     val got = SimilarityOps.ivfPqSearch(sample, emb, "vec_id", "embedding",
@@ -85,9 +112,13 @@ object IvfPqDecadeProbe {
     val hits = exact.join(got, Seq("query_id", "neighbor_id"), "left")
       .agg(sum(coalesce(col("hit"), lit(0)))).collect()(0).getLong(0)
     val recall = hits.toDouble / nExact
-    println(s"""{"probe":"ivfpq_decade","dir":"$dir","n":$n,""" +
+    val probeName = if (appendMode) "ivfpq_append_decade" else "ivfpq_decade"
+    val appendField =
+      if (appendMode) s""""append_sec":${r3(appendSec)},"n_base":$nBaseCoded,"""
+      else ""
+    println(s"""{"probe":"$probeName","dir":"$dir","n":$n,""" +
       s""""cells":$nCells,"nprobe":$nprobe,"candk":$candK,""" +
-      s""""build_sec":${r3(buildSec)},"search_sec":${r3(searchSec)},""" +
+      s""""build_sec":${r3(buildSec)},$appendField"search_sec":${r3(searchSec)},""" +
       s""""twin_sec":${r3(twinSec)},"n_exact":$nExact,""" +
       s""""recall":${r3(recall)},"recall_ok":${recall >= 0.9}}""")
     spark.stop()
