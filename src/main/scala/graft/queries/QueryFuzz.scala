@@ -121,6 +121,55 @@ object QueryFuzz {
   final case class SetOpShape(op: String, cols: Seq[String],
                               predA: Pred, predB: Pred) extends Shape
 
+  /** v3 shapes — the layers v1/v2 never probe: the scalar EXPRESSION
+    * evaluator (arith / CASE / COALESCE / string / date trees, with
+    * NULLIF-injected nulls so three-valued logic is actually
+    * exercised), ORDER BY + LIMIT over a deterministic total order
+    * (TakeOrderedAndProject vs DuckDB's sort — with explicit NULLS
+    * placement, where the engines' defaults differ), and ROLLUP
+    * grouping analytics. Own generator + seed family (`qf3_gen_*`)
+    * for the same byte-stability reason as v2.
+    */
+  sealed trait NExpr
+  final case class NCol(name: String) extends NExpr
+  final case class NLit(v: Double) extends NExpr
+  final case class NBin(op: String, a: NExpr, b: NExpr) extends NExpr
+  final case class NIf(p: Pred, t: NExpr, f: NExpr) extends NExpr
+  /** NULLIF over an INT-domain column with v drawn from the domain —
+    * guarantees real nulls flow into the parent tree. */
+  final case class NNullIf(c: String, v: Double) extends NExpr
+  final case class NCoal(a: NExpr, b: NExpr) extends NExpr
+  final case class NLen(s: SExpr) extends NExpr
+
+  sealed trait SExpr
+  final case class SCol(name: String) extends SExpr
+  final case class SLit(v: String) extends SExpr
+  final case class SFn(fn: String, a: SExpr) extends SExpr // upper | lower
+  final case class SSub(a: SExpr, start: Int, len: Int) extends SExpr
+  final case class SCat(a: SExpr, b: SExpr) extends SExpr // NULL-propagating: SQL ||, DF concat
+  final case class SNullIf(c: String, v: String) extends SExpr
+  final case class SCoal(a: SExpr, b: SExpr) extends SExpr
+  final case class SIf(p: Pred, t: SExpr, f: SExpr) extends SExpr
+
+  sealed trait DExpr
+  final case class DPart(part: String, c: String) extends DExpr // EXTRACT → INT
+  final case class DTruncM(c: String) extends DExpr             // first-of-month DATE
+  final case class DAddDays(c: String, n: Int) extends DExpr    // DATE + n
+
+  /** Projection of generated scalar expression trees over key columns
+    * (always predicated: bounded output at every sf). */
+  final case class ExprShape(keys: Seq[String], nums: Seq[NExpr],
+                             strs: Seq[SExpr], dates: Seq[DExpr]) extends Shape
+  /** ORDER BY a generated numeric expression (explicit NULLS LAST —
+    * the engines' ASC defaults differ) + unique tie-break + LIMIT. */
+  final case class OrderLimitShape(cols: Seq[String], sortExpr: NExpr,
+                                   desc: Boolean, tieBreak: Seq[String],
+                                   limit: Int) extends Shape
+  /** GROUP BY ROLLUP — the grouping-analytics twin of v1's AggShape
+    * (NULLS FIRST ordering on both sides, the a9 convention). */
+  final case class RollupShape(keys: Seq[(String, Option[String])],
+                               aggs: Seq[Agg]) extends Shape
+
   final case class FuzzQuery(seed: Long, rel: Rel, pred: Option[Pred], shape: Shape)
 
   // ---- generation ----
@@ -264,6 +313,110 @@ object QueryFuzz {
     }
   }
 
+  // ---- v3 generation: expression trees / order-limit / rollup ----
+  /** Unique total-order key of each relation (join relations inherit
+    * the fact side's key: each fact row matches ≤1 dim row). */
+  private def tieBreakKeys(rel: Rel): Seq[String] =
+    if (rel.tables.contains("lineitem")) Seq("l_orderkey", "l_linenumber")
+    else if (rel.tables.contains("orders")) Seq("o_orderkey")
+    else Seq("c_custkey")
+
+  private def genNum(rng: Random, rel: Rel, depth: Int): NExpr = {
+    val intCols = rel.nums.filter(_.isInt)
+    if (depth <= 0) rng.nextInt(4) match {
+      case 0 => NLit(lit2(rng, -10, 10))
+      case 1 if intCols.nonEmpty =>
+        // NULLIF over an int-domain column at an in-domain value:
+        // guaranteed real nulls feeding the parent's 3-valued logic
+        val c = intCols(rng.nextInt(intCols.size))
+        NNullIf(c.name, math.floor(lit2(rng, c.lo, c.hi)))
+      case _ =>
+        NCol(rel.nums(rng.nextInt(rel.nums.size)).name)
+    } else rng.nextInt(6) match {
+      case 0 | 1 =>
+        NBin(Seq("+", "-", "*")(rng.nextInt(3)),
+          genNum(rng, rel, depth - 1), genNum(rng, rel, depth - 1))
+      case 2 => NIf(genPredLeaf(rng, rel),
+        genNum(rng, rel, depth - 1), genNum(rng, rel, depth - 1))
+      case 3 => NCoal(genNum(rng, rel, depth - 1), genNum(rng, rel, depth - 1))
+      case 4 if rel.strs.nonEmpty => NLen(genStr(rng, rel, 1))
+      case _ => genNum(rng, rel, depth - 1)
+    }
+  }
+
+  private def genStr(rng: Random, rel: Rel, depth: Int): SExpr = {
+    val sc = rel.strs(rng.nextInt(rel.strs.size))
+    if (depth <= 0) rng.nextInt(4) match {
+      case 0 => SLit(sc.domain(rng.nextInt(sc.domain.size)))
+      case 1 => SNullIf(sc.name, sc.domain(rng.nextInt(sc.domain.size)))
+      case _ => SCol(sc.name)
+    } else rng.nextInt(6) match {
+      case 0 => SFn(Seq("upper", "lower")(rng.nextInt(2)), genStr(rng, rel, depth - 1))
+      case 1 => SSub(genStr(rng, rel, depth - 1), 1 + rng.nextInt(3), 1 + rng.nextInt(4))
+      case 2 => SCat(genStr(rng, rel, depth - 1), genStr(rng, rel, depth - 1))
+      case 3 => SCoal(genStr(rng, rel, depth - 1), genStr(rng, rel, depth - 1))
+      case 4 => SIf(genPredLeaf(rng, rel),
+        genStr(rng, rel, depth - 1), genStr(rng, rel, depth - 1))
+      case _ => genStr(rng, rel, depth - 1)
+    }
+  }
+
+  private def genDate(rng: Random, rel: Rel): DExpr = {
+    val c = rel.tss(rng.nextInt(rel.tss.size)).name
+    rng.nextInt(5) match {
+      case 0 => DPart("YEAR", c)
+      case 1 => DPart("MONTH", c)
+      case 2 => DPart("DAY", c)
+      case 3 => DTruncM(c)
+      case _ => DAddDays(c, 1 + rng.nextInt(30))
+    }
+  }
+
+  /** v3 generator — see the shape scaladoc. Same discarded-draw
+    * preamble as v2 (java.util.Random's first bounded draw is biased
+    * for sequential seeds). */
+  def generateV3(seed: Long): FuzzQuery = {
+    val rng = new Random(seed)
+    rng.nextLong(); rng.nextLong()
+    val rs = rels(if (rng.nextBoolean()) "inner" else "left")
+    rng.nextInt(10) match {
+      case n if n < 5 => // expression-tree projection
+        val rel = rs(rng.nextInt(rs.size))
+        val nums = Seq.fill(1 + rng.nextInt(2))(genNum(rng, rel, 2))
+        val strs = if (rel.strs.nonEmpty && rng.nextBoolean())
+          Seq(genStr(rng, rel, 2)) else Nil
+        val dates = if (rel.tss.nonEmpty && rng.nextBoolean())
+          Seq(genDate(rng, rel)) else Nil
+        FuzzQuery(seed, rel, Some(genPredLeaf(rng, rel)),
+          ExprShape(tieBreakKeys(rel), nums, strs, dates))
+      case n if n < 8 => // order by expression + limit
+        val rel = rs(rng.nextInt(rs.size))
+        val pool = rel.nums.map(_.name) ++ rel.strs.map(_.name)
+        val cols = rng.shuffle(pool).take(2 + rng.nextInt(2))
+        FuzzQuery(seed, rel, genPred(rng, rel),
+          OrderLimitShape(cols, genNum(rng, rel, 2), rng.nextBoolean(),
+            tieBreakKeys(rel), 5 + rng.nextInt(46)))
+      case _ => // rollup
+        val rel = rs(rng.nextInt(rs.size))
+        val keyPool: Seq[(String, Option[String])] =
+          rel.strs.map(s => (s.name, None)) ++
+            rel.nums.filter(_.isInt).map(c => (c.name, None)) ++
+            rel.tss.take(1).map(t => ("k_year", Some(t.name)))
+        val keys = rng.shuffle(keyPool).take(1 + rng.nextInt(2))
+        val aggPool: Seq[Agg] = {
+          val b = Seq.newBuilder[Agg]
+          b += CountStar
+          rel.nums.foreach { c =>
+            b += SumNum(c.name, c.isInt); b += AvgNum(c.name)
+            b += MinNum(c.name); b += MaxNum(c.name)
+          }
+          b.result()
+        }
+        FuzzQuery(seed, rel, genPred(rng, rel),
+          RollupShape(keys, rng.shuffle(aggPool).take(1 + rng.nextInt(2))))
+    }
+  }
+
   // ---- SQL rendering (shared DuckDB/Spark dialect) ----
   private def numLit(v: Double, isInt: Boolean): String =
     if (isInt) v.toLong.toString
@@ -286,6 +439,37 @@ object QueryFuzz {
     case MinNum(c) => s"min($c) AS a$i"
     case MaxNum(c) => s"max($c) AS a$i"
     case CountDistinct(c) => s"CAST(count(DISTINCT $c) AS BIGINT) AS a$i"
+  }
+
+  private def sqlNum(e: NExpr): String = e match {
+    case NCol(c) => s"CAST($c AS DOUBLE)"
+    case NLit(v) => numLit(v, isInt = false)
+    case NBin(op, a, b) => s"(${sqlNum(a)} $op ${sqlNum(b)})"
+    case NIf(p, t, f) =>
+      s"CASE WHEN ${sqlPred(p)} THEN ${sqlNum(t)} ELSE ${sqlNum(f)} END"
+    case NNullIf(c, v) => s"NULLIF(CAST($c AS DOUBLE), ${numLit(v, isInt = false)})"
+    case NCoal(a, b) => s"COALESCE(${sqlNum(a)}, ${sqlNum(b)})"
+    case NLen(s) => s"CAST(length(${sqlStr(s)}) AS DOUBLE)"
+  }
+
+  private def sqlStr(e: SExpr): String = e match {
+    case SCol(c) => c
+    case SLit(v) => s"'$v'"
+    case SFn(fn, a) => s"$fn(${sqlStr(a)})"
+    case SSub(a, st, ln) => s"substr(${sqlStr(a)}, $st, $ln)"
+    // `||`, not concat(): DuckDB's concat() SKIPS nulls while Spark's
+    // propagates them — `||` null-propagates on both engines
+    case SCat(a, b) => s"(${sqlStr(a)} || ${sqlStr(b)})"
+    case SNullIf(c, v) => s"NULLIF($c, '$v')"
+    case SCoal(a, b) => s"COALESCE(${sqlStr(a)}, ${sqlStr(b)})"
+    case SIf(p, t, f) =>
+      s"CASE WHEN ${sqlPred(p)} THEN ${sqlStr(t)} ELSE ${sqlStr(f)} END"
+  }
+
+  private def sqlDate(e: DExpr): String = e match {
+    case DPart(p, c) => s"CAST(EXTRACT($p FROM $c) AS INT)"
+    case DTruncM(c) => s"CAST(date_trunc('month', $c) AS DATE)"
+    case DAddDays(c, n) => s"(CAST($c AS DATE) + $n)"
   }
 
   def toSql(q: FuzzQuery): String = {
@@ -337,6 +521,31 @@ object QueryFuzz {
       case SetOpShape(op, cols, predA, predB) =>
         val sel = s"SELECT ${cols.mkString(", ")}\nFROM ${q.rel.sqlFrom}"
         s"$sel\nWHERE ${sqlPred(predA)}\n$op\n$sel\nWHERE ${sqlPred(predB)}"
+      case ExprShape(keys, nums, strs, dates) =>
+        val sel = keys ++
+          nums.zipWithIndex.map { case (e, i) => s"${sqlR2(sqlNum(e))} AS e$i" } ++
+          strs.zipWithIndex.map { case (e, i) => s"${sqlStr(e)} AS s$i" } ++
+          dates.zipWithIndex.map { case (e, i) => s"${sqlDate(e)} AS d$i" }
+        s"SELECT ${sel.mkString(",\n  ")}\nFROM ${q.rel.sqlFrom}$where"
+      case OrderLimitShape(cols, sortExpr, desc, tie, limit) =>
+        val sel = (cols ++ tie).distinct
+        val dir = if (desc) "DESC" else "ASC"
+        // explicit NULLS LAST: the engines' ASC defaults differ
+        // (Spark NULLS FIRST, DuckDB NULLS LAST)
+        s"SELECT ${sel.mkString(", ")}, ${sqlR2(sqlNum(sortExpr))} AS e0" +
+          s"\nFROM ${q.rel.sqlFrom}$where" +
+          s"\nORDER BY e0 $dir NULLS LAST, ${tie.mkString(", ")}" +
+          s"\nLIMIT $limit"
+      case RollupShape(keys, aggs) =>
+        val keyExprs = keys.map {
+          case (k, None) => k
+          case (k, Some(ts)) => s"CAST(EXTRACT(YEAR FROM $ts) AS INT) AS $k"
+        }
+        val sel = (keyExprs ++ aggs.zipWithIndex.map { case (a, i) => sqlAgg(a, i) })
+          .mkString(",\n  ")
+        s"SELECT $sel\nFROM ${q.rel.sqlFrom}$where" +
+          s"\nGROUP BY ROLLUP(${keys.indices.map(_ + 1).mkString(", ")})" +
+          s"\nORDER BY ${keys.map(k => s"${k._1} NULLS FIRST").mkString(", ")}"
     }
   }
 
@@ -363,6 +572,41 @@ object QueryFuzz {
     case MinNum(c) => min(col(c)).as(s"a$i")
     case MaxNum(c) => max(col(c)).as(s"a$i")
     case CountDistinct(c) => countDistinct(col(c)).cast("long").as(s"a$i")
+  }
+
+  private def dfNum(e: NExpr): Column = e match {
+    case NCol(c) => col(c).cast("double")
+    case NLit(v) => lit(v)
+    case NBin("+", a, b) => dfNum(a) + dfNum(b)
+    case NBin("-", a, b) => dfNum(a) - dfNum(b)
+    case NBin(_, a, b) => dfNum(a) * dfNum(b)
+    case NIf(p, t, f) => when(dfPred(p), dfNum(t)).otherwise(dfNum(f))
+    case NNullIf(c, v) =>
+      val cc = col(c).cast("double")
+      when(cc === lit(v), lit(null).cast("double")).otherwise(cc)
+    case NCoal(a, b) => coalesce(dfNum(a), dfNum(b))
+    case NLen(s) => length(dfStr(s)).cast("double")
+  }
+
+  private def dfStr(e: SExpr): Column = e match {
+    case SCol(c) => col(c)
+    case SLit(v) => lit(v)
+    case SFn("upper", a) => upper(dfStr(a))
+    case SFn(_, a) => lower(dfStr(a))
+    case SSub(a, st, ln) => substring(dfStr(a), st, ln)
+    case SCat(a, b) => concat(dfStr(a), dfStr(b))
+    case SNullIf(c, v) =>
+      when(col(c) === lit(v), lit(null).cast("string")).otherwise(col(c))
+    case SCoal(a, b) => coalesce(dfStr(a), dfStr(b))
+    case SIf(p, t, f) => when(dfPred(p), dfStr(t)).otherwise(dfStr(f))
+  }
+
+  private def dfDate(e: DExpr): Column = e match {
+    case DPart("YEAR", c) => year(col(c)).cast("int")
+    case DPart("MONTH", c) => month(col(c)).cast("int")
+    case DPart(_, c) => dayofmonth(col(c)).cast("int")
+    case DTruncM(c) => trunc(col(c).cast("date"), "month")
+    case DAddDays(c, n) => date_add(col(c).cast("date"), n)
   }
 
   def toDataFrame(q: FuzzQuery, s: SparkSession, dir: String): DataFrame = {
@@ -419,6 +663,25 @@ object QueryFuzz {
           case "INTERSECT" => a.intersect(b)
           case _ => a.except(b)
         }
+      case ExprShape(keys, nums, strs, dates) =>
+        val sel = keys.map(col) ++
+          nums.zipWithIndex.map { case (e, i) => r2(dfNum(e)).as(s"e$i") } ++
+          strs.zipWithIndex.map { case (e, i) => dfStr(e).as(s"s$i") } ++
+          dates.zipWithIndex.map { case (e, i) => dfDate(e).as(s"d$i") }
+        base.select(sel: _*)
+      case OrderLimitShape(cols, sortExpr, desc, tie, limit) =>
+        val sel = (cols ++ tie).distinct.map(col) :+ r2(dfNum(sortExpr)).as("e0")
+        val ord = (if (desc) col("e0").desc_nulls_last
+                   else col("e0").asc_nulls_last) +: tie.map(col)
+        base.select(sel: _*).orderBy(ord: _*).limit(limit)
+      case RollupShape(keys, aggs) =>
+        val keyCols = keys.map {
+          case (k, None) => col(k)
+          case (k, Some(ts)) => year(col(ts)).cast("int").as(k)
+        }
+        val aggCols = aggs.zipWithIndex.map { case (a, i) => dfAgg(a, i) }
+        base.rollup(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+          .orderBy(keys.map(k => col(k._1).asc_nulls_first): _*)
     }
   }
 }
@@ -448,6 +711,25 @@ object FuzzQueries extends QueryPack {
   for (seed <- gateSeedsV2) {
     val fq = QueryFuzz.generateV2(seed)
     q(f"qf2_gen_$seed%02d", QueryFuzz.toSql(fq)) { (s, dir) =>
+      QueryFuzz.toDataFrame(fq, s, dir)
+    }
+  }
+  // v3 seeds chosen (by shape audit at sf0.001) to cover every new
+  // kind: 1 = num-exprs over orders⋈customer (length/substr bridge),
+  // 2 = date expr over orders, 4/10 = ORDER BY expr ASC + LIMIT
+  // (orders / customer), 5/9 = DESC over the join relations, 8/47 =
+  // ROLLUP k=1 (orders / lineitem⋈orders), 12/44 = the full
+  // num+str+date expression trees, 25/57 = ROLLUP k=2 (lineitem /
+  // orders⋈customer). All audited non-empty at sf0.001 — REQUIRED for
+  // rollup gate seeds: Spark emits NO grand-total row for
+  // ROLLUP/CUBE/GROUPING SETS over EMPTY input while DuckDB (per the
+  // SQL standard, like Postgres) emits one — the v3 sweep's real
+  // cross-engine find, pinned in QueryFuzzSpec. Fixed forever, like
+  // v1/v2.
+  private val gateSeedsV3: Seq[Long] = Seq(1, 2, 4, 5, 8, 9, 10, 12, 25, 44, 47, 57)
+  for (seed <- gateSeedsV3) {
+    val fq = QueryFuzz.generateV3(seed)
+    q(f"qf3_gen_$seed%02d", QueryFuzz.toSql(fq)) { (s, dir) =>
       QueryFuzz.toDataFrame(fq, s, dir)
     }
   }

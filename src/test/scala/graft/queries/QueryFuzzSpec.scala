@@ -50,4 +50,36 @@ class QueryFuzzSpec extends graft.SparkSpec {
   test("100 v2 seeds (semi/anti, HAVING, set ops): DataFrame == spark.sql") {
     sweep(QueryFuzz.generateV2, 1 to 100)
   }
+
+  test("100 v3 seeds (expression trees, order-limit, rollup): DataFrame == spark.sql") {
+    sweep(QueryFuzz.generateV3, 1 to 100)
+  }
+
+  /** The v3 sweep's real cross-engine find (seeds 41/63 diverged
+    * count 0 vs 1 against DuckDB): Spark emits NO grand-total row for
+    * ROLLUP / CUBE / GROUPING SETS over EMPTY input, while DuckDB and
+    * Postgres (per the SQL standard: the `()` grouping set aggregates
+    * the empty input like a global aggregate) emit one zero-count
+    * row. Both of Spark's renderings agree with each other, so the
+    * differential harness stays green in-process and the divergence
+    * only surfaces against a second engine — exactly what the gate's
+    * DuckDB leg exists to catch. Pinned here as a regression canary:
+    * if Spark ever adopts the standard behavior, this test fails and
+    * the v3 gate-seed non-empty-input rule (FuzzQueries) can be
+    * dropped.
+    */
+  test("rollup over empty input: Spark omits the grand-total row (DuckDB emits it)") {
+    graft.Tables.registerAll(spark, sf)
+    val rollup = spark.sql(
+      "SELECT c_mktsegment, count(*) AS n FROM customer WHERE c_mktsegment = 'no-such' GROUP BY ROLLUP(1)")
+    assert(rollup.collect().isEmpty)
+    val gsets = spark.sql(
+      "SELECT c_mktsegment, count(*) AS n FROM customer WHERE c_mktsegment = 'no-such' GROUP BY GROUPING SETS ((1), ())")
+    assert(gsets.collect().isEmpty)
+    // the plain global aggregate DOES emit its one row — the
+    // divergence is specific to the grouping-sets path
+    val plain = spark.sql(
+      "SELECT count(*) AS n FROM customer WHERE c_mktsegment = 'no-such'")
+    assert(plain.collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
 }
