@@ -84,6 +84,7 @@ object Plans {
     "ann_pq_topk",         // PQ: sample-trained codebooks, 16-byte ADC code scan, heap top-k, candK rescore
     "ann_ivf_pq",          // IVF-PQ composed: cell-equi candidate join (never all-pairs), native ADC, candK rescore
     "ann_ivf_pq_append",   // frozen-index delta ingest: assign+encode the delta only, union, same search shape
+    "ann_ivf_pq_filtered", // metadata pre-filter rides the coded-index scan; inverse-selectivity probe mass
     "tx_cluster_sample",   // sample-trained cells + ONE corpus assign; heap top-quota per cell, no per-cell sort
     "dq_anomaly")          // 5-row stats broadcast back over the corpus; no full-table window
 

@@ -1261,10 +1261,20 @@ object SimilarityOps {
     * those from the corpus). All three are plain frames a caller can
     * persist as tables and reload across query batches; the corpus is
     * shuffled ONCE (by the encode/assign joins), here at build time.
+    *
+    * `metaCols` names corpus columns stored ALONGSIDE the codes —
+    * the filterable-attribute convention of production vector
+    * indexes: a metadata predicate then PRE-FILTERS the ADC scan
+    * map-side ([[ivfPqSearch]] `preFilter`) with zero extra joins or
+    * shuffles at query time, instead of post-filtering an inflated
+    * top-k. The per-row cost is the meta bytes riding the code
+    * rows — the index stays 16-byte codes + whatever attributes the
+    * workload actually filters on.
     */
   def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                  dim: Int, m: Int, ksub: Int, nCells: Int,
-                 trainSample: Option[DataFrame] = None)
+                 trainSample: Option[DataFrame] = None,
+                 metaCols: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame) = {
     val (cents0, assignedById) =
       sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample)
@@ -1279,8 +1289,9 @@ object SimilarityOps {
     val codes = pqEncode(corpus, idCol, vecCol, dim, m, codebook)
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(assigned, "neighbor_id")
-      .join(withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-        .select("neighbor_id", "cn"), "neighbor_id")
+      .join(corpus.select(col(idCol).as("neighbor_id") +:
+          vecNorm(col(vecCol)).as("cn") +: metaCols.map(col): _*)
+        .filter(col("cn") > 0), "neighbor_id")
     (cents, codebook, codes)
   }
 
@@ -1322,25 +1333,46 @@ object SimilarityOps {
   def ivfPqAppend(delta: DataFrame, idCol: String, vecCol: String,
                   dim: Int, m: Int,
                   cents: DataFrame, codebook: DataFrame,
-                  codedCorpus: DataFrame): DataFrame = {
+                  codedCorpus: DataFrame,
+                  metaCols: Seq[String] = Nil): DataFrame = {
     val assigned = ivfAssign(delta, idCol, vecCol, cents)
       .select(col("id").as("neighbor_id"), col("assigned_cell").as("cell"))
     val deltaCodes = pqEncode(delta, idCol, vecCol, dim, m, codebook)
       .select(col("id").as("neighbor_id"), col("codes"))
       .join(assigned, "neighbor_id")
-      .join(withNorm(delta, idCol, vecCol, "neighbor_id", "cv", "cn")
-        .select("neighbor_id", "cn"), "neighbor_id")
+      .join(delta.select(col(idCol).as("neighbor_id") +:
+          vecNorm(col(vecCol)).as("cn") +: metaCols.map(col): _*)
+        .filter(col("cn") > 0), "neighbor_id")
     codedCorpus.unionByName(deltaCodes.select(codedCorpus.columns.map(col): _*))
   }
 
   /** IVF-PQ SEARCH over a built (or stored-and-reloaded) index — see
     * [[buildIvfPq]] for the index frames' shapes and [[ivfPqTopK]] for
     * the composed semantics and gates.
+    *
+    * `preFilter` is a predicate over the index's stored metadata
+    * columns (buildIvfPq `metaCols`): it PRE-filters the coded corpus
+    * before the cell-equi join, so non-matching rows are never
+    * ADC-scored, never heap candidates, and never rescored — the
+    * filtered-search shape (top-k among rows WHERE …) that
+    * post-filtering an inflated k cannot guarantee. Map-side only:
+    * the filter rides the index scan, no extra join or shuffle.
+    * Sizing notes (both measured — see `ann_ivf_pq_filtered`):
+    * candK bounds candidates drawn from the FILTERED corpus, so
+    * callers should apply their candK law to the filtered count, not
+    * the index size; and nprobe should scale by INVERSE SELECTIVITY
+    * (min(nCells, ⌈nprobe·n/nF⌉)) — filtered true neighbors have
+    * weaker cosine than unfiltered ones, so at the base probe mass
+    * the query-centroid ranking misses their cells (0.88 vs 1.0
+    * recall at ~30% selectivity). The scaled probe keeps expected
+    * filtered rows scanned equal to the unfiltered scan: the ADC
+    * cost in rows is unchanged, only centroid-ranking mass grows.
     */
   def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
                   idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                   cents: DataFrame, codebook: DataFrame, codedCorpus: DataFrame,
-                  nprobe: Int, candK: Int, k: Int): DataFrame = {
+                  nprobe: Int, candK: Int, k: Int,
+                  preFilter: Option[Column] = None): DataFrame = {
     // coarse-centroid table: nCells rows × dim doubles. One cheap count
     // (the frame is localCheckpoint'd at build / a stored table on
     // reload) sizes the closed-form gate: the cell ranking is
@@ -1360,7 +1392,7 @@ object SimilarityOps {
     // corpus leaked it into session storage past the query (and can't
     // fit at scale); two scans are the honest price.
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-    val codes = codedCorpus
+    val codes = preFilter.map(codedCorpus.filter).getOrElse(codedCorpus)
     // per-query: nprobe nearest cells (broadcast centroids) + the
     // shared dense ADC table
     val qtabs = adcTables(queries, idCol, vecCol, dim, m, ksub, codebook)
@@ -1454,11 +1486,14 @@ object SimilarityOps {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                 nCells: Int, nprobe: Int, candK: Int, k: Int,
-                trainSample: Option[DataFrame] = None): DataFrame = {
+                trainSample: Option[DataFrame] = None,
+                metaCols: Seq[String] = Nil,
+                preFilter: Option[Column] = None): DataFrame = {
     val (cents, codebook, codes) =
-      buildIvfPq(corpus, idCol, vecCol, dim, m, ksub, nCells, trainSample)
+      buildIvfPq(corpus, idCol, vecCol, dim, m, ksub, nCells, trainSample,
+        metaCols)
     ivfPqSearch(queries, corpus, idCol, vecCol, dim, m, ksub,
-      cents, codebook, codes, nprobe, candK, k)
+      cents, codebook, codes, nprobe, candK, k, preFilter)
   }
 
   /** Cluster-balanced (diversity) sampling — the curation step that

@@ -26,6 +26,14 @@ import graft.operators.SimilarityOps
   *          build on the 90% base, ivfPqAppend the 10% delta, search
   *          the full corpus; prints append_sec (must scale with
   *          |delta|, not n) and the same recall pin
+  *        … IvfPqDecadeProbe <dir> filtered # the filtered-search
+  *          lifecycle: label = pmod(xxhash64(vec_id), 10) derived (the
+  *          stress sets carry no metadata; a hash label is
+  *          geometry-uncorrelated like the testdata's), index built
+  *          with metaCols, searched with preFilter label < 3 under
+  *          the gate row's inverse-selectivity probe law; prints
+  *          n_pass/nprobe_f/violations and recall vs the FILTERED
+  *          brute twin
   */
 object IvfPqDecadeProbe {
 
@@ -38,6 +46,7 @@ object IvfPqDecadeProbe {
     // timing is the append pass itself, which must scale with
     // |delta|, not the corpus.
     val appendMode = args.length > 1 && args(1) == "append"
+    val filteredMode = args.length > 1 && args(1) == "filtered"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
@@ -58,14 +67,25 @@ object IvfPqDecadeProbe {
     val emb = graft.Tables.load(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .repartition(cpus.toInt).localCheckpoint()
+      // hash-derived label (geometry-uncorrelated, like the testdata's
+      // random labels); derived AFTER the checkpoint so it costs a map
+      .withColumn("label", pmod(xxhash64(col("vec_id")), lit(10)).cast("int"))
     val n = emb.count()
+    val pred = col("label") < 3
     val sample = emb.filter(
       col("vec_id") % SimilarityOps.sampleModulus(n, 64) === 0)
 
-    // the gate row's laws, verbatim (SimQueries.scala ann_ivf_pq)
-    val candK = math.max(100, math.min(n / 10,
-      20L * math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
-    val (nCells, nprobe) = SimilarityOps.ivfPqGeometry(n)
+    // the gate rows' laws, verbatim (SimQueries.scala ann_ivf_pq /
+    // ann_ivf_pq_filtered): candK over the SEARCHED domain (filtered
+    // count in filtered mode), coarse geometry over the INDEXED corpus
+    val nF = if (filteredMode) emb.filter(pred).count() else n
+    val candK = math.max(100, math.min(nF / 10,
+      20L * math.ceil(math.sqrt(nF.toDouble)).toLong)).toInt
+    val (nCells, nprobe0) = SimilarityOps.ivfPqGeometry(n)
+    // inverse-selectivity probe scaling (filtered mode only)
+    val nprobe = if (!filteredMode) nprobe0
+      else math.min(nCells.toLong,
+        math.ceil(nprobe0.toDouble * n / math.max(1L, nF)).toLong).toInt
     val tsMod = SimilarityOps.sampleModulus(n, math.max(512, 32 * nCells))
     val trainSample = if (tsMod <= 1) None
       else Some(emb.filter(col("vec_id") % tsMod === 0))
@@ -78,7 +98,8 @@ object IvfPqDecadeProbe {
       // a base-derived sample keeps the structures blind to the delta)
       if (!appendMode) trainSample
       else trainSample.map(_.filter(col("vec_id") % 10 =!= 0))
-        .orElse(Some(buildOn.filter(col("vec_id") % 3 === 0))))
+        .orElse(Some(buildOn.filter(col("vec_id") % 3 === 0))),
+      metaCols = if (filteredMode) Seq("label") else Nil)
     val codebookCk = codebook.localCheckpoint()
     val baseCodes = codes0.localCheckpoint()
     val nBaseCoded = baseCodes.count()
@@ -97,14 +118,17 @@ object IvfPqDecadeProbe {
 
     val t1 = System.nanoTime()
     val got = SimilarityOps.ivfPqSearch(sample, emb, "vec_id", "embedding",
-        dim, m, ksub, cents, codebookCk, codes, nprobe, candK, k = 5)
+        dim, m, ksub, cents, codebookCk, codes, nprobe, candK, k = 5,
+        preFilter = if (filteredMode) Some(pred) else None)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
       .localCheckpoint()
     got.count()
     val searchSec = (System.nanoTime() - t1) / 1e9
 
     val t2 = System.nanoTime()
-    val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
+    val twinCorpus = if (filteredMode) emb.filter(pred) else emb
+    val exact = SimilarityOps.bruteForceTopK(sample, twinCorpus,
+        "vec_id", "embedding", 5)
       .select(col("query_id"), col("neighbor_id")).localCheckpoint()
     val nExact = exact.count()
     val twinSec = (System.nanoTime() - t2) / 1e9
@@ -112,13 +136,24 @@ object IvfPqDecadeProbe {
     val hits = exact.join(got, Seq("query_id", "neighbor_id"), "left")
       .agg(sum(coalesce(col("hit"), lit(0)))).collect()(0).getLong(0)
     val recall = hits.toDouble / nExact
-    val probeName = if (appendMode) "ivfpq_append_decade" else "ivfpq_decade"
+    val probeName =
+      if (appendMode) "ivfpq_append_decade"
+      else if (filteredMode) "ivfpq_filtered_decade"
+      else "ivfpq_decade"
     val appendField =
       if (appendMode) s""""append_sec":${r3(appendSec)},"n_base":$nBaseCoded,"""
       else ""
+    val filterField = if (!filteredMode) "" else {
+      val viol = got.join(
+          emb.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"), "left")
+        .agg(sum(when(pred, lit(0)).otherwise(lit(1)))).collect()(0).getLong(0)
+      s""""n_pass":$nF,"violations":$viol,"""
+    }
     println(s"""{"probe":"$probeName","dir":"$dir","n":$n,""" +
       s""""cells":$nCells,"nprobe":$nprobe,"candk":$candK,""" +
-      s""""build_sec":${r3(buildSec)},$appendField"search_sec":${r3(searchSec)},""" +
+      s""""build_sec":${r3(buildSec)},$appendField$filterField""" +
+      s""""search_sec":${r3(searchSec)},""" +
       s""""twin_sec":${r3(twinSec)},"n_exact":$nExact,""" +
       s""""recall":${r3(recall)},"recall_ok":${recall >= 0.9}}""")
     spark.stop()

@@ -148,9 +148,12 @@ class PlanShapeSpec extends SparkSpec {
     // a grouped aggregate, so not scalar-detectable. The corpus-wide
     // assignment that used to need this exemption in ann_ivf_train too
     // is now a pure map over a driver-broadcast table — no join at all.
-    // ann_ivf_pq_append runs the same ivfPqSearch ranking over the
-    // appended index, so it carries the same O(s·k) cross.
-    "ann_ivf_search", "ann_ivf_pq", "ann_ivf_pq_append"
+    // ann_ivf_pq_append and ann_ivf_pq_filtered run the same
+    // ivfPqSearch ranking (append: over the appended index; filtered:
+    // with the metadata pre-filter), so they carry the same O(s·k)
+    // cross.
+    "ann_ivf_search", "ann_ivf_pq", "ann_ivf_pq_append",
+    "ann_ivf_pq_filtered"
   )
 
   test("engine-wide sweep: no accidental cartesian/nested-loop join in ANY query") {
