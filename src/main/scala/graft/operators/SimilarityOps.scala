@@ -1483,6 +1483,22 @@ object SimilarityOps {
     (nCells, math.max(1, nCells / 2))
   }
 
+  /** Inverse-selectivity probe scaling for FILTERED search (measured —
+    * see `ann_ivf_pq_filtered` / BENCHNOTES r13): filtered true
+    * neighbors are weaker-cosine, so at the base probe mass the
+    * query-centroid ranking misses their cells; probing
+    * min(nCells, ⌈nprobe·n/nF⌉) cells keeps the EXPECTED FILTERED
+    * ROWS SCANNED equal to the unfiltered scan. Capping at nCells is
+    * the degenerate-but-correct end: when selectivity < nprobe/nCells
+    * the probe lever is spent and the search is an ADC scan of all
+    * filtered rows — recall exact, cost ∝ nF; at in-memory tiers a
+    * plain filtered brute scan is then the cheaper plan (measured
+    * 2× at 200k–2M), so callers should pick by this arithmetic.
+    */
+  def filteredNprobe(nCells: Int, nprobe: Int, n: Long, nF: Long): Int =
+    math.min(nCells.toLong,
+      math.ceil(nprobe.toDouble * n / math.max(1L, nF)).toLong).toInt
+
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
                 idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                 nCells: Int, nprobe: Int, candK: Int, k: Int,

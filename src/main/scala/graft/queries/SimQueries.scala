@@ -486,8 +486,7 @@ object SimQueries extends QueryPack {
       20L * math.ceil(math.sqrt(nF.toDouble)).toLong)).toInt
     val (nCells, nprobe) = SimilarityOps.ivfPqGeometry(n)
     // inverse-selectivity probe scaling — see the row comment
-    val nprobeF = math.min(nCells.toLong,
-      math.ceil(nprobe.toDouble * n / math.max(1L, nF)).toLong).toInt
+    val nprobeF = SimilarityOps.filteredNprobe(nCells, nprobe, n, nF)
     val tsMod = SimilarityOps.sampleModulus(n, math.max(512, 32 * nCells))
     val got = SimilarityOps.ivfPqTopK(sample, emb, "vec_id", "embedding",
         dim = 64, m = 16, ksub = 32, nCells = nCells, nprobe = nprobeF,

@@ -84,8 +84,7 @@ object IvfPqDecadeProbe {
     val (nCells, nprobe0) = SimilarityOps.ivfPqGeometry(n)
     // inverse-selectivity probe scaling (filtered mode only)
     val nprobe = if (!filteredMode) nprobe0
-      else math.min(nCells.toLong,
-        math.ceil(nprobe0.toDouble * n / math.max(1L, nF)).toLong).toInt
+      else SimilarityOps.filteredNprobe(nCells, nprobe0, n, nF)
     val tsMod = SimilarityOps.sampleModulus(n, math.max(512, 32 * nCells))
     val trainSample = if (tsMod <= 1) None
       else Some(emb.filter(col("vec_id") % tsMod === 0))

@@ -46,8 +46,7 @@ class IvfPqFilterSpec extends graft.SparkSpec {
     val sample = emb.filter(col("vec_id") % SimilarityOps.sampleModulus(n, 32) === 0)
     val (nCells, nprobe) = SimilarityOps.ivfPqGeometry(n)
     // the gate row's inverse-selectivity probe scaling
-    val nprobeF = math.min(nCells.toLong,
-      math.ceil(nprobe.toDouble * n / math.max(1L, nF)).toLong).toInt
+    val nprobeF = SimilarityOps.filteredNprobe(nCells, nprobe, n, nF)
     val candK = math.max(100, math.min(nF / 10,
       20L * math.ceil(math.sqrt(nF.toDouble)).toLong)).toInt
     val tsMod = SimilarityOps.sampleModulus(n, math.max(512, 32 * nCells))
