@@ -1491,9 +1491,11 @@ object SimilarityOps {
     * ROWS SCANNED equal to the unfiltered scan. Capping at nCells is
     * the degenerate-but-correct end: when selectivity < nprobe/nCells
     * the probe lever is spent and the search is an ADC scan of all
-    * filtered rows — recall exact, cost ∝ nF; at in-memory tiers a
-    * plain filtered brute scan is then the cheaper plan (measured
-    * 2× at 200k–2M), so callers should pick by this arithmetic.
+    * filtered rows — recall exact, cost ∝ nF. Even at that cap the
+    * decade probe measured the crossover: a plain filtered brute scan
+    * is cheaper at ≤2M (plumbing dominates) while the 16-byte ADC
+    * read wins 2.6× at 20M (memory-bandwidth-bound) — callers pick
+    * the plan by selectivity × base-mass × tier arithmetic.
     */
   def filteredNprobe(nCells: Int, nprobe: Int, n: Long, nF: Long): Int =
     math.min(nCells.toLong,
