@@ -443,11 +443,17 @@ object QueryFuzz {
 
   private def sqlNum(e: NExpr): String = e match {
     case NCol(c) => s"CAST($c AS DOUBLE)"
-    case NLit(v) => numLit(v, isInt = false)
+    // literals carry an explicit DOUBLE cast: bare `0.71` parses as
+    // DECIMAL(2,2) in BOTH SQL engines, and with no DetRound wrap in
+    // the v3 output (see ExprShape) a decimal-typed subtree surfaces
+    // exact-decimal arithmetic (0.71 * -3.94 = -2.7974) where the
+    // DataFrame side's lit(0.71) is IEEE double (-2.7973999…)
+    case NLit(v) => s"CAST(${numLit(v, isInt = false)} AS DOUBLE)"
     case NBin(op, a, b) => s"(${sqlNum(a)} $op ${sqlNum(b)})"
     case NIf(p, t, f) =>
       s"CASE WHEN ${sqlPred(p)} THEN ${sqlNum(t)} ELSE ${sqlNum(f)} END"
-    case NNullIf(c, v) => s"NULLIF(CAST($c AS DOUBLE), ${numLit(v, isInt = false)})"
+    case NNullIf(c, v) =>
+      s"NULLIF(CAST($c AS DOUBLE), CAST(${numLit(v, isInt = false)} AS DOUBLE))"
     case NCoal(a, b) => s"COALESCE(${sqlNum(a)}, ${sqlNum(b)})"
     case NLen(s) => s"CAST(length(${sqlStr(s)}) AS DOUBLE)"
   }
@@ -492,7 +498,17 @@ object QueryFuzz {
         val dk = if (distinct) "DISTINCT " else ""
         s"SELECT $dk${cols.mkString(", ")}$d\nFROM ${q.rel.sqlFrom}$where"
       case WindowShape(part, fn, frame) =>
-        val over = s"PARTITION BY $part ORDER BY l_orderkey, l_linenumber"
+        // l_quantity joins the order: the synthetic lineitem has ~14k
+        // duplicate (l_orderkey, l_linenumber) pairs (unlike real
+        // TPC-H), and a framed SUM over a non-total order is
+        // tie-dependent — engines resolve ties differently, so 5 of
+        // 100 sweep seeds diverged cross-engine (value-level FuzzSweep,
+        // r13) while the in-process Spark-vs-Spark sweep structurally
+        // cannot see it. With the summed column IN the order, rows
+        // still tied are interchangeable for both row_number (their
+        // output tuples are identical) and the framed sum (equal
+        // quantity either way) — the output multiset is deterministic.
+        val over = s"PARTITION BY $part ORDER BY l_orderkey, l_linenumber, l_quantity"
         val w = fn match {
           case "row_number" => s"CAST(row_number() OVER ($over) AS BIGINT) AS a0"
           case _ => sqlR2(s"sum(l_quantity) OVER ($over " +
@@ -522,8 +538,14 @@ object QueryFuzz {
         val sel = s"SELECT ${cols.mkString(", ")}\nFROM ${q.rel.sqlFrom}"
         s"$sel\nWHERE ${sqlPred(predA)}\n$op\n$sel\nWHERE ${sqlPred(predB)}"
       case ExprShape(keys, nums, strs, dates) =>
+        // NO DetRound wrap: per-row expression trees run the identical
+        // IEEE ops on both engines, so the raw doubles are bit-equal —
+        // and the floor-round is itself the portability hazard here:
+        // Spark's floor returns LONG and CLAMPS at Long.MaxValue, so a
+        // generated product with |x·100| > 2^63 diverged from DuckDB's
+        // double floor (sweep seed v3_075, r13)
         val sel = keys ++
-          nums.zipWithIndex.map { case (e, i) => s"${sqlR2(sqlNum(e))} AS e$i" } ++
+          nums.zipWithIndex.map { case (e, i) => s"${sqlNum(e)} AS e$i" } ++
           strs.zipWithIndex.map { case (e, i) => s"${sqlStr(e)} AS s$i" } ++
           dates.zipWithIndex.map { case (e, i) => s"${sqlDate(e)} AS d$i" }
         s"SELECT ${sel.mkString(",\n  ")}\nFROM ${q.rel.sqlFrom}$where"
@@ -531,10 +553,15 @@ object QueryFuzz {
         val sel = (cols ++ tie).distinct
         val dir = if (desc) "DESC" else "ASC"
         // explicit NULLS LAST: the engines' ASC defaults differ
-        // (Spark NULLS FIRST, DuckDB NULLS LAST)
-        s"SELECT ${sel.mkString(", ")}, ${sqlR2(sqlNum(sortExpr))} AS e0" +
+        // (Spark NULLS FIRST, DuckDB NULLS LAST). The order lists
+        // EVERY output column (not just the nominal unique key — the
+        // synthetic lineitem has duplicate keys): rows still tied are
+        // then full-duplicate OUTPUT rows, so whichever side of the
+        // LIMIT boundary either engine keeps, the result multiset is
+        // identical. e0 carries no DetRound (see ExprShape).
+        s"SELECT ${sel.mkString(", ")}, ${sqlNum(sortExpr)} AS e0" +
           s"\nFROM ${q.rel.sqlFrom}$where" +
-          s"\nORDER BY e0 $dir NULLS LAST, ${tie.mkString(", ")}" +
+          s"\nORDER BY e0 $dir NULLS LAST, ${sel.mkString(", ")}" +
           s"\nLIMIT $limit"
       case RollupShape(keys, aggs) =>
         val keyExprs = keys.map {
@@ -633,7 +660,10 @@ object QueryFuzz {
         if (distinct) proj.distinct() else proj
       case WindowShape(part, fn, frame) =>
         import org.apache.spark.sql.expressions.Window
-        val order = Window.partitionBy(part).orderBy(col("l_orderkey"), col("l_linenumber"))
+        // mirror of the SQL rendering: l_quantity in the order makes
+        // the framed sum tie-invariant under duplicate keys
+        val order = Window.partitionBy(part)
+          .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         val w = fn match {
           case "row_number" => row_number().over(order).cast("long").as("a0")
           case _ => r2(sum(col("l_quantity"))
@@ -664,15 +694,18 @@ object QueryFuzz {
           case _ => a.except(b)
         }
       case ExprShape(keys, nums, strs, dates) =>
+        // raw doubles, no DetRound — see the SQL rendering's comment
         val sel = keys.map(col) ++
-          nums.zipWithIndex.map { case (e, i) => r2(dfNum(e)).as(s"e$i") } ++
+          nums.zipWithIndex.map { case (e, i) => dfNum(e).as(s"e$i") } ++
           strs.zipWithIndex.map { case (e, i) => dfStr(e).as(s"s$i") } ++
           dates.zipWithIndex.map { case (e, i) => dfDate(e).as(s"d$i") }
         base.select(sel: _*)
       case OrderLimitShape(cols, sortExpr, desc, tie, limit) =>
-        val sel = (cols ++ tie).distinct.map(col) :+ r2(dfNum(sortExpr)).as("e0")
+        // order by every output column — see the SQL rendering's comment
+        val selNames = (cols ++ tie).distinct
+        val sel = selNames.map(col) :+ dfNum(sortExpr).as("e0")
         val ord = (if (desc) col("e0").desc_nulls_last
-                   else col("e0").asc_nulls_last) +: tie.map(col)
+                   else col("e0").asc_nulls_last) +: selNames.map(col)
         base.select(sel: _*).orderBy(ord: _*).limit(limit)
       case RollupShape(keys, aggs) =>
         val keyCols = keys.map {
