@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   * 2-decimal data lands on x.xxxx5 constantly) round UP consistently
   * even when the two engines' summation orders differ in the last few
   * ulps; non-boundary values (>1e-10 away) are unaffected.
+  *
+  * PORTABILITY CEILING (measured — fuzz sweep r13, seed v3_075):
+  * Spark's `floor` returns LONG and CLAMPS at Long.MaxValue while
+  * DuckDB's returns double, so the expression diverges once
+  * |x·1eN| > 2^63 — i.e. |x| ≳ 9.2e16 for r2, 9.2e14 for r4. Every
+  * oracle column in this engine sits orders of magnitude below that;
+  * if one ever approaches it, the value should ship UNROUNDED (a
+  * per-row expression computed by the identical IEEE tree is
+  * bit-equal across engines without rounding — rounding is only
+  * needed where summation ORDER differs, i.e. aggregates).
   */
 object DetRound {
   def r4(c: Column): Column =
