@@ -434,19 +434,27 @@ object DedupOps {
       .filter(length(col(textCol)) >= k)
       .select(col(idCol), posexplode(windowHashes(col(textCol), k)).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("h"))
+    // "appears in ≥ minDocs DISTINCT docs": for the ubiquitous
+    // minDocs=2 case, count_distinct(id) ≥ 2 ⟺ min(id) ≠ max(id) —
+    // EXACTLY, with single-phase min/max partial aggregation instead
+    // of the two-exchange (key, id)-distinct rewrite Spark plans for
+    // count_distinct (guide §2.3: aggregate before you shuffle; the
+    // window relation here is one row per CHARACTER, so the saved
+    // exchange carries the corpus's whole character count)
+    def inMinDocs(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      if (minDocs == 2)
+        grouped.agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+          .filter(col("__mn") =!= col("__mx"))
+      else
+        grouped.agg(count_distinct(col(idCol)).as("nd"))
+          .filter(col("nd") >= minDocs)
     // pass 1: candidate hashes — 8-byte shuffle keys, no strings
-    val candHashes = hashed.groupBy("h")
-      .agg(count_distinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("h")
+    val candHashes = inMinDocs(hashed.groupBy("h")).select("h")
     // pass 2: exact verification on the candidate subset only
     val candGrams = hashed.join(candHashes, "h")
       .join(docs.select(col(idCol), col(textCol)), Seq(idCol))
       .select(col(idCol), col("p"), expr(s"substring($textCol, p, $k)").as("gram"))
-    val shared = candGrams.groupBy("gram")
-      .agg(count_distinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select("gram")
+    val shared = inMinDocs(candGrams.groupBy("gram")).select("gram")
     val marked = candGrams.join(shared, "gram").select(col(idCol), col("p"))
     val w = Window.partitionBy(idCol).orderBy("p")
     marked

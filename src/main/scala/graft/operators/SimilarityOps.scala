@@ -620,12 +620,21 @@ object SimilarityOps {
     * join+min formulation).
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                cents: DataFrame): DataFrame = {
+                cents: DataFrame,
+                keepVec: Boolean = false,
+                keepCols: Seq[String] = Nil): DataFrame = {
+    // keepVec/keepCols thread INPUT columns through the map-only
+    // assign (the vector itself, index metadata): downstream builds
+    // (trainIvf iteration state, buildIvfPq's fused single-pass
+    // encode) then derive everything from the SAME row instead of
+    // re-attaching columns with corpus-wide id-equi joins.
     val rows = cents.select(col("cell").cast("int"), col("centroid")).collect()
     if (rows.isEmpty)
       // empty cents → empty output, the old inner join's shape
-      return vectors.select(col(idCol).as("id"),
-        lit(0).as("assigned_cell"), lit(0.0).as("cos")).filter(lit(false))
+      return vectors.select(col(idCol).as("id") +:
+        lit(0).as("assigned_cell") +: lit(0.0).as("cos") +:
+        ((if (keepVec) Seq(col(vecCol).as("v")) else Nil) ++
+          keepCols.map(col)): _*).filter(lit(false))
     val sorted = rows.map(r =>
       (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
     val dim = sorted.head._2.length
@@ -642,7 +651,8 @@ object SimilarityOps {
     }
     val bc = vectors.sparkSession.sparkContext.broadcast(
       new org.apache.spark.sql.graftx.IvfArgMin.Cents(ids, cns, flat, dim))
-    vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
+    vectors.select(col(idCol).as("id") +: col(vecCol).as("__v") +:
+        keepCols.map(col): _*)
       // the argmin is null ONLY for a null vector / null element —
       // rows the old inner join dropped. Filtering on m.isNotNull
       // would be pushed below the projection and DUPLICATE the
@@ -650,10 +660,13 @@ object SimilarityOps {
       // this cheap equivalent drops the same rows for O(dim): a null
       // __v makes `exists` null → coalesce(false).
       .filter(coalesce(!exists(col("__v"), x => x.isNull), lit(false)))
-      .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
-        .ivfArgMin(col("__v"), bc).as("m"))
-      .select(col("id"), col("m.cell").as("assigned_cell"),
-        r4(col("m.cos")).as("cos"))
+      .select(Seq(col("id"), org.apache.spark.sql.graftx.GraftFunctions
+        .ivfArgMin(col("__v"), bc).as("m")) ++
+        (if (keepVec) Seq(col("__v")) else Nil) ++ keepCols.map(col): _*)
+      .select(col("id") +: col("m.cell").as("assigned_cell") +:
+        r4(col("m.cos")).as("cos") +:
+        ((if (keepVec) Seq(col("__v").as("v")) else Nil) ++
+          keepCols.map(col)): _*)
   }
 
   /** IVF coarse-quantizer TRAINING: Lloyd's k-means over the
@@ -664,44 +677,55 @@ object SimilarityOps {
     * natural partitioning column exists.
     *
     * Scale shape per iteration: centroid build is one shuffle of
-    * n·dim scalars (partial-aggregated map-side); re-assignment is a
-    * broadcast of k·dim doubles + a per-row argmax — the corpus
-    * itself is never re-shuffled. Iteration state is cached and
-    * lineage-truncated, the driver sees no data.
+    * k·dim partial sums (map-side aggregated); re-assignment is a
+    * broadcast of k·dim doubles + a per-row argmin — the corpus
+    * itself is NEVER shuffled or materialized. The whole iteration
+    * state lives in the driver-collected centroid table (model
+    * parameters, k·dim doubles): assignment i is a map-only plan over
+    * the source, and round i+1's centroid aggregate consumes it
+    * directly. The pre-r13 shape cached each round's (id, v, cell)
+    * and re-attached the new cells with an id-equi JOIN plus a
+    * localCheckpoint — a corpus-wide shuffle and a full
+    * materialization per Lloyd round spent carrying a column the
+    * map-only plan carries for free (measured: ann_ivf_pq spent its
+    * wall on 54 stage-materialization round-trips at sf0.1, and at
+    * the decade tiers each round shuffled n rows to move a 4-byte
+    * cell id).
+    *
+    * `keepVec`/`keepCols` thread the vector / metadata columns into
+    * the RETURNED assignment so builders ([[buildIvfPq]],
+    * [[clusterBalancedSample]]) derive codes/norms/sample-order from
+    * the same map-only row instead of re-joining the corpus.
     */
   def trainIvf(vectors: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int,
-               onIteration: (Int, DataFrame) => Unit = (_, _) => ()): DataFrame = {
+               onIteration: (Int, DataFrame) => Unit = (_, _) => (),
+               keepVec: Boolean = false,
+               keepCols: Seq[String] = Nil): DataFrame = {
     require(iters >= 1, "need at least one Lloyd iteration")
     var assigned = vectors
-      .select(col(idCol).as("id"), col(vecCol).as("v"),
-        pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int").as("cell"))
-      .cache()
+      .select(col(idCol).as("id") +: col(vecCol).as("v") +:
+        pmod(xxhash64(col(idCol)), lit(k.toLong)).cast("int").as("cell") +:
+        keepCols.map(col): _*)
     var result: DataFrame = null
     for (i <- 1 to iters) {
       val cents = centroids(assigned, "cell", "v")
-      val re = ivfAssign(assigned, "id", "v", cents)
-        .select(col("id"), col("assigned_cell"), col("cos"))
+      // ivfAssign collects cents — ONE job per round (the previous
+      // round's map-only assignment replayed inside this round's
+      // centroid aggregate); nothing else materializes
+      val re = ivfAssign(assigned, "id", "v", cents,
+        keepVec = true, keepCols = keepCols)
       result = re
       // observation hook (e.g. per-iteration affinity for descent
-      // checks) — runs while this iteration's input is still cached,
-      // so a caller-side aggregate here costs one small job, not a
-      // second training run; the default is a no-op
-      onIteration(i, re)
-      if (i < iters) {
-        val next = assigned.drop("cell")
-          .join(re.select(col("id"), col("assigned_cell").as("cell")), "id")
-          .localCheckpoint() // truncate per-iteration lineage
-        assigned.unpersist()
-        assigned = next.cache()
-      }
+      // checks); the default is a no-op
+      onIteration(i, re.select(col("id"), col("assigned_cell"), col("cos")))
+      if (i < iters)
+        assigned = re.select(col("id") +: col("v") +:
+          col("assigned_cell").as("cell") +: keepCols.map(col): _*)
     }
-    // materialize the final assignment BEFORE releasing its cached
-    // input — unpersisting first would hand the caller a plan whose
-    // first action replays the whole last re-assignment from source
-    val out = result.localCheckpoint()
-    assigned.unpersist(blocking = false)
-    out
+    if (keepVec) result
+    else result.select(col("id") +: col("assigned_cell") +: col("cos") +:
+      keepCols.map(col): _*)
   }
 
   /** End-to-end IVF probe search: build centroids from a seed cell
@@ -1002,8 +1026,7 @@ object SimilarityOps {
               dim: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     require(iters >= 1, "need at least one Lloyd iteration")
     val dsub = dim / m
-    val subs = subVectors(vectors, idCol, vecCol, dim, m).cache()
-    var asg = subs.withColumn("cell",
+    var asg = subVectors(vectors, idCol, vecCol, dim, m).withColumn("cell",
       pmod(xxhash64(col("id"), col("sub")), lit(ksub.toLong)).cast("int"))
     var codebook: DataFrame = null
     for (i <- 1 to iters) {
@@ -1015,16 +1038,36 @@ object SimilarityOps {
         .agg(count(lit(1)).as("__n"), sums: _*)
         .select(col("sub"), col("cell"),
           array((0 until dsub).map(j => col(s"__s$j") / col("__n")): _*).as("centroid"))
-        .localCheckpoint() // truncate per-round lineage; KB-scale
       if (i < iters)
-        asg = subs.join(
-          pqEncode(vectors, idCol, vecCol, dim, m, codebook)
-            .select(col("id"), posexplode(col("codes")))
-            .select(col("id"), col("pos").as("sub"), col("col").as("cell")),
-          Seq("id", "sub"))
+        // re-assignment as a MAP-ONLY plan: the round's codebook is
+        // driver-collected (one job, inside collectCodebook) and each
+        // subvector's new cell is read out of the native encoder's
+        // codes array in the SAME projection that slices the
+        // subvector. The pre-r13 shape cached the subvector relation
+        // and re-attached new cells with an (id, sub)-equi JOIN —
+        // an n·m-row shuffle per Lloyd round moving a 4-byte cell id.
+        asg = collectCodebook(codebook, dim, m) match {
+          case None => asg.filter(lit(false)) // no cells anywhere: empty
+          case Some(cb) =>
+            val bc = vectors.sparkSession.sparkContext.broadcast(cb)
+            val vd = transform(col(vecCol), x => x.cast("double"))
+            vectors
+              .select(col(idCol).as("id"),
+                org.apache.spark.sql.graftx.GraftFunctions
+                  .pqEncodeCodes(col(vecCol), bc, dim, m).as("__codes"),
+                vd.as("__vd"))
+              .filter(col("__codes").isNotNull)
+              .select(col("id"), posexplode(array((0 until m).map(s =>
+                struct(slice(col("__vd"), s * dsub + 1, dsub).as("sv"),
+                  element_at(col("__codes"), s + 1).as("cell"))): _*)))
+              .select(col("id"), col("pos").as("sub"),
+                col("col.sv").as("sv"), col("col.cell").as("cell"))
+        }
     }
-    subs.unpersist(blocking = false)
-    codebook
+    // ONE final checkpoint (KB-scale: m·ksub rows): the codebook has
+    // several consumers (corpus encode, per-query ADC tables) and each
+    // would otherwise replay the whole training chain
+    codebook.localCheckpoint()
   }
 
   /** Encode every vector against a trained codebook:
@@ -1041,18 +1084,26 @@ object SimilarityOps {
     * null vector → null codes) — see the expression's doc.
     */
   def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
-               dim: Int, m: Int, codebook: DataFrame): DataFrame =
+               dim: Int, m: Int, codebook: DataFrame,
+               keepNorm: Boolean = false): DataFrame = {
+    // keepNorm additionally emits `cn` = ‖v‖ from the SAME projection
+    // — the stored-PQ-index convention (norms survive compression), so
+    // a search over these codes needs no corpus join to recover norms
+    val normOut = if (keepNorm) Seq(vecNorm(col("__v")).as("cn")) else Nil
     collectCodebook(codebook, dim, m) match {
       case None =>
         // empty codebook → zero output rows, the old inner join's shape
-        vectors.select(col(idCol).as("id"),
-          lit(null).cast("array<int>").as("codes")).filter(lit(false))
+        vectors.select(col(idCol).as("id") +:
+          lit(null).cast("array<int>").as("codes") +:
+          (if (keepNorm) Seq(lit(0.0).as("cn")) else Nil): _*)
+          .filter(lit(false))
       case Some(cb) =>
         val bc = vectors.sparkSession.sparkContext.broadcast(cb)
         vectors.select(col(idCol).as("id"), col(vecCol).as("__v"))
-          .select(col("id"), org.apache.spark.sql.graftx.GraftFunctions
-            .pqEncodeCodes(col("__v"), bc, dim, m).as("codes"))
+          .select(col("id") +: org.apache.spark.sql.graftx.GraftFunctions
+            .pqEncodeCodes(col("__v"), bc, dim, m).as("codes") +: normOut: _*)
     }
+  }
 
   /** PQ-ADC top-k search with exact rescore: train (or take) a
     * codebook, encode the corpus, score every (query, code row) pair
@@ -1124,9 +1175,16 @@ object SimilarityOps {
     // a codegen'd dot per row and leaves the cache manager empty after
     // the query (CacheHygieneSpec pins this).
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-    val codes = corpusCodes
-      .select(col("id").as("neighbor_id"), col("codes"))
-      .join(c.select("neighbor_id", "cn"), "neighbor_id")
+    // codes that already carry the stored norm (pqEncode keepNorm —
+    // the stored-index shape) skip the corpus-wide id-equi join the
+    // bare (id, codes) contract needs to recover it
+    val codes =
+      if (corpusCodes.columns.contains("cn"))
+        corpusCodes.filter(col("cn") > 0)
+          .select(col("id").as("neighbor_id"), col("codes"), col("cn"))
+      else corpusCodes
+        .select(col("id").as("neighbor_id"), col("codes"))
+        .join(c.select("neighbor_id", "cn"), "neighbor_id")
     val qtabs = adcTables(queries, idCol, vecCol, dim, m, ksub, codebook)
       .join(withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
         .select("query_id", "qn"), "query_id")
@@ -1221,34 +1279,41 @@ object SimilarityOps {
     *
     * Returns (cents `(cell, centroid)`, assigned `(id, cell)`).
     */
+  /** Returns (cents `(cell, centroid)`, assigned `(id, cell [, v,
+    * keepCols…])`). The assignment is a MAP-ONLY plan in both
+    * branches — [[trainIvf]] keeps the vector column through its
+    * final assignment, so the centroid aggregate and every downstream
+    * derivation (codes, norms, metadata) read the same row; the
+    * pre-r13 shape re-attached cells/vectors with corpus-wide id-equi
+    * joins in three places.
+    */
   private def sampleTrainedCells(vectors: DataFrame, idCol: String,
                                  vecCol: String, nCells: Int,
-                                 trainSample: Option[DataFrame])
+                                 trainSample: Option[DataFrame],
+                                 keepVec: Boolean = false,
+                                 keepCols: Seq[String] = Nil)
       : (DataFrame, DataFrame) = trainSample match {
     case Some(sample) =>
-      val sAssigned = trainIvf(sample, idCol, vecCol, nCells, iters = 2)
-        .select(col("id"), col("assigned_cell").as("cell"))
-      // NO checkpoint here: the assign join's broadcast build side must
-      // keep the modulus-sample filter VISIBLE in the plan (the
-      // engine-wide PlanShapeSpec sweep recognizes fixed-size-sample
-      // BNLJ builds structurally; a checkpointed LogicalRDD hides it).
-      // Callers that REUSE cents (buildIvfPq: probe ranking + the
-      // broadcast gate's count) checkpoint the returned frame
-      // themselves; here it is consumed once.
+      val sAssigned = trainIvf(sample, idCol, vecCol, nCells, iters = 2,
+        keepVec = true)
       val cents = centroids(
-        sample.select(col(idCol).as("id"), col(vecCol).as("v"))
-          .join(sAssigned, "id"),
+        sAssigned.select(col("id"), col("v"),
+          col("assigned_cell").as("cell")),
         "cell", "v")
-      (cents, ivfAssign(vectors, idCol, vecCol, cents)
-        .select(col("id"), col("assigned_cell").as("cell")))
+      (cents, ivfAssign(vectors, idCol, vecCol, cents,
+          keepVec = keepVec, keepCols = keepCols)
+        .select(col("id") +: col("assigned_cell").as("cell") +:
+          ((if (keepVec) Seq(col("v")) else Nil) ++ keepCols.map(col)): _*))
     case None =>
-      val assigned = trainIvf(vectors, idCol, vecCol, nCells, iters = 2)
-        .select(col("id"), col("assigned_cell").as("cell"))
+      val assigned = trainIvf(vectors, idCol, vecCol, nCells, iters = 2,
+        keepVec = true, keepCols = keepCols)
       val cents = centroids(
-        vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
-          .join(assigned, "id"),
+        assigned.select(col("id"), col("v"),
+          col("assigned_cell").as("cell")),
         "cell", "v")
-      (cents, assigned)
+      (cents, assigned
+        .select(col("id") +: col("assigned_cell").as("cell") +:
+          ((if (keepVec) Seq(col("v")) else Nil) ++ keepCols.map(col)): _*))
   }
 
   /** IVF-PQ index BUILD — the stored-index half of the production
@@ -1276,9 +1341,9 @@ object SimilarityOps {
                  trainSample: Option[DataFrame] = None,
                  metaCols: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (cents0, assignedById) =
-      sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample)
-    val assigned = assignedById.select(col("id").as("neighbor_id"), col("cell"))
+    val (cents0, assignedFull) =
+      sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample,
+        keepVec = true, keepCols = metaCols)
     // localCheckpoint (KB–MB scale: nCells × dim doubles): the search
     // reuses cents for the probe ranking AND the broadcast gate's
     // count — each reuse would otherwise replay the sample training
@@ -1286,12 +1351,27 @@ object SimilarityOps {
     // PQ fine quantizer: sample-trained codebooks, full-corpus codes
     val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
       dim, m, ksub, iters = 2)
-    val codes = pqEncode(corpus, idCol, vecCol, dim, m, codebook)
-      .select(col("id").as("neighbor_id"), col("codes"))
-      .join(assigned, "neighbor_id")
-      .join(corpus.select(col(idCol).as("neighbor_id") +:
-          vecNorm(col(vecCol)).as("cn") +: metaCols.map(col): _*)
-        .filter(col("cn") > 0), "neighbor_id")
+    // ONE map-only pass over the assigned corpus: codes, norm and
+    // metadata all derive from the SAME row (guide §2.4). The pre-r13
+    // shape ran a separate encode scan and re-attached cell and
+    // cn/meta with TWO corpus-wide id-equi joins — two shuffles of
+    // the whole coded corpus spent moving columns the assign pass
+    // already had in hand.
+    val codes = collectCodebook(codebook, dim, m) match {
+      case None => // empty codebook → zero rows, the old inner join's shape
+        assignedFull.select(col("id").as("neighbor_id") +:
+          lit(null).cast("array<int>").as("codes") +: col("cell") +:
+          lit(0.0).as("cn") +: metaCols.map(col): _*).filter(lit(false))
+      case Some(cb) =>
+        val bc = corpus.sparkSession.sparkContext.broadcast(cb)
+        assignedFull
+          .withColumn("cn", vecNorm(col("v")))
+          .filter(col("cn") > 0)
+          .select(col("id").as("neighbor_id") +:
+            org.apache.spark.sql.graftx.GraftFunctions
+              .pqEncodeCodes(col("v"), bc, dim, m).as("codes") +:
+            col("cell") +: col("cn") +: metaCols.map(col): _*)
+    }
     (cents, codebook, codes)
   }
 
@@ -1335,14 +1415,28 @@ object SimilarityOps {
                   cents: DataFrame, codebook: DataFrame,
                   codedCorpus: DataFrame,
                   metaCols: Seq[String] = Nil): DataFrame = {
-    val assigned = ivfAssign(delta, idCol, vecCol, cents)
-      .select(col("id").as("neighbor_id"), col("assigned_cell").as("cell"))
-    val deltaCodes = pqEncode(delta, idCol, vecCol, dim, m, codebook)
-      .select(col("id").as("neighbor_id"), col("codes"))
-      .join(assigned, "neighbor_id")
-      .join(delta.select(col(idCol).as("neighbor_id") +:
-          vecNorm(col(vecCol)).as("cn") +: metaCols.map(col): _*)
-        .filter(col("cn") > 0), "neighbor_id")
+    // the same fused single-pass shape as [[buildIvfPq]]: assign,
+    // encode, norm and metadata from ONE map-only scan of the delta
+    // (pre-r13: a separate encode scan + two delta-wide id-equi joins)
+    val assigned = ivfAssign(delta, idCol, vecCol, cents,
+      keepVec = true, keepCols = metaCols)
+    val deltaCodes = collectCodebook(codebook, dim, m) match {
+      case None =>
+        assigned.select(col("id").as("neighbor_id") +:
+          lit(null).cast("array<int>").as("codes") +:
+          col("assigned_cell").as("cell") +: lit(0.0).as("cn") +:
+          metaCols.map(col): _*).filter(lit(false))
+      case Some(cb) =>
+        val bc = delta.sparkSession.sparkContext.broadcast(cb)
+        assigned
+          .withColumn("cn", vecNorm(col("v")))
+          .filter(col("cn") > 0)
+          .select(col("id").as("neighbor_id") +:
+            org.apache.spark.sql.graftx.GraftFunctions
+              .pqEncodeCodes(col("v"), bc, dim, m).as("codes") +:
+            col("assigned_cell").as("cell") +: col("cn") +:
+            metaCols.map(col): _*)
+    }
     codedCorpus.unionByName(deltaCodes.select(codedCorpus.columns.map(col): _*))
   }
 
@@ -1537,14 +1631,16 @@ object SimilarityOps {
                             nCells: Int, quota: Int,
                             trainSample: Option[DataFrame] = None): DataFrame = {
     val (_, assigned0) =
-      sampleTrainedCells(vectors, idCol, vecCol, nCells, trainSample)
+      sampleTrainedCells(vectors, idCol, vecCol, nCells, trainSample,
+        keepVec = true)
     // order by a hash of the VECTOR (true content addressing, the
     // tx_cap_per_source convention): the selection survives a
     // re-ingest that renumbers ids; the id only breaks exact-content
-    // ties deterministically
-    val assigned = assigned0
-      .join(vectors.select(col(idCol).as("id"),
-        xxhash64(col(vecCol), lit("cbsample")).as("__ord")), "id")
+    // ties deterministically. The vector rides the map-only
+    // assignment (keepVec), so the hash is computed in the same
+    // projection — the pre-r13 shape re-joined the corpus for it.
+    val assigned = assigned0.select(col("id"), col("cell"),
+      xxhash64(col("v"), lit("cbsample")).as("__ord"))
     val taken = org.apache.spark.sql.graftx.GraftPlans.topKPerGroup(
       assigned, Seq("cell"), Seq(("__ord", true), ("id", true)), quota)
     val w = Window.partitionBy("cell").orderBy(col("__ord").asc, col("id").asc)

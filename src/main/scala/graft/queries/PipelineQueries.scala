@@ -2295,14 +2295,25 @@ object PipelineQueries extends QueryPack {
       |  true AS distinct_ok, true AS median_ok
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     Tables.registerAll(s, dir)
+    // The approx half runs on an ISOLATED newSession() (the k21
+    // convention): the rewrite confs flip the meaning of
+    // COUNT(DISTINCT)/percentile() for EVERY query optimized while
+    // they are set, and the verify harness optimizes queries
+    // concurrently on the shared session — r13 caught `ann_ivf_train`
+    // hashing an HLL++ ESTIMATE (500 → 484) of its exact id census
+    // when its plan compiled inside this row's enabled window. A
+    // try/finally restore shrinks the window; only a separate SQLConf
+    // closes it.
+    val ns = s.newSession()
+    Tables.load(ns, dir, "lineitem").createOrReplaceTempView("lineitem")
     // self-register the rewrite rules on plain sessions (no
     // GraftExtensions wiring — same fallback pattern as TopKPerGroup's
     // strategy): extraOptimizations runs in the optimizer's
     // user-provided batch, so the ACTIVE-in-plan requirement below
     // holds under any harness that reaches this query
     graft.plans.ApproxDistinctRewrite.synchronized {
-      val extra = s.experimental.extraOptimizations
-      val injected = s.sessionState.optimizer.extendedOperatorOptimizationRules
+      val extra = ns.experimental.extraOptimizations
+      val injected = ns.sessionState.optimizer.extendedOperatorOptimizationRules
       // per-rule presence: a wiring that injects only ONE of the two
       // rules (e.g. a future extension variant) must not cause the
       // other to be skipped NOR this one to be double-registered
@@ -2311,20 +2322,20 @@ object PipelineQueries extends QueryPack {
         extra.exists(isRule) || injected.exists(isRule)
       val missing = Seq[org.apache.spark.sql.catalyst.rules.Rule[
           org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]](
-        graft.plans.ApproxDistinctRewrite(s),
-        graft.plans.ApproxPercentileRewrite(s))
+        graft.plans.ApproxDistinctRewrite(ns),
+        graft.plans.ApproxPercentileRewrite(ns))
         .filterNot(r => present(_.getClass == r.getClass))
       if (missing.nonEmpty)
-        s.experimental.extraOptimizations = extra ++ missing
+        ns.experimental.extraOptimizations = extra ++ missing
     }
     val sqlText =
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd,
         |  percentile(l_extendedprice, 0.5) AS med
         |FROM lineitem GROUP BY l_returnflag""".stripMargin
-    s.conf.set("spark.graft.approxDistinct", "true")
-    s.conf.set("spark.graft.approxPercentile", "true")
+    ns.conf.set("spark.graft.approxDistinct", "true")
+    ns.conf.set("spark.graft.approxPercentile", "true")
     val approxRows = try {
-      val adf = s.sql(sqlText)
+      val adf = ns.sql(sqlText)
       val opt = adf.queryExecution.optimizedPlan
       val hasHll = opt.exists(_.expressions.exists(_.exists {
         case _: org.apache.spark.sql.catalyst.expressions.aggregate.HyperLogLogPlusPlus => true
@@ -2338,8 +2349,10 @@ object PipelineQueries extends QueryPack {
       require(hasDigest, "approxPercentile rewrite registered but NOT active in the plan")
       adf.collect() // 3 groups — materialize under the enabled conf
     } finally {
-      s.conf.set("spark.graft.approxDistinct", "false")
-      s.conf.set("spark.graft.approxPercentile", "false")
+      // the isolated session is discarded, but reset anyway so a
+      // FUTURE reuse of ns (or a copied snippet) starts exact
+      ns.conf.set("spark.graft.approxDistinct", "false")
+      ns.conf.set("spark.graft.approxPercentile", "false")
     }
     val approx = s.createDataFrame(
       java.util.Arrays.asList(approxRows: _*),

@@ -291,7 +291,7 @@ object SimQueries extends QueryPack {
     // search — and two independently-constructed encode subtrees
     // would rely on exchange canonicalization to dedup)
     val encoded = SimilarityOps
-      .pqEncode(emb, "vec_id", "embedding", dim, m, codebook)
+      .pqEncode(emb, "vec_id", "embedding", dim, m, codebook, keepNorm = true)
     // encode audit: every vector → exactly m codes, all within [0, ksub)
     val codeStats = encoded
       .agg(count(lit(1)).as("n_encoded"),
@@ -533,9 +533,19 @@ object SimQueries extends QueryPack {
     // after iteration 1 while its input is still cached (a second
     // trainIvf(iters=1) run would repeat the whole first iteration)
     var after1 = Double.NaN
+    // localCheckpoint: this row HASHES the assignment census
+    // (n_assigned / n_ids ride in the oracle), and r13's map-only
+    // trainIvf no longer materializes internally — this restores the
+    // pre-r13 materialize-once input for the census aggregate. The
+    // documented 4-way-concurrency flake recurred on the map-only
+    // shape's first gate run (n_ids 500 → 484, n_assigned steady —
+    // the diagnosis columns doing their job); the other IVF consumers
+    // keep the map-only plan because their rows pin recall booleans
+    // with margins, not exact censuses.
     val a3 = SimilarityOps.trainIvf(emb, "vec_id", "embedding", k = 8, iters = 3,
       onIteration = (i, re) =>
         if (i == 1) after1 = re.agg(avg("cos")).head().getDouble(0))
+      .localCheckpoint()
     val stats3 = a3.agg(count(lit(1)).as("__n_assigned"),
       countDistinct(col("id")).as("__n_ids"),
       min("assigned_cell").as("__min_c"), max("assigned_cell").as("__max_c"),
