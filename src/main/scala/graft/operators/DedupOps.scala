@@ -129,6 +129,10 @@ object DedupOps {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minSim: Double,
                         maxPosting: Option[Int] = None): DataFrame = {
+    // NO parallelism floor here (measured +80% at sf0.1): the posting
+    // relation is consumed three ways (hot-cap aggregate + both join
+    // sides) and its heavy stages are already key-shuffled 32-way —
+    // the extra exchange costs more than the 1-task shingle derivation
     val sh = docs.select(col(idCol).as("doc_id"),
       TextFunctions.shingleSet(col(textCol), n).as("ng"))
     // each posting row carries its doc's set size, so the pair
@@ -178,7 +182,9 @@ object DedupOps {
                        n: Int, minContain: Double,
                        maxPosting: Option[Int] = None): DataFrame = {
     def postings(df: DataFrame, id: String, text: String, outId: String) =
-      df.select(col(id).as(outId), TextFunctions.shingleSet(col(text), n).as("ng"))
+      // parallelism floor before the shingle blow-up (identity at scale)
+      RelationalOps.parallelismFloor(df, col(id))
+        .select(col(id).as(outId), TextFunctions.shingleSet(col(text), n).as("ng"))
         .select(col(outId), size(col("ng")).cast("long").as("n_set"),
           explode(col("ng")).as("g0"))
         .withColumn("g", xxhash64(col("g0"))).drop("g0")
@@ -430,8 +436,13 @@ object DedupOps {
                     k: Int, minDocs: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftx.GraftFunctions.windowHashes
-    val hashed = docs
-      .filter(length(col(textCol)) >= k)
+    // parallelism floor BEFORE the per-character blow-up: the window
+    // relation is ~1000× its input, so the derivation must be spread
+    // even when the input is one parquet row group (r13 measured the
+    // whole query serializing on a 1-task scan; identity at scale)
+    val spread = RelationalOps.parallelismFloor(
+      docs.filter(length(col(textCol)) >= k), col(idCol))
+    val hashed = spread
       .select(col(idCol), posexplode(windowHashes(col(textCol), k)).as(Seq("p0", "h")))
       .select(col(idCol), (col("p0") + 1).as("p"), col("h"))
     // "appears in ≥ minDocs DISTINCT docs": for the ubiquitous

@@ -12,6 +12,33 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Parallelism FLOOR for derivation-heavy scans (guide §2.5 "input
+    * skew": one unsplittable/single-row-group file serializes the
+    * stage). Operators whose per-row work blows the input up by
+    * orders of magnitude — per-character window hashes, shingle
+    * explodes, all-pairs scoring — must size parallelism to their
+    * OUTPUT, not their input: r13 measured whole queries serializing
+    * on 1-task scans of single-row-group parquet (the window-hash
+    * explode of `dd_repeated_spans`, the O(n²) pair scan of
+    * `dd_embedding_cosine`), where `maxPartitionBytes` cannot help
+    * because parquet only splits at row-group boundaries.
+    *
+    * If the plan's scan parallelism already meets the session default
+    * (the 100 TB case — thousands of splits), this is the IDENTITY:
+    * no exchange is added, so production plans are untouched. Below
+    * it, one hash repartition of the RAW input (pre-blow-up bytes —
+    * the cheap side of the explosion) spreads the derivation across
+    * the cluster. Keys make the placement deterministic under retries
+    * (guide §2.5: never round-robin rows into a derivation whose
+    * output is hashed).
+    */
+  def parallelismFloor(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   /** W1 — window-function dedup, "keep first occurrence per key".
     *
     * Reference: `glue_jobs/process_openaq_raw.py:129-135` — its window

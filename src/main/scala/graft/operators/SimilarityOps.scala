@@ -64,6 +64,10 @@ object SimilarityOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+    // no parallelism floor: the fixed-size query sample keeps per-row
+    // scan work light (sampleModulus), so the extra exchange costs
+    // more than the 1-task scan saves (measured +5–15% on the
+    // twin-bearing gate rows at sf0.1)
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", vecDot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -86,6 +90,9 @@ object SimilarityOps {
     */
   def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, vecCol: String, minSim: Double): DataFrame = {
+    // no parallelism floor: |B| is benchmark-sized (small), so the
+    // per-row scan work is light — measured +25% from the extra
+    // exchange at sf0.1
     val c = withNorm(corpus, idCol, vecCol, "__cid", "cv", "cn")
     val b = withNorm(benchmark, idCol, vecCol, "__bid", "bv", "bn")
     val scored = c.crossJoin(broadcast(b))
@@ -108,7 +115,12 @@ object SimilarityOps {
     */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String,
                   minSim: Double): DataFrame = {
-    val a = withNorm(vectors, idCol, vecCol, "id_a", "va", "na")
+    // parallelism floor on the STREAMED side: the O(n²/2) pair scan
+    // multiplies each input row n/2× — r13 measured the whole scan on
+    // one task when the corpus is a single parquet row group
+    // (RelationalOps.parallelismFloor; identity at scale)
+    val a = withNorm(graft.operators.RelationalOps.parallelismFloor(
+      vectors, col(idCol)), idCol, vecCol, "id_a", "va", "na")
     val b = withNorm(vectors, idCol, vecCol, "id_b", "vb", "nb")
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cos", vecDot(col("va"), col("vb")) / (col("na") * col("nb")))
@@ -138,6 +150,8 @@ object SimilarityOps {
   def cosinePairsFor(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, minSim: Double): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, "id_q", "vq", "nq")
+    // no parallelism floor: the query side is a fixed-size sample
+    // (see bruteForceTopK — measured neutral-to-negative at sf0.1)
     val c = withNorm(corpus, idCol, vecCol, "id_c", "vc", "nc")
     c.join(broadcast(q), col("id_q") =!= col("id_c"))
       .withColumn("cos", vecDot(col("vq"), col("vc")) / (col("nq") * col("nc")))

@@ -31,15 +31,30 @@ object TokenizerOps {
     * symbol pair and its pair count at selection time.
     */
   def bpeTrain(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = docs.sparkSession
     val words = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    // vocab state: freq + padded double-space-joined symbol string
-    var corpus = words.select(col("freq"),
+    // vocab state: freq + padded double-space-joined symbol string.
+    // ONE checkpoint — every round's pair count replays the (cheap,
+    // map-only) replace chain from here instead of re-tokenizing docs.
+    val corpus0 = words.select(col("freq"),
       concat(lit(" "), array_join(split(col("word"), ""), "  "), lit(" ")).as("s"))
       .localCheckpoint()
-    val mergeRows = (1 to iters).map { i =>
-      val pairs = corpus
+    // The selected merge is a ONE-ROW aggregate — model state, not
+    // data — so it lives on the DRIVER (the trainIvf convention) and
+    // folds into the next round's corpus update as literals: each
+    // round costs exactly one job (the pair-count aggregate + 1-row
+    // collect), and the corpus state stays a lazily-chained map-only
+    // replace over corpus0. The pre-r13 shape kept the merge row
+    // distributed and localCheckpoint'd BOTH the 1-row top and the
+    // whole updated corpus every round — measured as 34 driver
+    // round-trip jobs for tx_bpe_apply's 5-round train at sf0.1.
+    var corpus = corpus0
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var exhausted = false
+    for (i <- 1 to iters if !exhausted) {
+      val top = corpus
         .select(col("freq"), split(trim(col("s")), "  ").as("sym"))
         .filter(size(col("sym")) >= 2) // sequence(1,0) would DESCEND
         .select(col("freq"), col("sym"),
@@ -47,27 +62,23 @@ object TokenizerOps {
         .groupBy(element_at(col("sym"), col("i")).as("pa"),
           element_at(col("sym"), col("i") + 1).as("pb"))
         .agg(sum("freq").as("cnt"))
-      val top = pairs
         .agg(min(struct((-col("cnt")).as("nc"), col("pa"), col("pb"))).as("m"))
         .select(col("m.pa").as("pa"), col("m.pb").as("pb"),
           (-col("m.nc")).as("cnt"))
-        .localCheckpoint() // referenced twice: merge row + corpus update
-      // per-iteration EAGER truncation: cache-based variants were
-      // measured slower here (lazy caches serialize the iteration's
-      // two consumers into one long job and re-analyze the grown
-      // plan); one small localCheckpoint job per round is the floor
-      corpus = corpus.crossJoin(broadcast(top))
-        .select(col("freq"),
-          // pa is null once every word is a single symbol (iters > learnable
-          // merges) — pass the corpus through unchanged instead of nulling it
-          when(col("pa").isNull, col("s"))
-            .otherwise(expr(
-              "replace(s, ' ' || pa || '  ' || pb || ' ', ' ' || pa || pb || ' ')"))
-            .as("s"))
-        .localCheckpoint()
-      top.select(lit(i).as("iter"), col("pa"), col("pb"), col("cnt"))
+        .head()
+      // pa is null once every word is a single symbol (iters > learnable
+      // merges) — no further merge can ever be found, stop learning
+      if (top.isNullAt(0)) exhausted = true
+      else {
+        val (pa, pb, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((i, pa, pb, cnt))
+        corpus = corpus.select(col("freq"),
+          call_function("replace", col("s"),
+            lit(s" $pa  $pb "), lit(s" $pa$pb ")).as("s"))
+      }
     }
-    mergeRows.reduce(_ unionAll _).filter(col("pa").isNotNull)
+    import spark.implicits._
+    merges.toSeq.toDF("iter", "pa", "pb", "cnt")
   }
 
   /** BPE ENCODE — apply a learned merge table to text (the tokenize

@@ -67,6 +67,44 @@ object PipelineQueries extends QueryPack {
     ()
   }
 
+  /** Stage SEVERAL batch files from ONE pass over `df` — the
+    * multi-file [[stageFile]]: rows are labeled by the first matching
+    * predicate (they must be disjoint and exhaustive — a row matching
+    * none fails the count check below), written once via
+    * `partitionBy`, and the per-batch part files moved into place
+    * with the controlled mtimes. The pre-r13 shape ran one full
+    * source scan + write job PER batch file; a 2-batch × 2-side
+    * stream-stream staging paid 4 scans where this pays 2 (guide
+    * §1.2: don't compute things twice).
+    */
+  private def stageSplit(df: DataFrame, stageDir: String,
+                         parts: Seq[(org.apache.spark.sql.Column, String, Long)]): Unit = {
+    val tmp = tmpDir("graft_stage_part")
+    val label = parts.zipWithIndex.tail.foldLeft(
+      when(parts.head._1, lit(0))) { case (w, ((pred, _, _), i)) =>
+      w.when(pred, lit(i))
+    }
+    df.withColumn("__b", label)
+      .coalesce(1).write.partitionBy("__b").mode("overwrite").parquet(tmp)
+    // a row matching NO predicate writes the hive default partition —
+    // silently losing it from every batch; fail loudly instead
+    require(!new java.io.File(tmp, "__b=__HIVE_DEFAULT_PARTITION__").exists(),
+      "stageSplit: rows matched no predicate — batches must be exhaustive")
+    parts.zipWithIndex.foreach { case ((_, name, mtime), i) =>
+      val dir = new java.io.File(tmp, s"__b=$i")
+      val files = Option(dir.listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet"))).getOrElse(Array.empty)
+      require(files.length == 1,
+        s"stageSplit: batch $i ('$name') produced ${files.length} part files " +
+          "— empty batch or non-exhaustive predicates; stage it with " +
+          "stageFile instead")
+      val dst = java.nio.file.Paths.get(stageDir, name)
+      java.nio.file.Files.copy(files.head.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+  }
+
   /** Run a streaming query to completion and FAIL LOUDLY on timeout —
     * reading a sink after a timed-out awaitTermination would hand the
     * oracle partial output as if it were the result, and leave the
@@ -2069,9 +2107,11 @@ object PipelineQueries extends QueryPack {
     val sentinels = ev.select("user_id").distinct()
       .withColumn("ts", lit(sentinelTs)).withColumn("value", lit(0.0))
     val stage = tmpDir("graft_st_sess_in")
-    stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
-    stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
-      stage, "b2.parquet", 2000000L)
+    // one staging pass: the sentinels' far-future ts lands them in b2
+    // via the same predicate the old per-batch scans applied
+    stageSplit(ev.unionByName(sentinels), stage, Seq(
+      (col("ts") <= cutoff, "b1.parquet", 1000000L),
+      (col("ts") > cutoff, "b2.parquet", 2000000L)))
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val outDir = tmpDir("graft_st_sess_out")
@@ -2118,9 +2158,10 @@ object PipelineQueries extends QueryPack {
     val stage = tmpDir("graft_st_hourly_in")
     val c1 = new java.sql.Timestamp(lo + (hi - lo) / 3)
     val c2 = new java.sql.Timestamp(lo + 2 * (hi - lo) / 3)
-    stageFile(ev.filter(col("ts") <= c1), stage, "b1.parquet", 1000000L)
-    stageFile(ev.filter(col("ts") > c1 && col("ts") <= c2), stage, "b2.parquet", 2000000L)
-    stageFile(ev.filter(col("ts") > c2), stage, "b3.parquet", 3000000L)
+    stageSplit(ev, stage, Seq(
+      (col("ts") <= c1, "b1.parquet", 1000000L),
+      (col("ts") > c1 && col("ts") <= c2, "b2.parquet", 2000000L),
+      (col("ts") > c2, "b3.parquet", 3000000L)))
     val sinkName = s"st_hourly_parity_${System.nanoTime()}"
     // see st_sessionize_parity: size streaming state partitions to the
     // tiny test-scale key volume, not the batch default
@@ -2163,8 +2204,9 @@ object PipelineQueries extends QueryPack {
       timestamp_seconds(lit(1704067200L) + col("doc_id")))
     val maxId = docs.agg(max("doc_id")).collect()(0).getLong(0)
     val stage = tmpDir("graft_st_nd_in")
-    stageFile(evd.filter(col("doc_id") <= maxId / 2), stage, "b1.parquet", 1000000L)
-    stageFile(evd.filter(col("doc_id") > maxId / 2), stage, "b2.parquet", 2000000L)
+    stageSplit(evd, stage, Seq(
+      (col("doc_id") <= maxId / 2, "b1.parquet", 1000000L),
+      (col("doc_id") > maxId / 2, "b2.parquet", 2000000L)))
     val outDir = tmpDir("graft_st_nd_out")
     val ckpt = tmpDir("graft_st_nd_ckpt")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -2597,11 +2639,15 @@ object PipelineQueries extends QueryPack {
       lit(tsStr).as("datetime"), lit("none").as("parameter"),
       lit(0.0).as("value"), lit("").as("extracted_at"))
     val stage = tmpDir("graft_st_fresh_in")
-    stageFile(meas.filter(col("sensor_id") % 2 === 0), stage, "b1.parquet", 1000000L)
-    stageFile(meas.filter(col("sensor_id") % 2 === 1)
-        .unionByName(dummy("2100-01-01 00:00:00", -1L)),
-      stage, "b2.parquet", 2000000L)
-    stageFile(dummy("2100-01-02 00:00:00", -2L), stage, "b3.parquet", 3000000L)
+    // one staging pass; the two dummies route by their planted
+    // sensor_ids (−1 → b2 with the odd sensors, −2 → b3 alone —
+    // note −1 % 2 is −1 in Spark, so the odd-test uses |s % 2| = 1)
+    stageSplit(meas.unionByName(dummy("2100-01-01 00:00:00", -1L))
+        .unionByName(dummy("2100-01-02 00:00:00", -2L)), stage, Seq(
+      (col("sensor_id") % 2 === 0 && col("sensor_id") =!= -2L,
+        "b1.parquet", 1000000L),
+      (abs(col("sensor_id") % 2) === 1, "b2.parquet", 2000000L),
+      (col("sensor_id") === -2L, "b3.parquet", 3000000L)))
     val outDir = tmpDir("graft_st_fresh_out")
     val ckpt = tmpDir("graft_st_fresh_ckpt")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
@@ -2746,12 +2792,13 @@ object PipelineQueries extends QueryPack {
       lit(0.0).as("value"))
     val cStage = tmpDir("graft_st_join_c")
     val eStage = tmpDir("graft_st_join_e")
-    stageFile(causes.filter(col("ts") <= cutoff), cStage, "b1.parquet", 1000000L)
-    stageFile(causes.filter(col("ts") > cutoff).unionByName(heartbeat),
-      cStage, "b2.parquet", 2000000L)
-    stageFile(effects.filter(col("ts") <= cutoff), eStage, "b1.parquet", 1000000L)
-    stageFile(effects.filter(col("ts") > cutoff).unionByName(heartbeat),
-      eStage, "b2.parquet", 2000000L)
+    // one staging pass per side (the heartbeats' 2100 ts lands them
+    // in b2 via the same predicate the old per-batch scans applied)
+    val cuts = Seq(
+      (col("ts") <= cutoff, "b1.parquet", 1000000L),
+      (col("ts") > cutoff, "b2.parquet", 2000000L))
+    stageSplit(causes.unionByName(heartbeat), cStage, cuts)
+    stageSplit(effects.unionByName(heartbeat), eStage, cuts)
     val outDir = tmpDir("graft_st_join_out")
     val ckpt = tmpDir("graft_st_join_ckpt")
     val schema = causes.schema
@@ -2826,12 +2873,12 @@ object PipelineQueries extends QueryPack {
       lit(0.0).as("value"))
     val cStage = tmpDir("graft_st_jsk_c")
     val eStage = tmpDir("graft_st_jsk_e")
-    stageFile(causes.filter(col("ts") <= cutoff), cStage, "b1.parquet", 1000000L)
-    stageFile(causes.filter(col("ts") > cutoff).unionByName(heartbeat),
-      cStage, "b2.parquet", 2000000L)
-    stageFile(effects.filter(col("ts") <= cutoff), eStage, "b1.parquet", 1000000L)
-    stageFile(effects.filter(col("ts") > cutoff).unionByName(heartbeat),
-      eStage, "b2.parquet", 2000000L)
+    // one staging pass per side — see st_join_parity
+    val cuts = Seq(
+      (col("ts") <= cutoff, "b1.parquet", 1000000L),
+      (col("ts") > cutoff, "b2.parquet", 2000000L))
+    stageSplit(causes.unionByName(heartbeat), cStage, cuts)
+    stageSplit(effects.unionByName(heartbeat), eStage, cuts)
     val outDir = tmpDir("graft_st_jsk_out")
     val ckpt = tmpDir("graft_st_jsk_ckpt")
     val schema = causes.schema
@@ -3156,12 +3203,11 @@ object PipelineQueries extends QueryPack {
     // but this row's contract depends on it)
     s.conf.set(noDataConf, "true")
     val stateRows = try {
-      stageFile(withDupes.filter(col("ts") < cut(1)), stage, "b1.parquet", 1000000L)
-      stageFile(withDupes.filter(col("ts") >= cut(1) && col("ts") < cut(2)),
-        stage, "b2.parquet", 2000000L)
-      stageFile(withDupes.filter(col("ts") >= cut(2) && col("ts") < cut(3)),
-        stage, "b3.parquet", 3000000L)
-      stageFile(withDupes.filter(col("ts") >= cut(3)), stage, "b4.parquet", 4000000L)
+      stageSplit(withDupes, stage, Seq(
+        (col("ts") < cut(1), "b1.parquet", 1000000L),
+        (col("ts") >= cut(1) && col("ts") < cut(2), "b2.parquet", 2000000L),
+        (col("ts") >= cut(2) && col("ts") < cut(3), "b3.parquet", 3000000L),
+        (col("ts") >= cut(3), "b4.parquet", 4000000L)))
       val query = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .withWatermark("ts", "3 days")
@@ -3242,10 +3288,13 @@ object PipelineQueries extends QueryPack {
     val sentinel = s.range(1)
       .select(lit(sentinelTs).as("ts"), lit(0.0).as("value"))
     val stage = tmpDir("graft_st_drift_in")
-    stageFile(ev.filter(col("ts") <= c1), stage, "b1.parquet", 1000000L)
-    stageFile(ev.filter(col("ts") > c1 && col("ts") <= c2), stage, "b2.parquet", 2000000L)
-    stageFile(ev.filter(col("ts") > c2), stage, "b3.parquet", 3000000L)
-    stageFile(sentinel, stage, "b4.parquet", 4000000L)
+    // one staging pass; sentinelTs > max real ts, so ts < sentinelTs
+    // keeps b3 exactly the old `ts > c2` set and b4 the sentinel alone
+    stageSplit(ev.unionByName(sentinel), stage, Seq(
+      (col("ts") <= c1, "b1.parquet", 1000000L),
+      (col("ts") > c1 && col("ts") <= c2, "b2.parquet", 2000000L),
+      (col("ts") > c2 && col("ts") < sentinelTs, "b3.parquet", 3000000L),
+      (col("ts") >= sentinelTs, "b4.parquet", 4000000L)))
     val outDir = tmpDir("graft_st_drift_out")
     val ckpt = tmpDir("graft_st_drift_ckpt")
     // noDataMicroBatches pinned ON (it is Spark's default, but the
@@ -3320,10 +3369,12 @@ object PipelineQueries extends QueryPack {
     val sentinel = s.range(1).select(lit(-1L).as("doc_id"), lit("zz").as("text"),
       timestamp_seconds(lit(1704067200L + maxId + 7L * 24 * 3600)).as("ts"))
     val stage = tmpDir("graft_st_trend_in")
-    // cut mid-window: half the corpus, NOT a window boundary multiple
-    stageFile(evd.filter(col("doc_id") <= maxId / 2), stage, "b1.parquet", 1000000L)
-    stageFile(evd.filter(col("doc_id") > maxId / 2).unionByName(sentinel),
-      stage, "b2.parquet", 2000000L)
+    // cut mid-window: half the corpus, NOT a window boundary multiple.
+    // One staging pass; the sentinel's doc_id=-1 must not match b1's
+    // ≤ maxId/2, so b1 requires real (non-negative) ids
+    stageSplit(evd.unionByName(sentinel), stage, Seq(
+      (col("doc_id") >= 0 && col("doc_id") <= maxId / 2, "b1.parquet", 1000000L),
+      (col("doc_id") > maxId / 2 || col("doc_id") < 0, "b2.parquet", 2000000L)))
     val outDir = tmpDir("graft_st_trend_out")
     val ckpt = tmpDir("graft_st_trend_ckpt")
     // noDataMicroBatches pinned ON — same sentinel contract as
