@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy (edit-distance) matching — entity resolution over dirty
@@ -68,14 +67,25 @@ object FuzzyOps {
       .withColumn("len", length(col("s")))
     val shortMax = q - 1 + maxDist * gramsPerEdit // both ≤ this ⇒ bound ≤ 0 ⇒ brute force
 
-    // positional q-grams with per-string occurrence index (multiset key)
+    // positional q-grams with per-string occurrence index (multiset
+    // key). The occurrence number is computed INSIDE the row from the
+    // gram array (count of equal grams at earlier positions + 1) — the
+    // pre-r14 shape numbered duplicates with
+    // row_number().over(Window.partitionBy(id, g).orderBy(pos)), a
+    // corpus-wide Exchange+Sort of the whole positional-gram relation
+    // paid before the candidate join (guide §2.3/§2.4: at 100 TB of
+    // text that is a full sort of ~|text| rows to number the rare
+    // within-string duplicate). Same numbering by construction: array
+    // order IS pos order, so occ values are identical.
     val grams = base.filter(col("len") >= q)
       .select(col("id"), col("s"), col("len"),
-        posexplode(expr(s"transform(sequence(1, len - $q + 1), i -> substring(s, i, $q))")))
-      .withColumnRenamed("col", "g")
-      .withColumn("occ", row_number().over(
-        Window.partitionBy("id", "g").orderBy("pos")))
-      .select("id", "s", "len", "g", "occ")
+        expr(s"transform(sequence(1, len - $q + 1), i -> substring(s, i, $q))").as("gs"))
+      .select(col("id"), col("s"), col("len"),
+        posexplode(expr(
+          "transform(gs, (g, i) -> struct(g AS g, " +
+            "size(filter(slice(gs, 1, i), x -> x = g)) + 1 AS occ))")))
+      .select(col("id"), col("s"), col("len"),
+        col("col.g").as("g"), col("col.occ").as("occ"))
 
     val candLong = grams.as("a")
       .join(grams.hint("SHUFFLE_HASH").as("b"),

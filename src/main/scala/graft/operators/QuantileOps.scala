@@ -287,4 +287,203 @@ object QuantileOps {
       groups(i) -> out
     }.toMap
   }
+
+  /** WEIGHTED threshold selection, the weighted twin of
+    * [[exactQuantilesDF]]: per group, for each fraction r, the value
+    * `min(v | cumW(≤ v) ≥ r·W)` where `cumW(≤ v)` is the total weight
+    * of rows with value ≤ v and `W` the group's total weight — exactly
+    * the `min(CASE WHEN cw >= W*r THEN v END)` read off a cumulative
+    * window over the per-group value sort, WITHOUT the window: a
+    * window partitioned by a LOW-cardinality group column sorts every
+    * group through one task (3 groups at 100 TB = 3 tasks holding the
+    * corpus — the exact shape `percentile` dies by, see the object
+    * scaladoc), where this runs the same histogram-guided bisection as
+    * the unweighted operator with per-bucket `sum(weight)` instead of
+    * `count` (map-side-combinable hash aggregates only).
+    *
+    * Threshold comparison semantics match the window form exactly:
+    * cumulative weights accumulate in LONG (exact), the threshold is
+    * the one double product `W·r`, and the comparison is the same
+    * long-promoted-to-double `cumW ≥ W·r`. Ties in `v` are immaterial
+    * (the whole tie group shares one cumulative endpoint).
+    *
+    * Returns one row per group: (groupCol, total_w LONG, thresholds
+    * ARRAY<DOUBLE> aligned with `fracs`). Weights must be non-negative
+    * longs; null/NaN values and null weights are rejected loudly (the
+    * window form counts a null-value row's weight into every later
+    * cumulative — a semantics no caller has wanted; fail fast instead
+    * of silently diverging).
+    */
+  def exactWeightedThresholdsDF(df: DataFrame, groupCol: String,
+                                valueCol: String, weightCol: String,
+                                fracs: Seq[Double], buckets: Int = 4096,
+                                sliceThreshold: Int = 4096,
+                                maxRounds: Int = 6,
+                                maxGroups: Int = useSessionMaxGroups): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(r => r >= 0.0 && r <= 1.0),
+      s"fractions must be in [0,1]: $fracs")
+    val spark = df.sparkSession
+    val groupField = df.schema(groupCol)
+    val raw = df.select(col(groupCol).as("__g"),
+      col(valueCol).cast(DoubleType).as("__v"),
+      col(weightCol).cast(LongType).as("__w"))
+
+    val effMaxGroups =
+      if (maxGroups != useSessionMaxGroups) maxGroups
+      else graft.GraftConf.intConf(spark, maxGroupsConf)
+        .getOrElse(defaultMaxGroups)
+    if (effMaxGroups > 0) {
+      val approxGroups = raw
+        .agg(approx_count_distinct(col("__g")).as("g")).collect()(0).getLong(0)
+      require(approxGroups <= effMaxGroups,
+        s"~$approxGroups distinct '$groupCol' groups exceeds maxGroups=$effMaxGroups: " +
+          "exactWeightedThresholds targets DRIVER-BOUNDED group cardinalities; " +
+          "for unbounded groups use the weighted t-digest aggregate " +
+          "(org.apache.spark.sql.graftx.TDigest — rank-bounded estimates)")
+    }
+
+    // pass 1: per-group totals + loud input validation
+    val stats = raw.groupBy("__g").agg(
+      count(lit(1)).as("n"), sum("__w").as("W"),
+      min("__v").as("mn"), max("__v").as("mx"),
+      max(when(col("__v").isNull || isnan(col("__v")) ||
+        col("__w").isNull || col("__w") < 0, 1).otherwise(0)).as("bad")).collect()
+    require(stats.forall(_.getInt(5) == 0),
+      s"null/NaN $valueCol or null/negative $weightCol — weighted " +
+        "thresholds are undefined; filter or fix upstream")
+
+    val groups = stats.map(_.get(0))
+    val totW = stats.map(r => if (r.isNullAt(2)) 0L else r.getLong(2))
+
+    // a target is one (group, threshold): resolved when pinned to a value
+    final case class Target(tid: Int, gIdx: Int, thresh: Double) {
+      var lo: Double = 0; var hi: Double = 0
+      var prefix: Long = 0 // exact weight of rows with __v < lo
+      var resolved: Option[Double] = None
+      var slice: Boolean = false
+    }
+    val targets = mutable.ArrayBuffer.empty[Target]
+    stats.indices.foreach { i =>
+      if (stats(i).getLong(1) > 0) {
+        val mn = stats(i).getDouble(3); val mx = stats(i).getDouble(4)
+        fracs.map(r => totW(i) * r).distinct.foreach { t =>
+          val tg = Target(targets.size, i, t)
+          tg.lo = mn; tg.hi = mx
+          if (mn == mx) tg.resolved = Some(mn)
+          // threshold ≤ 0 (r = 0, or an all-zero-weight group): the
+          // first row already satisfies cumW ≥ t, so the answer is the
+          // group min — matching min(CASE WHEN cw >= 0 …) over all rows
+          else if (t <= 0) tg.resolved = Some(mn)
+          targets += tg
+        }
+      }
+    }
+    val groupType = df.schema(groupCol).dataType
+
+    // one scan per round: per-bucket (sum(weight), count, min, max)
+    // over every unresolved target's candidate interval (deduped)
+    def histogram(active: Seq[Target])
+        : Map[Int, Array[(Int, Long, Long, Double, Double)]] = {
+      val intervals = active.map(t => (groups(t.gIdx), t.lo, t.hi)).distinct
+      val iid = intervals.zipWithIndex.toMap
+      val byTarget = active.map(t => t.tid -> iid((groups(t.gIdx), t.lo, t.hi))).toMap
+      val intDf = spark.createDataFrame(
+        intervals.zipWithIndex.map { case ((gv, lo, hi), id) =>
+          Row(gv, lo, hi, id)
+        }.asJava,
+        StructType(Seq(StructField("__ig", groupType), StructField("lo", DoubleType),
+          StructField("hi", DoubleType), StructField("iid", IntegerType))))
+      val b = when(col("hi") > col("lo"),
+          least(lit(buckets - 1),
+            floor((col("__v") - col("lo")) / (col("hi") - col("lo")) * buckets)
+              .cast(IntegerType)))
+        .otherwise(lit(0))
+      val hist = raw.join(broadcast(intDf),
+          col("__g") === col("__ig") &&
+            col("__v") >= col("lo") && col("__v") <= col("hi"))
+        .groupBy(col("iid"), b.as("__b"))
+        .agg(sum("__w").as("wsum"), count(lit(1)).as("c"),
+          min("__v").as("bmn"), max("__v").as("bmx"))
+        .collect()
+      val byIid = hist.groupBy(_.getInt(0)).map { case (id, rows) =>
+        id -> rows.map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+      }
+      byTarget.map { case (tid, id) => tid -> byIid.getOrElse(id, Array.empty) }
+    }
+
+    var round = 0
+    var active = targets.filter(t => t.resolved.isEmpty && !t.slice).toSeq
+    while (active.nonEmpty && round < maxRounds) {
+      val hists = histogram(active)
+      active.foreach { t =>
+        var cum = t.prefix
+        var done = false
+        for ((_, wsum, c, bmn, bmx) <- hists(t.tid) if !done) {
+          // the SAME comparison shape as the window form: exact long
+          // cumulative vs the one double product W·r
+          if ((cum + wsum).toDouble >= t.thresh) {
+            t.prefix = cum
+            t.lo = bmn; t.hi = bmx
+            if (bmn == bmx) t.resolved = Some(bmn)
+            else if (c <= sliceThreshold) t.slice = true
+            done = true
+          } else cum += wsum
+        }
+        assert(done, s"threshold ${t.thresh} not reached in histogram " +
+          s"(group ${groups(t.gIdx)}) — inconsistent weights")
+      }
+      active = targets.filter(t => t.resolved.isEmpty && !t.slice).toSeq
+      round += 1
+    }
+    require(active.isEmpty,
+      s"weighted threshold bisection did not converge in $maxRounds rounds " +
+        s"(${active.size} targets; pathological value clustering — raise buckets)")
+
+    // final scan: collect surviving slices and walk the cumulative
+    val slicers = targets.filter(_.slice).toSeq
+    if (slicers.nonEmpty) {
+      val intervals = slicers.map(t => (groups(t.gIdx), t.lo, t.hi)).distinct
+      val iid = intervals.zipWithIndex.toMap
+      val intDf = spark.createDataFrame(
+        intervals.zipWithIndex.map { case ((gv, lo, hi), id) => Row(gv, lo, hi, id) }.asJava,
+        StructType(Seq(StructField("__ig", groupType), StructField("lo", DoubleType),
+          StructField("hi", DoubleType), StructField("iid", IntegerType))))
+      val vals = raw.join(broadcast(intDf),
+          col("__g") === col("__ig") &&
+            col("__v") >= col("lo") && col("__v") <= col("hi"))
+        .select(col("iid"), col("__v"), col("__w")).collect()
+        .groupBy(_.getInt(0))
+        .map { case (id, rows) =>
+          id -> rows.map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+        }
+      slicers.foreach { t =>
+        val arr = vals(iid((groups(t.gIdx), t.lo, t.hi)))
+        var cum = t.prefix
+        var ans = Double.NaN
+        var found = false
+        for ((v, w) <- arr if !found) {
+          cum += w
+          if (cum.toDouble >= t.thresh) { ans = v; found = true }
+        }
+        assert(found, s"threshold ${t.thresh} not reached in slice " +
+          s"(group ${groups(t.gIdx)})")
+        t.resolved = Some(ans)
+      }
+    }
+
+    val valueAt: Map[(Int, Double), Double] =
+      targets.map(t => (t.gIdx, t.thresh) -> t.resolved.get).toMap
+    val rows = stats.indices.map { i =>
+      val out: Seq[Double] =
+        if (stats(i).getLong(1) == 0) null
+        else fracs.map(r => valueAt((i, totW(i) * r)))
+      Row(groups(i), totW(i), out)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType(Seq(groupField.copy(nullable = true),
+        StructField("total_w", LongType, nullable = false),
+        StructField("thresholds", ArrayType(DoubleType), nullable = true))))
+  }
 }

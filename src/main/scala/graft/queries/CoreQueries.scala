@@ -1763,31 +1763,35 @@ object CoreQueries extends QueryPack {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.graftx.TDigest.tdigestWeightedQuantiles
-    import org.apache.spark.sql.expressions.Window
     val li = Tables.load(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("price"),
         col("l_quantity").cast("long").as("w"))
-    // exact weighted rank: cumulative weight over the price sort; the
-    // window value at rank r·W is min(price | cumw ≥ r·W) — ties in
-    // price give identical answers under any within-tie order
-    val cum = li
-      .withColumn("cw", sum("w").over(
-        Window.partitionBy("l_returnflag").orderBy("price")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("W", sum("w").over(Window.partitionBy("l_returnflag")))
-    val bounds = cum.groupBy("l_returnflag").agg(
-      max("W").as("total_w"),
-      min(when(col("cw") >= col("W") * 0.48, col("price"))).as("__lo50"),
-      min(when(col("cw") >= col("W") * 0.52, col("price"))).as("__hi50"),
-      min(when(col("cw") >= col("W") * 0.975, col("price"))).as("__lo99"),
-      max(col("price")).as("__hi99"))
+    // exact weighted rank WITHOUT the per-group cumulative window: the
+    // pre-r14 shape sorted the whole table into |l_returnflag| = 3
+    // window partitions — 3 tasks each holding a third of the corpus,
+    // the one-reducer-per-group scale-killer the a11 family already
+    // evicted from its unweighted twins (guide §2.5). The weighted
+    // histogram-guided selection computes the identical
+    // min(price | cumW ≥ r·W) values with map-side-combinable hash
+    // aggregates only (QuantileOpsSpec pins parity, ties included).
+    // maxGroups = -1: l_returnflag is a 3-value enum — caller-asserts-
+    // bounded skips the HLL cardinality pre-scan (one full corpus pass
+    // of pure overhead here; the guard exists for miscalled
+    // fact-table-key group columns)
+    val bounds = graft.operators.QuantileOps.exactWeightedThresholdsDF(
+      li, "l_returnflag", "price", "w", Seq(0.48, 0.52, 0.975),
+      maxGroups = -1)
     val est = li.groupBy("l_returnflag")
       .agg(tdigestWeightedQuantiles(col("price"), col("w"),
-        Seq(0.5, 0.99), 100).as("__qq"))
-    bounds.join(est, "l_returnflag")
+        Seq(0.5, 0.99), 100).as("__qq"),
+        max(col("price")).as("__hi99"))
+    est.join(broadcast(bounds), "l_returnflag")
       .select(col("l_returnflag"), col("total_w"),
-        element_at(col("__qq"), 1).between(col("__lo50"), col("__hi50")).as("p50_ok"),
-        element_at(col("__qq"), 2).between(col("__lo99"), col("__hi99")).as("p99_ok"))
+        element_at(col("__qq"), 1).between(
+          element_at(col("thresholds"), 1),
+          element_at(col("thresholds"), 2)).as("p50_ok"),
+        element_at(col("__qq"), 2).between(
+          element_at(col("thresholds"), 3), col("__hi99")).as("p99_ok"))
       .orderBy("l_returnflag")
   }
 

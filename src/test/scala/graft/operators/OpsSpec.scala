@@ -539,6 +539,30 @@ class ConnectedComponentsSpec extends graft.SparkSpec {
       naive.contains((6L, 7L, 1L)))
   }
 
+  test("editDistancePairs: multiset gram numbering on LONG repeated-gram strings") {
+    import org.apache.spark.sql.functions._
+    // strings long enough (> shortMax = 8 at q=3, k=2) to take the
+    // GRAM path, with heavily repeated q-grams — the case the
+    // occurrence index exists for (r14 moved occ from a corpus-wide
+    // window into an in-row array fold; this pins the multiset join
+    // key still counts true multiset intersection)
+    val strs = Seq(
+      "abcabcabcabc", "abcabcabcab", "abcabcabcabcabc",
+      "aaaaaaaaaaaa", "aaaaaaaaaaab", "aaaaaaaaaaa",
+      "xyxyxyxyxyxy", "xyxyxyxyxyxz", "totally different words here")
+    val df = strs.zipWithIndex.map { case (s0, i) => (i.toLong, s0) }.toDF("id", "s")
+    val fuzzy = graft.operators.FuzzyOps.editDistancePairs(df, "id", "s", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val naive = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+      .withColumn("d", levenshtein(col("a.s"), col("b.s")).cast("long"))
+      .filter(col("d") <= 2)
+      .select(col("a.id"), col("b.id"), col("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fuzzy == naive && naive.nonEmpty)
+    // the all-repeat family must have matched through the gram path
+    assert(naive.contains((3L, 4L, 1L)) && naive.contains((0L, 1L, 1L)))
+  }
+
   test("mergeUpsert: matched updates, null-safe fallback, keeps, inserts") {
     val target = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
       .toDF("k", "bal", "tag")

@@ -173,4 +173,77 @@ class QuantileOpsSpec extends graft.SparkSpec {
     exp2.foreach { case (g, vs) => assert(out(g) == vs) }
     assert(exp.nonEmpty) // silence unused warning path
   }
+
+  // ---- weighted threshold selection (r14: the a11_tdigest_weighted
+  // bounds without the per-group cumulative-sort window) ----
+
+  private val WFRACS = Seq(0.0, 0.25, 0.48, 0.52, 0.5, 0.975, 1.0)
+
+  /** The window formulation the operator replaces — ground truth. */
+  private def windowWeighted(df: DataFrame): Map[String, (Long, Seq[Double])] = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = df
+      .withColumn("cw", sum("w").over(
+        Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("W", sum("w").over(Window.partitionBy("g")))
+    cum.groupBy("g").agg(
+        max("W").as("tw"),
+        array(WFRACS.map(r =>
+          min(when(col("cw") >= col("W") * r, col("v")))): _*).as("ths"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2).toVector: Seq[Double]))
+      .toMap
+  }
+
+  private def checkWeighted(df: DataFrame, buckets: Int = 64,
+                            sliceThreshold: Int = 16): Unit = {
+    val got = QuantileOps.exactWeightedThresholdsDF(df, "g", "v", "w", WFRACS,
+        buckets = buckets, sliceThreshold = sliceThreshold)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getSeq[Double](2).toVector: Seq[Double]))
+      .toMap
+    val exp = windowWeighted(df)
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (g, (tw, ths)) =>
+      assert(got(g)._1 == tw, s"group $g total_w: exp=$tw got=${got(g)._1}")
+      ths.zip(got(g)._2).zipWithIndex.foreach { case ((e, a), i) =>
+        assert(e == a, s"group $g frac=${WFRACS(i)}: window=$e bisection=$a")
+      }
+    }
+  }
+
+  test("weighted thresholds == cumulative-window form (continuous, several groups)") {
+    val df = (1 to 5000).map { i =>
+      (s"g${i % 3}", math.sin(i * 0.7) * 1000 + i * 0.013, (i % 17 + 1).toLong)
+    }.toDF("g", "v", "w")
+    checkWeighted(df)
+  }
+
+  test("weighted thresholds: heavy value ties and zero weights") {
+    val df = ((1 to 900).map(i => ("a", 42.0, (i % 3).toLong)) ++ // some zero weights
+      (1 to 100).map(i => ("a", i * 1.5, 2L)) ++
+      (1 to 50).map(i => ("b", (i % 7).toDouble, 5L)) ++
+      Seq(("c", 9.0, 1L))).toDF("g", "v", "w") // single-row group
+    checkWeighted(df)
+  }
+
+  test("weighted thresholds: clustered values force extra rounds") {
+    val df = ((1 to 2000).map(i => ("t", 1e9 + i * 5e-7, (i % 5 + 1).toLong)) ++
+      Seq(("t", -1e9, 3L), ("t", 3e9, 2L))).toDF("g", "v", "w")
+    checkWeighted(df, buckets = 8, sliceThreshold = 8)
+  }
+
+  test("weighted thresholds reject null/NaN values and negative weights loudly") {
+    val bad1 = Seq(("g", Some(1.0), 1L), ("g", None, 2L)).toDF("g", "v", "w")
+    val e1 = intercept[IllegalArgumentException] {
+      QuantileOps.exactWeightedThresholdsDF(bad1, "g", "v", "w", Seq(0.5)).collect()
+    }
+    assert(e1.getMessage.contains("weighted"))
+    val bad2 = Seq(("g", 1.0, 1L), ("g", 2.0, -4L)).toDF("g", "v", "w")
+    val e2 = intercept[IllegalArgumentException] {
+      QuantileOps.exactWeightedThresholdsDF(bad2, "g", "v", "w", Seq(0.5)).collect()
+    }
+    assert(e2.getMessage.contains("weighted"))
+  }
 }
