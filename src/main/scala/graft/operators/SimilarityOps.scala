@@ -1301,19 +1301,31 @@ object SimilarityOps {
     * pre-r13 shape re-attached cells/vectors with corpus-wide id-equi
     * joins in three places.
     */
+  /** `checkpointCents = true` (the [[buildIvfPq]] path) localCheckpoints
+    * the centroid table BEFORE the full-corpus assign: the assign's
+    * driver collect then reads KB of materialized model state instead
+    * of replaying the whole sample-training chain a second time (the
+    * pre-r14 order collected the un-checkpointed aggregate inside
+    * ivfAssign and then checkpointed the SAME aggregate again in
+    * buildIvfPq — two full sample-train replays per index build).
+    * [[clusterBalancedSample]] keeps false: it discards the cents
+    * frame, so an eager checkpoint there would be a pure extra job.
+    */
   private def sampleTrainedCells(vectors: DataFrame, idCol: String,
                                  vecCol: String, nCells: Int,
                                  trainSample: Option[DataFrame],
                                  keepVec: Boolean = false,
-                                 keepCols: Seq[String] = Nil)
+                                 keepCols: Seq[String] = Nil,
+                                 checkpointCents: Boolean = false)
       : (DataFrame, DataFrame) = trainSample match {
     case Some(sample) =>
       val sAssigned = trainIvf(sample, idCol, vecCol, nCells, iters = 2,
         keepVec = true)
-      val cents = centroids(
+      val cents0 = centroids(
         sAssigned.select(col("id"), col("v"),
           col("assigned_cell").as("cell")),
         "cell", "v")
+      val cents = if (checkpointCents) cents0.localCheckpoint() else cents0
       (cents, ivfAssign(vectors, idCol, vecCol, cents,
           keepVec = keepVec, keepCols = keepCols)
         .select(col("id") +: col("assigned_cell").as("cell") +:
@@ -1321,10 +1333,11 @@ object SimilarityOps {
     case None =>
       val assigned = trainIvf(vectors, idCol, vecCol, nCells, iters = 2,
         keepVec = true, keepCols = keepCols)
-      val cents = centroids(
+      val cents0 = centroids(
         assigned.select(col("id"), col("v"),
           col("assigned_cell").as("cell")),
         "cell", "v")
+      val cents = if (checkpointCents) cents0.localCheckpoint() else cents0
       (cents, assigned
         .select(col("id") +: col("assigned_cell").as("cell") +:
           ((if (keepVec) Seq(col("v")) else Nil) ++ keepCols.map(col)): _*))
@@ -1355,13 +1368,14 @@ object SimilarityOps {
                  trainSample: Option[DataFrame] = None,
                  metaCols: Seq[String] = Nil)
       : (DataFrame, DataFrame, DataFrame) = {
-    val (cents0, assignedFull) =
+    // checkpointCents (KB–MB scale: nCells × dim doubles), BEFORE the
+    // full-corpus assign: the search reuses cents for the probe
+    // ranking AND the broadcast gate's count, and the assign's own
+    // centroid collect — each would otherwise replay the sample
+    // training from scratch
+    val (cents, assignedFull) =
       sampleTrainedCells(corpus, idCol, vecCol, nCells, trainSample,
-        keepVec = true, keepCols = metaCols)
-    // localCheckpoint (KB–MB scale: nCells × dim doubles): the search
-    // reuses cents for the probe ranking AND the broadcast gate's
-    // count — each reuse would otherwise replay the sample training
-    val cents = cents0.localCheckpoint()
+        keepVec = true, keepCols = metaCols, checkpointCents = true)
     // PQ fine quantizer: sample-trained codebooks, full-corpus codes
     val codebook = trainPq(trainSample.getOrElse(corpus), idCol, vecCol,
       dim, m, ksub, iters = 2)
@@ -1480,14 +1494,17 @@ object SimilarityOps {
                   idCol: String, vecCol: String, dim: Int, m: Int, ksub: Int,
                   cents: DataFrame, codebook: DataFrame, codedCorpus: DataFrame,
                   nprobe: Int, candK: Int, k: Int,
-                  preFilter: Option[Column] = None): DataFrame = {
+                  preFilter: Option[Column] = None,
+                  nCellsKnown: Option[Long] = None): DataFrame = {
     // coarse-centroid table: nCells rows × dim doubles. One cheap count
     // (the frame is localCheckpoint'd at build / a stored table on
     // reload) sizes the closed-form gate: the cell ranking is
     // inherently queries × cells (no non-broadcast plan exists), and
     // production geometry scales nCells ~4√n, so above the bound it
     // fails FAST with the remedy instead of OOMing the broadcast build.
-    val nCells = cents.count()
+    // A caller that CHOSE the geometry may state it (nCellsKnown) and
+    // skip the count job — the gate arithmetic is identical.
+    val nCells = nCellsKnown.getOrElse(cents.count())
     val centsBytes = nCells * (dim * 8L + 96L)
     val centsBound = graft.GraftConf.sizeConf(corpus.sparkSession,
       "spark.graft.broadcastDimBound", 256L * 1024 * 1024)
@@ -1618,8 +1635,13 @@ object SimilarityOps {
     val (cents, codebook, codes) =
       buildIvfPq(corpus, idCol, vecCol, dim, m, ksub, nCells, trainSample,
         metaCols)
+    // nCells is hash-init geometry, not data: every cell id the build
+    // emits is pmod(_, nCells) — the count can only be ≤ nCells (empty
+    // cells drop out), and the gate bounds BYTES, so stating the
+    // chosen geometry is conservative and saves the count job
     ivfPqSearch(queries, corpus, idCol, vecCol, dim, m, ksub,
-      cents, codebook, codes, nprobe, candK, k, preFilter)
+      cents, codebook, codes, nprobe, candK, k, preFilter,
+      nCellsKnown = Some(nCells.toLong))
   }
 
   /** Cluster-balanced (diversity) sampling — the curation step that

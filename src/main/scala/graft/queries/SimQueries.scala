@@ -398,8 +398,11 @@ object SimQueries extends QueryPack {
     val emb = Tables.load(s, dir, "embeddings")
     val base = emb.filter(col("vec_id") % 10 =!= 0)
     val delta = emb.filter(col("vec_id") % 10 === 0)
-    val n = emb.count()
-    val nBase = base.count()
+    // ONE census job for both sizes (the two counts were two separate
+    // driver round-trips over the same scan)
+    val censusRow = emb.agg(count(lit(1)).as("n"),
+      count(when(col("vec_id") % 10 =!= 0, 1)).as("nb")).collect()(0)
+    val (n, nBase) = (censusRow.getLong(0), censusRow.getLong(1))
     val (dim, m, ksub) = (64, 16, 32)
     // the index serves the UNION, so geometry/candK follow the full
     // corpus size — the same laws as ann_ivf_pq
@@ -411,8 +414,16 @@ object SimQueries extends QueryPack {
       base, "vec_id", "embedding", dim, m, ksub, nCells,
       trainSample = if (tsMod <= 1) None
         else Some(base.filter(col("vec_id") % tsMod === 0)))
+    // materialize the appended CODED INDEX once (localCheckpoint):
+    // two consumers below (census + ADC search) would otherwise each
+    // replay the full assign+encode pass over base and delta — at
+    // production tiers the encode IS the dominant cost (~10× the
+    // search at 2M, see BENCHNOTES), and the coded index is exactly
+    // what a production lifecycle persists between build and search
+    // (IvfPqPersistSpec pins the parquet-roundtrip parity). 20 B/row —
+    // codes, not vectors.
     val appended = SimilarityOps.ivfPqAppend(delta, "vec_id", "embedding",
-      dim, m, cents, codebook, codes)
+      dim, m, cents, codebook, codes).localCheckpoint()
     // appended-index census: one row per corpus vector, m in-range
     // codes, valid coarse cell
     val codeStats = appended.agg(count(lit(1)).as("__n_coded"),
@@ -424,7 +435,8 @@ object SimQueries extends QueryPack {
     val sample = emb.filter(
       col("vec_id") % SimilarityOps.sampleModulus(n, 64) === 0)
     val got = SimilarityOps.ivfPqSearch(sample, emb, "vec_id", "embedding",
-        dim, m, ksub, cents, codebook, appended, nprobe, candK, k = 5)
+        dim, m, ksub, cents, codebook, appended, nprobe, candK, k = 5,
+        nCellsKnown = Some(nCells.toLong))
       .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
     val exact = SimilarityOps.bruteForceTopK(sample, emb, "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id")
