@@ -132,6 +132,41 @@ object PipelineQueries extends QueryPack {
     }
   }
 
+  /** Conf pinning shared by every streaming parity row (scoped to the
+    * row via [[withConfs]] — the shared session is never mutated past
+    * it):
+    *
+    *  - shuffle.partitions = 8: a NEW checkpoint's state-partition
+    *    count is the session's shuffle partitions; 32 state stores ×
+    *    N batches of checkpoint I/O for a ~150-key stream is pure
+    *    harness overhead (a production deployment sizes this to key
+    *    volume).
+    *  - checkpoint.fileChecksum.enabled = false: Spark 4.1's checksum
+    *    manager writes + awaits a CHECKSUM COMPANION FILE for every
+    *    checkpoint file — corruption detection for long-lived
+    *    production checkpoints, pure 2× file-op overhead for these
+    *    single-run parity checkpoints.
+    *  - FileSystemBasedCheckpointFileManager: the default
+    *    FileContext-based manager's rename path calls
+    *    getFileLinkStatus, which Hadoop's shell-backed local
+    *    filesystem serves by FORKING `readlink`/`stat` PROCESSES
+    *    (no libhadoop native in this image) — r14 thread dumps showed
+    *    all 8 state-store tasks of every micro-batch parked in
+    *    Shell.runCommand (run ≈ 30 s summed vs 0.5 s of CPU per
+    *    batch). The FileSystem-based manager renames via
+    *    File.renameTo — atomic on a local FS, no forks. Measured:
+    *    st_join_parity 5.3 → 2.8 s steady-state at 32c. On a real
+    *    cluster checkpoints live on HDFS/S3 where the default manager
+    *    does not shell out — this pin only matters for file:// runs.
+    */
+  private def withStreamConfs[T](s: SparkSession)(body: => T): T =
+    withConfs(s,
+      "spark.sql.shuffle.partitions" -> "8",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      "spark.sql.streaming.checkpointFileManagerClass" ->
+        ("org.apache.spark.sql.execution.streaming.checkpointing." +
+          "FileSystemBasedCheckpointFileManager"))(body)
+
   /** The flagship composite — the whole reference transform chain
     * (process_openaq_raw.py:94-256 re-expressed): W1 dedup → derive
     * hour → A1 pinned pivot → J1 broadcast enrich → P8 fill.
@@ -2116,13 +2151,8 @@ object PipelineQueries extends QueryPack {
       .option("maxFilesPerTrigger", 1).parquet(stage)
     val outDir = tmpDir("graft_st_sess_out")
     val ckpt = tmpDir("graft_st_sess_ckpt")
-    // a NEW checkpoint's state-partition count is the session's shuffle
-    // partitions — 32 state stores × 2 commits of checkpoint I/O for a
-    // 150-key stream is pure harness overhead; 8 keeps every core busy
-    // at test scale (a production deployment sizes this to key volume)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    // state-partition / checkpoint-manager pinning: see withStreamConfs
+    withStreamConfs(s) {
       awaitOrFail(graft.streaming.Sessionize
         .sessionizeStream(stream, gapMinutes = 30, watermarkDelay = "3650 days")
         .writeStream.format("parquet")
@@ -2130,7 +2160,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_sessionize_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), r4(col("total_value")).as("total_value"))
@@ -2165,9 +2195,7 @@ object PipelineQueries extends QueryPack {
     val sinkName = s"st_hourly_parity_${System.nanoTime()}"
     // see st_sessionize_parity: size streaming state partitions to the
     // tiny test-scale key volume, not the batch default
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStreamConfs(s) {
       awaitOrFail(
         s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
           .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
@@ -2176,7 +2204,7 @@ object PipelineQueries extends QueryPack {
           .outputMode("complete")
           .trigger(Trigger.AvailableNow())
           .start(), 300000, "st_hourly_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(sinkName).orderBy("hour", "event_type")
   }
 
@@ -2209,9 +2237,7 @@ object PipelineQueries extends QueryPack {
       (col("doc_id") > maxId / 2, "b2.parquet", 2000000L)))
     val outDir = tmpDir("graft_st_nd_out")
     val ckpt = tmpDir("graft_st_nd_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStreamConfs(s) {
       awaitOrFail(graft.streaming.NearDupStream
         .nearDupPairs(s.readStream.schema(evd.schema)
             .option("maxFilesPerTrigger", 1).parquet(stage),
@@ -2221,7 +2247,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_neardup_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     // explicit schema: a zero-pair run leaves no parquet files to infer from
     val pairSchema = StructType(Seq(
       StructField("id_a", LongType), StructField("id_b", LongType),
@@ -2580,9 +2606,7 @@ object PipelineQueries extends QueryPack {
     stageFile(ev.filter(col("event_id") % 2 === 1), stage, "b3.parquet", 3000000L)
     val outDir = tmpDir("graft_st_late_out")
     val ckpt = tmpDir("graft_st_late_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStreamConfs(s) {
       awaitOrFail(
         s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(stage)
           .withWatermark("ts", "7 days")
@@ -2592,7 +2616,7 @@ object PipelineQueries extends QueryPack {
           .outputMode("append")
           .trigger(Trigger.AvailableNow())
           .start(), 300000, "st_late_drop_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.schema(ev.schema).parquet(outDir).orderBy("event_id")
   }
 
@@ -2650,9 +2674,7 @@ object PipelineQueries extends QueryPack {
       (col("sensor_id") === -2L, "b3.parquet", 3000000L)))
     val outDir = tmpDir("graft_st_fresh_out")
     val ckpt = tmpDir("graft_st_fresh_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStreamConfs(s) {
       awaitOrFail(graft.streaming.AqStreaming
         .dedupFreshestStream(
           s.readStream.schema(meas.schema).option("maxFilesPerTrigger", 1)
@@ -2663,7 +2685,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_dedup_freshest_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
       .select("location_id", "datetime", "parameter", "value",
         "extracted_at", "sensor_id")
@@ -2713,32 +2735,30 @@ object PipelineQueries extends QueryPack {
     val stage = tmpDir("graft_st_restart_in")
     val outDir = tmpDir("graft_st_restart_out")
     val ckpt = tmpDir("graft_st_restart_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    def runOnce(label: String): Unit =
-      awaitOrFail(graft.streaming.Sessionize
-        .sessionizeStream(
-          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
-            .parquet(stage),
-          gapMinutes = 30, watermarkDelay = "3650 days")
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start(), 300000, label)
-    try {
-      // run 1: only batch 1 exists; AvailableNow drains it and the
-      // query TERMINATES — open sessions now live only in the
-      // checkpoint's state store files.
-      stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
-      runOnce("st_restart_parity stream run 1")
-      // run 2: a NEW query (fresh StreamingQuery id incarnation, same
-      // checkpoint) must resume past b1 via the offset log and restore
-      // per-user state from disk before folding in batch 2.
-      stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
-        stage, "b2.parquet", 2000000L)
-      runOnce("st_restart_parity stream run 2")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStreamConfs(s) {
+      def runOnce(label: String): Unit =
+        awaitOrFail(graft.streaming.Sessionize
+          .sessionizeStream(
+            s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+              .parquet(stage),
+            gapMinutes = 30, watermarkDelay = "3650 days")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start(), 300000, label)
+        // run 1: only batch 1 exists; AvailableNow drains it and the
+        // query TERMINATES — open sessions now live only in the
+        // checkpoint's state store files.
+        stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
+        runOnce("st_restart_parity stream run 1")
+        // run 2: a NEW query (fresh StreamingQuery id incarnation, same
+        // checkpoint) must resume past b1 via the offset log and restore
+        // per-user state from disk before folding in batch 2.
+        stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
+          stage, "b2.parquet", 2000000L)
+        runOnce("st_restart_parity stream run 2")
+    }
     s.read.parquet(outDir)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), r4(col("total_value")).as("total_value"))
@@ -2804,9 +2824,7 @@ object PipelineQueries extends QueryPack {
     val schema = causes.schema
     def read(d: String) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(d)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    withStreamConfs(s) {
       awaitOrFail(graft.streaming.StreamJoins
         .attributionJoinLeftOuter(read(cStage), read(eStage),
           windowMinutes = 30, watermarkDelay = "10 minutes")
@@ -2815,7 +2833,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_join_parity stream")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0) // drop the two heartbeats' self-pair
       .select("user_id", "c_ts", "e_ts", "c_value", "e_value")
@@ -2884,7 +2902,7 @@ object PipelineQueries extends QueryPack {
     val schema = causes.schema
     def read(d: String) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(d)
-    val stateRows = withConfs(s, "spark.sql.shuffle.partitions" -> "8") {
+    val stateRows = withStreamConfs(s) {
       val query = graft.streaming.StreamJoins
         .attributionJoinLeftOuter(read(cStage), read(eStage),
           windowMinutes = 30, watermarkDelay = "10 minutes")
@@ -2951,31 +2969,29 @@ object PipelineQueries extends QueryPack {
     val schema = causes.schema
     def read(d: String) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(d)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    def runOnce(label: String): Unit =
-      awaitOrFail(graft.streaming.StreamJoins
-        .attributionJoinLeftOuter(read(cStage), read(eStage),
-          windowMinutes = 30, watermarkDelay = "10 minutes")
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start(), 300000, label)
-    try {
-      // run 1: batch 1 only (both sides ≤ cutoff); on termination every
-      // still-joinable row sits solely in the symmetric join state
-      stageFile(causes.filter(col("ts") <= cutoff), cStage, "b1.parquet", 1000000L)
-      stageFile(effects.filter(col("ts") <= cutoff), eStage, "b1.parquet", 1000000L)
-      runOnce("st_join_restart_parity stream run 1")
-      // run 2: a NEW query on the same checkpoint folds in batch 2 +
-      // the far-future heartbeats that close every remaining window
-      stageFile(causes.filter(col("ts") > cutoff).unionByName(heartbeat),
-        cStage, "b2.parquet", 2000000L)
-      stageFile(effects.filter(col("ts") > cutoff).unionByName(heartbeat),
-        eStage, "b2.parquet", 2000000L)
-      runOnce("st_join_restart_parity stream run 2")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStreamConfs(s) {
+      def runOnce(label: String): Unit =
+        awaitOrFail(graft.streaming.StreamJoins
+          .attributionJoinLeftOuter(read(cStage), read(eStage),
+            windowMinutes = 30, watermarkDelay = "10 minutes")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start(), 300000, label)
+        // run 1: batch 1 only (both sides ≤ cutoff); on termination every
+        // still-joinable row sits solely in the symmetric join state
+        stageFile(causes.filter(col("ts") <= cutoff), cStage, "b1.parquet", 1000000L)
+        stageFile(effects.filter(col("ts") <= cutoff), eStage, "b1.parquet", 1000000L)
+        runOnce("st_join_restart_parity stream run 1")
+        // run 2: a NEW query on the same checkpoint folds in batch 2 +
+        // the far-future heartbeats that close every remaining window
+        stageFile(causes.filter(col("ts") > cutoff).unionByName(heartbeat),
+          cStage, "b2.parquet", 2000000L)
+        stageFile(effects.filter(col("ts") > cutoff).unionByName(heartbeat),
+          eStage, "b2.parquet", 2000000L)
+        runOnce("st_join_restart_parity stream run 2")
+    }
     s.read.parquet(outDir)
       .filter(col("user_id") >= 0) // drop the two heartbeats' self-pair
       .select("user_id", "c_ts", "e_ts", "c_value", "e_value")
@@ -3043,28 +3059,26 @@ object PipelineQueries extends QueryPack {
     val stage = tmpDir(s"graft_st_${tag}_in")
     val outDir = tmpDir(s"graft_st_${tag}_out")
     val ckpt = tmpDir(s"graft_st_${tag}_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    def runOnce(label: String): Unit =
-      awaitOrFail(
-        s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
-          .parquet(stage)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-          .agg(count(lit(1)).as("n"))
-          .select(col("window.start").as("hour"), col("event_type"), col("n"))
-          .writeStream.format("parquet")
-          .option("path", outDir).option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start(), 300000, label)
-    try {
-      stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
-      runOnce(s"$label stream run 1")
-      stageFile(ev.filter(col("ts") > cutoff).unionByName(heartbeat),
-        stage, "b2.parquet", 2000000L)
-      runOnce(s"$label stream run 2")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    withStreamConfs(s) {
+      def runOnce(label: String): Unit =
+        awaitOrFail(
+          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("window.start").as("hour"), col("event_type"), col("n"))
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start(), 300000, label)
+        stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
+        runOnce(s"$label stream run 1")
+        stageFile(ev.filter(col("ts") > cutoff).unionByName(heartbeat),
+          stage, "b2.parquet", 2000000L)
+        runOnce(s"$label stream run 2")
+    }
     s.read.parquet(outDir)
       .filter(col("event_type") =!= "hb") // belt-and-braces: never emits
       .select("hour", "event_type", "n")
@@ -3112,33 +3126,25 @@ object PipelineQueries extends QueryPack {
     val stage = tmpDir("graft_st_rv2_in")
     val outDir = tmpDir("graft_st_rv2_out")
     val ckpt = tmpDir("graft_st_rv2_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    def runOnce(label: String): Unit =
-      awaitOrFail(graft.streaming.SessionizeV2
-        .sessionizeStream(
-          s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
-            .parquet(stage),
-          gapMinutes = 30, watermarkDelay = "3650 days")
-        .writeStream.format("parquet")
-        .option("path", outDir).option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start(), 300000, label)
-    try {
-      stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
-      runOnce("st_restart_v2_parity stream run 1")
-      stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
-        stage, "b2.parquet", 2000000L)
-      runOnce("st_restart_v2_parity stream run 2")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    withStreamConfs(s) {
+      withConfs(s, "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        def runOnce(label: String): Unit =
+          awaitOrFail(graft.streaming.SessionizeV2
+            .sessionizeStream(
+              s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
+                .parquet(stage),
+              gapMinutes = 30, watermarkDelay = "3650 days")
+            .writeStream.format("parquet")
+            .option("path", outDir).option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(Trigger.AvailableNow())
+            .start(), 300000, label)
+        stageFile(ev.filter(col("ts") <= cutoff), stage, "b1.parquet", 1000000L)
+        runOnce("st_restart_v2_parity stream run 1")
+        stageFile(ev.filter(col("ts") > cutoff).unionByName(sentinels),
+          stage, "b2.parquet", 2000000L)
+        runOnce("st_restart_v2_parity stream run 2")
       }
     }
     s.read.parquet(outDir)
@@ -3193,16 +3199,12 @@ object PipelineQueries extends QueryPack {
     val stage = tmpDir("graft_st_bound_in")
     val outDir = tmpDir("graft_st_bound_out")
     val ckpt = tmpDir("graft_st_bound_ckpt")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val noDataConf = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prevNoData = s.conf.getOption(noDataConf)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     // the finalizing no-data batch is what advances the watermark to
     // max(ts) − delay and runs the LAST eviction; the census below is
     // only deterministic with it pinned on (it is Spark's default,
     // but this row's contract depends on it)
-    s.conf.set(noDataConf, "true")
-    val stateRows = try {
+    val stateRows = withStreamConfs(s) {
+      withConfs(s, "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
       stageSplit(withDupes, stage, Seq(
         (col("ts") < cut(1), "b1.parquet", 1000000L),
         (col("ts") >= cut(1) && col("ts") < cut(2), "b2.parquet", 2000000L),
@@ -3226,11 +3228,6 @@ object PipelineQueries extends QueryPack {
       awaitOrFail(query, 300000, "st_state_bound_parity stream")
       Option(query.lastProgress)
         .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNoData match {
-        case Some(v) => s.conf.set(noDataConf, v)
-        case None => s.conf.unset(noDataConf)
       }
     }
     // kept set is exactly keys(ts ≥ hi − 2×delay = last 6 days); bound
@@ -3301,9 +3298,8 @@ object PipelineQueries extends QueryPack {
     // sentinel contract depends on it: the finalizing no-data batch is
     // what advances the watermark past the last real window and emits
     // it — an environment override would red this row with no hint why)
-    withConfs(s,
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
+    withStreamConfs(s) {
+      withConfs(s, "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
       awaitOrFail(graft.streaming.CurationStream
         .bucketHistogram(
           s.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1)
@@ -3315,6 +3311,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_drift_parity stream")
+      }
     }
     s.read.parquet(outDir)
       .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
@@ -3380,9 +3377,8 @@ object PipelineQueries extends QueryPack {
     // noDataMicroBatches pinned ON — same sentinel contract as
     // st_drift_parity (the last real window closes only in the
     // finalizing no-data batch)
-    withConfs(s,
-      "spark.sql.shuffle.partitions" -> "8",
-      "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
+    withStreamConfs(s) {
+      withConfs(s, "spark.sql.streaming.noDataMicroBatches.enabled" -> "true") {
       awaitOrFail(graft.streaming.CurationStream
         .trendingTerms(
           s.readStream.schema(evd.schema).option("maxFilesPerTrigger", 1)
@@ -3393,6 +3389,7 @@ object PipelineQueries extends QueryPack {
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start(), 300000, "st_trending_parity stream")
+      }
     }
     val hhSchema = StructType(Seq(
       StructField("window_start", TimestampType),
