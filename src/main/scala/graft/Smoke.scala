@@ -12,6 +12,11 @@ object Smoke {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-fork local FS (graft.io.NioLocalFileSystem scaladoc): Hadoop's
+      // shell-backed chmod/readlink forks a process per created file /
+      // checkpoint rename when libhadoop is absent — java.nio instead
+      .config("spark.hadoop.fs.file.impl", "graft.io.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl", "graft.io.NioLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.entry(spark)

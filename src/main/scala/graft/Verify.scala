@@ -28,6 +28,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // no-fork local FS (graft.io.NioLocalFileSystem scaladoc): Hadoop's
+      // shell-backed chmod/readlink forks a process per created file /
+      // checkpoint rename when libhadoop is absent — java.nio instead
+      .config("spark.hadoop.fs.file.impl", "graft.io.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl", "graft.io.NioLocalFs")
       .getOrCreate()
     GraftExtensions.assertWired(spark)
     spark.sparkContext.setLogLevel("WARN")
