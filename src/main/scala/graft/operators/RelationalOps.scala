@@ -332,6 +332,46 @@ object RelationalOps {
     saltedLeft.join(repRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Driver union-find over a small (a, b) pair frame — the shared
+    * small-graph body of [[connectedComponents]] and
+    * [[connectedComponentsStar]]: every node labeled with the SMALLEST
+    * reachable id (union by min root), singletons labeled with their
+    * own id via a broadcast anti-join over `nodes` (the corpus never
+    * shuffles), labels cast back to `idType` so both paths return the
+    * identical schema. Callers gate eligibility (integral ids,
+    * limit-bounded edge count) before calling.
+    */
+  private def driverUnionFindLabels(nodes: DataFrame, idCol: String,
+                                    p: DataFrame,
+                                    idType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    p.select(col("a").cast("long"), col("b").cast("long")).collect().foreach { row =>
+      val a = row.getLong(0); val b = row.getLong(1)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union by MIN root so every component's root is its min id
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val labelRows = parent.keys.toSeq.map(id => (id, find(id)))
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val labels = labelRows.toDF("id", "label")
+    val singletons = nodes.select(col(idCol).cast("long").as("id"))
+      .join(broadcast(labels.select("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionByName(singletons)
+      .select(col("id").cast(idType).as(idCol),
+        col("label").cast(idType).as("cluster_id"))
+  }
+
   /** Connected components by iterative min-label propagation — the
     * transitive-closure step a dedup pipeline runs on its near-dup
     * pair graph to form duplicate CLUSTERS (keep one doc per
@@ -376,32 +416,9 @@ object RelationalOps {
     val edgeCount =
       if (integralId) p.limit(smallGraphEdges.toInt + 1).count() else Long.MaxValue
     if (edgeCount <= smallGraphEdges) {
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-        r
-      }
-      p.select(col("a").cast("long"), col("b").cast("long")).collect().foreach { row =>
-        val a = row.getLong(0); val b = row.getLong(1)
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN root so every component's root is its min id
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
-      val labelRows = parent.keys.toSeq.map(id => (id, find(id)))
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      val labels = labelRows.toDF("id", "label")
-      val singletons = nodes.select(col(idCol).cast("long").as("id"))
-        .join(broadcast(labels.select("id")), Seq("id"), "left_anti")
-        .select(col("id"), col("id").as("label"))
+      val out = driverUnionFindLabels(nodes, idCol, p, idType)
       p.unpersist()
-      return labels.unionByName(singletons)
-        .select(col("id").cast(idType).as(idCol),
-          col("label").cast(idType).as("cluster_id"))
+      return out
     }
     val edges = p.select(col("a").as("src"), col("b").as("dst"))
       .union(p.select(col("b").as("src"), col("a").as("dst")))
@@ -506,7 +523,8 @@ object RelationalOps {
     */
   def connectedComponentsStar(nodes: DataFrame, idCol: String,
                               pairs: DataFrame, aCol: String, bCol: String,
-                              maxIter: Int = 50): DataFrame = {
+                              maxIter: Int = 50,
+                              smallGraphEdges: Long = 200000L): DataFrame = {
     // The convergence potential sums endpoints cast to decimal(38,0);
     // a non-numeric id would cast to null, making the potential a
     // constant ZERO — convergence could then be declared while edges
@@ -518,6 +536,33 @@ object RelationalOps {
       require(t.isInstanceOf[org.apache.spark.sql.types.NumericType],
         s"connectedComponentsStar needs numeric ids; column '$c' is $t — " +
           "hash ids to long (xxhash64) before calling")
+    }
+    // the SAME adaptive small-graph path as [[connectedComponents]]
+    // (see the comment there): labels are smallest-reachable-id under
+    // BOTH algorithms (StarCcSpec pins star ≡ min-label), so once the
+    // pair graph fits on the driver the union-find answer is identical
+    // and skips log(n) contraction rounds of per-round job overhead —
+    // r14 measured gr_components_star spending ~2.5 s contracting an
+    // 18-edge nation graph. Distributed contraction remains the plan
+    // whenever the edge count clears the threshold.
+    locally {
+      val p0 = pairs.select(col(aCol).as("a"), col(bCol).as("b")).cache()
+      val idType = nodes.schema(idCol).dataType
+      val integralId = idType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      val edgeCount =
+        if (integralId && smallGraphEdges > 0)
+          p0.limit(smallGraphEdges.toInt + 1).count()
+        else Long.MaxValue
+      if (edgeCount <= smallGraphEdges) {
+        val out = driverUnionFindLabels(nodes, idCol, p0, idType)
+        p0.unpersist()
+        return out
+      }
+      p0.unpersist()
     }
     def sym(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))

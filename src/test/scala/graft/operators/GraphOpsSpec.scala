@@ -64,6 +64,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(d(es, 1) == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("small-graph driver paths match the distributed loops (r14)") {
+    // pageRank: weighted graph with a dangling node and a detached
+    // component — driver path equals the distributed loop to
+    // fp-reorder noise, far inside the r4 rounding callers declare
+    val es = Seq((1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0),
+      (4, 5, 2.0), (6, 4, 1.0))
+    val df = es.toDF("src", "dst", "w")
+    val n = es.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val small = GraphOps.pageRank(df, "src", "dst", "w", n, 0.85, iters = 6)
+      .as[(Int, Double)].collect().toMap
+    val dist = GraphOps.pageRank(df, "src", "dst", "w", n, 0.85, iters = 6,
+        smallGraphEdges = 0).as[(Int, Double)].collect().toMap
+    assert(small.keySet == dist.keySet)
+    small.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-12, s"node $k: $v vs ${dist(k)}") }
+    // bfs: integer relaxation — bit-identical
+    val e2 = Seq((0, 1), (1, 2), (0, 2), (2, 3), (9, 0)).toDF("src", "dst")
+    val b1 = GraphOps.bfs(e2, "src", "dst", 0L, 4)
+      .as[(Long, Long)].collect().toMap
+    val b2 = GraphOps.bfs(e2, "src", "dst", 0L, 4, smallGraphEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(b1 == b2)
+  }
+
   private def tris(edges: Seq[(Int, Int)]): Map[Int, Long] =
     GraphOps.triangleCount(edges.toDF("src", "dst"), "src", "dst")
       .as[(Int, Long)].collect().toMap

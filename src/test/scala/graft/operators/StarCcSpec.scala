@@ -17,7 +17,8 @@ class StarCcSpec extends SparkSpec {
   private def labels(nodes: DataFrame, pairs: DataFrame,
                      star: Boolean, smallGraphEdges: Long = 200000L): Map[Long, Long] = {
     val cc =
-      if (star) RelationalOps.connectedComponentsStar(nodes, "id", pairs, "a", "b")
+      if (star) RelationalOps.connectedComponentsStar(nodes, "id", pairs, "a", "b",
+        smallGraphEdges = smallGraphEdges)
       // maxIter high enough that min-label always converges here —
       // the comparison needs its FIXED POINT, not its capped output
       else RelationalOps.connectedComponents(nodes, "id", pairs, "a", "b",
@@ -29,16 +30,20 @@ class StarCcSpec extends SparkSpec {
   private def check(nodeIds: Seq[Long], pairSeq: Seq[(Long, Long)]): Unit = {
     val nodes = nodeIds.toDF("id")
     val pairs = pairSeq.toDF("a", "b")
-    // all three strategies must agree: local union-find (the adaptive
-    // small-graph path), the distributed min-label loop (forced by
-    // zeroing the threshold), and star contraction
+    // all four strategies must agree: local union-find (the adaptive
+    // small-graph path both entry points share), the distributed
+    // min-label loop, and DISTRIBUTED star contraction (both
+    // distributed loops forced by zeroing the threshold)
     val smallPath = labels(nodes, pairs, star = false)
     val distributed = labels(nodes, pairs, star = false, smallGraphEdges = 0L)
-    val starLbl = labels(nodes, pairs, star = true)
+    val starSmall = labels(nodes, pairs, star = true)
+    val starDist = labels(nodes, pairs, star = true, smallGraphEdges = 0L)
     assert(smallPath == distributed,
       s"union-find vs distributed diff=${(smallPath.toSet diff distributed.toSet).take(5)}")
-    assert(starLbl == distributed,
-      s"star diff=${(starLbl.toSet diff distributed.toSet).take(5)} / ${(distributed.toSet diff starLbl.toSet).take(5)}")
+    assert(starSmall == distributed,
+      s"star small-path diff=${(starSmall.toSet diff distributed.toSet).take(5)}")
+    assert(starDist == distributed,
+      s"star diff=${(starDist.toSet diff distributed.toSet).take(5)} / ${(distributed.toSet diff starDist.toSet).take(5)}")
   }
 
   test("long chain: one 60-hop component resolves to its minimum") {
