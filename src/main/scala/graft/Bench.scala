@@ -129,7 +129,14 @@ object Bench {
       "tx_bpe_train", "gr_triangles", "dd_chunk_dedup", "dd_bloom_incremental",
       "j11_spatial_join", "a11_tdigest_rollup", "sql_recursive_cte",
       "dq_profile", "ml_feature_hash", "dd_repeated_spans", "ann_pca_topk",
-      "ann_pq_topk", "ann_ivf_pq", "ann_ivf_pq_append")
+      "ann_pq_topk", "ann_ivf_pq", "ann_ivf_pq_append",
+      // r14 additions (additions only — never remove/rename): the
+      // paths this round optimized, so future rounds get per-query
+      // driver tracking of them. Line-size check: 43 entries ≈ 1.3 KB,
+      // inside the driver's ~2000-char stdout tail window.
+      "st_join_parity", "st_join_skew_parity", "st_restart_agg_parity",
+      "st_sessionize_parity", "gr_pagerank", "gr_components_star",
+      "gr_bfs", "a11_tdigest_weighted")
     val byName = results.toMap
     // Locale.ROOT: the f-interpolator honors the default locale, and a
     // comma decimal separator would make the JSON line unparseable
